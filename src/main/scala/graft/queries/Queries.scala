@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num._
+import graft.sources.Tables
+
+/** One catalog entry: the Spark implementation and (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL. Column names/aliases must match the
+  * oracle exactly — the driver sorts columns by name before hashing.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** The oracle-checked query catalog — the executable form of SURVEY.md §2.
+  *
+  * Each query exercises one engine operator against the driver's test
+  * tables. Scale notes live on the operators themselves (graft.operators).
+  */
+object Queries {
+
+  // ---------------------------------------------------------------------
+  // §2.A — relational core (PSRDB query-layer analog)
+  // ---------------------------------------------------------------------
+
+  /** A1: multi-aggregate scan+groupBy (decimation stats rollup analog).
+    * TPC-H Q1 shape: one full pass, map-side partial aggregation, tiny
+    * result. Decimal-exact sums per Num policy. */
+  private val q01 = Q(
+    "q01_profile_stats",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2
+    """),
+  )
+
+  /** A2: timestamp-range filter with pushdown (UTC-range launcher query). */
+  private val q02 = Q(
+    "q02_utc_range",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    """),
+  )
+
+  /** A3: 3-way join + agg (obs ⋈ processings ⋈ TOAs analog; TPC-H Q3 shape).
+    * customer filter prunes early; lineitem join shuffles on orderkey. */
+  private val q03 = Q(
+    "q03_obs_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    """),
+  )
+
+  /** A4: broadcast dimension chain (region ⋈ nation ⋈ customer). Both dims
+    * are broadcast — zero shuffles on the dim side at any scale. */
+  private val q04 = Q(
+    "q04_dim_rollup",
+    (s, dir) => {
+      val dims = broadcast(
+        Tables.nation(s, dir).join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey")))
+      Tables.customer(s, dir)
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    },
+    Some("""
+      SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    """),
+  )
+
+  /** A5: left-semi join (EXISTS membership, launches-table analog). */
+  private val q05 = Q(
+    "q05_semi_join",
+    (s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+        .select("o_custkey")
+      Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      GROUP BY 1
+    """),
+  )
+
+  /** A6: left-anti join (NOT EXISTS; unprocessed-observations analog). */
+  private val q06 = Q(
+    "q06_anti_join",
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY 1
+    """),
+  )
+
+  /** A7: top-k per group via window rank (best-TOA-per-pulsar analog).
+    * Tie-broken by key so the result is fully deterministic. */
+  private val q07 = Q(
+    "q07_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, dir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+    },
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) t
+      WHERE rn <= 3
+    """),
+  )
+
+  /** A8: distinct-count per group (distinct pulsars per project analog). */
+  private val q08 = Q(
+    "q08_distinct_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    """),
+  )
+
+  /** A9: ROLLUP grouping-sets (jobstate status rollups analog). */
+  private val q09 = Q(
+    "q09_rollup_status",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """),
+  )
+
+  /** A10: union + distinct (multi-project obs-list merge analog). */
+  private val q10 = Q(
+    "q10_union_dedup",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).withColumn("kind", lit("cust"))
+      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).withColumn("kind", lit("supp"))
+      c.union(p).distinct()
+        .join(broadcast(Tables.nation(s, dir)), col("nk") === col("n_nationkey"))
+        .select("n_name", "kind")
+    },
+    Some("""
+      SELECT n_name, kind FROM (
+        SELECT DISTINCT nk, kind FROM (
+          SELECT c_nationkey AS nk, 'cust' AS kind FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nk, 'supp' AS kind FROM supplier) u
+      ) d JOIN nation ON nk = n_nationkey
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+
+  /** Full catalog (extended by later sections). */
+  def all: Seq[Q] = relational
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim.stripMargin)).toMap
+}
