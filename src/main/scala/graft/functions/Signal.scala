@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Signal-math column combinators — the engine-level form of meerpipe's
+  * per-observation arithmetic. All are plain `Column` expressions so they
+  * stay inside whole-stage codegen.
+  */
+object Signal {
+
+  /** A value band: classification range [low, high) plus the inner
+    * [keepLow, keepHigh] range that survives edge-chopping.
+    * Value-space analog of the frequency band tables in
+    * `archive_utils.get_band` (archive_utils.py:22) and
+    * `chopping_utility` (archive_utils.py:140). */
+  final case class Band(name: String, low: Double, high: Double, keepLow: Double, keepHigh: Double)
+
+  val defaultBands: Seq[Band] = Seq(
+    Band("UHF",     0.0,  50.0,   5.0,  45.0),
+    Band("LBAND",  50.0, 150.0,  60.0, 140.0),
+    Band("SBAND_0", 150.0, 250.0, 160.0, 240.0),
+    Band("SBAND_1", 250.0, 350.0, 260.0, 340.0),
+    Band("SBAND_2", 350.0, 500.0, 360.0, 480.0),
+  )
+
+  /** Conditional range-bucketing: map a value to its band name
+    * (`get_band`, archive_utils.py:22). Pure when-chain → codegen'd. */
+  def bandOf(v: Column, bands: Seq[Band] = defaultBands): Column =
+    bands.foldLeft(Option.empty[Column]) { (acc, b) =>
+      val cond = v >= b.low && v < b.high
+      Some(acc.fold(when(cond, b.name))(_.when(cond, b.name)))
+    }.get.otherwise("UNKNOWN")
+
+  /** True when the value survives its band's edge-chop range
+    * (`chopping_utility`, archive_utils.py:140). */
+  def insideChop(v: Column, bands: Seq[Band] = defaultBands): Column =
+    bands.map(b => v >= b.keepLow && v <= b.keepHigh && v >= b.low && v < b.high)
+      .reduce(_ || _)
+
+  /** Radiometer-equation expected RMS: ssys / sqrt(2*bw/nchan * tobs/nbin)
+    * (`get_expectedRMS`, scripts/fluxcal_meerkat.py:278). */
+  def radiometerRms(ssys: Column, bw: Column, nchan: Column, tobs: Column, nbin: Column): Column =
+    ssys / sqrt(lit(2.0) * bw / nchan * tobs / nbin)
+
+  /** S/N-driven max subintegration count
+    * (`calc_max_nsub`, calc_max_nsub.py:4). */
+  def maxNsub(sn: Column, nchan: Column, duration: Column, inputNsub: Column,
+              snDesired: Double = 12.0, minimumDuration: Double = 480.0): Column = {
+    val snChan = sn / sqrt(nchan)
+    val estimated = greatest(duration * pow(lit(snDesired) / snChan, 2.0), lit(minimumDuration))
+    least(floor(duration / estimated), inputNsub)
+  }
+
+  /** Aggregate: fraction of rows matching a zap predicate
+    * (`calc_dynspec_zap_fraction`, archive_utils.py:118).
+    * Integer-counting form — exact and order-independent. */
+  def zapFraction(cond: Column): Column =
+    (sum(cond.cast("long")).cast("double") / count(lit(1))).cast("double")
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap refill via neighbor interpolation — engine-level form of
+  * `scintools` `Dynspec.refill` (meerpipe regenerates masked dynamic-
+  * spectrum cells from neighbors after RFI zapping).
+  */
+object Interpolate {
+
+  /** Adds `refilled`: where `isMissing`, the mean of the nearest preceding
+    * and following non-missing values on the key's timeline (one side if at
+    * an edge); the original value otherwise. One shuffle on the key. */
+  def refillLinear(df: DataFrame, key: String, ts: String, valueCol: String,
+                   isMissing: Column): DataFrame = {
+    val good = when(!isMissing, col(valueCol))
+    val before = Window.partitionBy(key).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy(key).orderBy(col(ts))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val prevGood = last(good, ignoreNulls = true).over(before)
+    val nextGood = first(good, ignoreNulls = true).over(after)
+    val filled = when(prevGood.isNotNull && nextGood.isNotNull, (prevGood + nextGood) / 2.0)
+      .otherwise(coalesce(prevGood, nextGood, col(valueCol)))
+    df.withColumn("refilled", when(isMissing, filled).otherwise(col(valueCol)))
+  }
+}

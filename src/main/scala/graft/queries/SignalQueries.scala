@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num._
+import graft.functions.{Orbital, Signal}
+import graft.operators.{AsOfJoin, Interpolate, Outliers, Sessionize}
+import graft.sources.Tables
+
+/** SURVEY.md §2.B — time-series / signal operators (meerpipe compute
+  * analogs) over the `events` stream table. */
+object SignalQueries {
+
+  /** B1: conditional range-bucketing (`get_band`, archive_utils.py:22). */
+  private val q11 = Q(
+    "q11_band_classify",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("band", Signal.bandOf(col("value")))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+    Some("""
+      SELECT CASE
+          WHEN value >= 0.0 AND value < 50.0 THEN 'UHF'
+          WHEN value >= 50.0 AND value < 150.0 THEN 'LBAND'
+          WHEN value >= 150.0 AND value < 250.0 THEN 'SBAND_0'
+          WHEN value >= 250.0 AND value < 350.0 THEN 'SBAND_1'
+          WHEN value >= 350.0 AND value < 500.0 THEN 'SBAND_2'
+          ELSE 'UNKNOWN' END AS band,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    """),
+  )
+
+  /** B2: conditional-fraction aggregation
+    * (`calc_dynspec_zap_fraction`, archive_utils.py:118). */
+  private val q12 = Q(
+    "q12_zap_fraction",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          Signal.zapFraction(col("value") < 1.0).as("zap_frac"),
+          count(lit(1)).as("n"),
+        ),
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(value < 1.0 AS BIGINT)) AS DOUBLE) / COUNT(*) AS zap_frac,
+        COUNT(*) AS n
+      FROM events GROUP BY 1
+    """),
+  )
+
+  /** B3: per-band edge-chop range filter
+    * (`chopping_utility`, archive_utils.py:140). */
+  private val q13 = Q(
+    "q13_chop_edges",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("band", Signal.bandOf(col("value")))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(Signal.insideChop(col("value")).cast("long")).as("n_kept"),
+        ),
+    Some("""
+      SELECT CASE
+          WHEN value >= 0.0 AND value < 50.0 THEN 'UHF'
+          WHEN value >= 50.0 AND value < 150.0 THEN 'LBAND'
+          WHEN value >= 150.0 AND value < 250.0 THEN 'SBAND_0'
+          WHEN value >= 250.0 AND value < 350.0 THEN 'SBAND_1'
+          WHEN value >= 350.0 AND value < 500.0 THEN 'SBAND_2'
+          ELSE 'UNKNOWN' END AS band,
+        COUNT(*) AS n_total,
+        SUM(CAST((value >= 5.0 AND value <= 45.0 AND value >= 0.0 AND value < 50.0)
+          OR (value >= 60.0 AND value <= 140.0 AND value >= 50.0 AND value < 150.0)
+          OR (value >= 160.0 AND value <= 240.0 AND value >= 150.0 AND value < 250.0)
+          OR (value >= 260.0 AND value <= 340.0 AND value >= 250.0 AND value < 350.0)
+          OR (value >= 360.0 AND value <= 480.0 AND value >= 350.0 AND value < 500.0)
+          AS BIGINT)) AS n_kept
+      FROM events GROUP BY 1
+    """),
+  )
+
+  /** B4: time-bucket downsample ("tscrunch" / decimation analog). */
+  private val q14 = Q(
+    "q14_downsample_time",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """),
+  )
+
+  /** B5: pivot into a day × event_type value matrix (dynamic-spectrum
+    * analog, `psrflux` output shape). Uses the Spark pivot operator with
+    * explicit values so the plan is a single aggregation. */
+  private val q15 = Q(
+    "q15_pivot_spectrum",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum(col("value")))
+        .na.fill(0.0, Seq("click", "view", "purchase", "signup", "error")),
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS click,
+        COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS view,
+        COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS purchase,
+        COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS signup,
+        COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS error
+      FROM events GROUP BY 1
+    """),
+  )
+
+  /** B6: cumulative windowed aggregation over time — cumulative S/N curve
+    * (`generate_SNR_images`, scripts/generate_images_results.py:32).
+    * Decimal cumulative sum keeps the running total exact. */
+  private val q16 = Q(
+    "q16_cumulative_snr",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("cum_value", sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+        .withColumn("snr_cumulative", sqrt(col("cum_value")))
+        .select("event_id", "user_id", "cum_value", "snr_cumulative")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS cum_value,
+        SQRT(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)) AS snr_cumulative
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """),
+  )
+
+  /** B7: lag/lead inter-event gaps (TOA-residual delta analog). */
+  private val q17 = Q(
+    "q17_event_deltas",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_s",
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1000000.0))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("event_type")
+        .agg(davg(col("gap_s")).as("avg_gap_s"), max(col("gap_s")).as("max_gap_s"),
+          count(lit(1)).as("n_gaps"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+          (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+        FROM events)
+      SELECT event_type,
+        CAST(SUM(CAST(gap_s AS DECIMAL(38,6))) AS DOUBLE) / COUNT(gap_s) AS avg_gap_s,
+        MAX(gap_s) AS max_gap_s,
+        COUNT(*) AS n_gaps
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    """),
+  )
+
+  /** B8: radiometer-equation expected RMS over grouped observables
+    * (`get_expectedRMS`, scripts/fluxcal_meerkat.py:278). Inputs (min/max/
+    * count) are exact, so the per-group double formula is deterministic. */
+  private val q18 = Q(
+    "q18_radiometer",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000.0)).as("tobs_s"),
+          count(lit(1)).as("nbin"),
+          (max(col("value")) - min(col("value"))).as("bw"),
+          countDistinct(col("event_type")).as("nchan"),
+        )
+        .filter(col("nbin") >= 10 && col("bw") > 0.0)
+        .withColumn("expected_rms",
+          Signal.radiometerRms(lit(400.0), col("bw"), col("nchan"), col("tobs_s"), col("nbin")))
+        .select("user_id", "tobs_s", "nbin", "expected_rms"),
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+          (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS tobs_s,
+          COUNT(*) AS nbin,
+          MAX(value) - MIN(value) AS bw,
+          COUNT(DISTINCT event_type) AS nchan
+        FROM events GROUP BY 1)
+      SELECT user_id, tobs_s, nbin,
+        400.0 / SQRT(2.0 * bw / nchan * tobs_s / nbin) AS expected_rms
+      FROM g WHERE nbin >= 10 AND bw > 0.0
+    """),
+  )
+
+  /** B9: flux-calibration multiplier: expected RMS over the exact lower
+    * median of observed values in the reference window
+    * (`get_median_offrms` + multiplier, scripts/fluxcal_meerkat.py:311).
+    * Lower median (element at ceil(n/2)) avoids interpolation so both
+    * engines pick the identical element. */
+  private val q19 = Q(
+    "q19_flux_multiplier",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("value") >= 40.0 && col("value") < 60.0) // reference-frequency window
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === floor((col("cnt") + lit(1)) / lit(2.0)))
+        .withColumn("multiplier", lit(50.0) / col("value"))
+        .select(col("event_type"), col("value").as("observed_median"), col("multiplier"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT event_type, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events WHERE value >= 40.0 AND value < 60.0)
+      SELECT event_type, value AS observed_median, 50.0 / value AS multiplier
+      FROM win WHERE rn = FLOOR((cnt + 1) / 2.0)
+    """),
+  )
+
+  /** B10: μ±kσ sigma-clip outlier flagging (MeerGuard RFI-excision analog)
+    * with exact decimal moments. */
+  private val q20 = Q(
+    "q20_sigma_clip",
+    (s, dir) =>
+      Outliers.sigmaClip(Tables.events(s, dir), Seq("event_type"), "value", 2.0)
+        .groupBy("event_type")
+        .agg(
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          count(lit(1)).as("n"),
+        ),
+    Some("""
+      WITH stats AS (
+        SELECT event_type, value,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+          CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+          CAST(COUNT(value) OVER w AS DOUBLE) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type))
+      SELECT event_type,
+        SUM(CAST(ABS(value - s / n) > 2.0 * SQRT(s2 / n - (s / n) * (s / n)) AS BIGINT)) AS n_outliers,
+        COUNT(*) AS n
+      FROM stats GROUP BY 1
+    """),
+  )
+
+  /** B11: gap refill via neighbor interpolation (`Dynspec.refill` analog). */
+  private val q21 = Q(
+    "q21_interp_refill",
+    (s, dir) =>
+      Interpolate.refillLinear(Tables.events(s, dir), "user_id", "ts", "value",
+          col("value") < 0.5)
+        .groupBy("user_id")
+        .agg(
+          sum((col("value") < 0.5).cast("long")).as("n_refilled"),
+          dsum(col("refilled")).as("sum_refilled"),
+        ),
+    Some("""
+      WITH f AS (
+        SELECT user_id, value,
+          CASE WHEN value < 0.5 THEN
+            CASE
+              WHEN pg IS NOT NULL AND ng IS NOT NULL THEN (pg + ng) / 2.0
+              ELSE COALESCE(pg, ng, value) END
+          ELSE value END AS refilled
+        FROM (
+          SELECT user_id, value,
+            LAST_VALUE(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pg,
+            FIRST_VALUE(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng
+          FROM events) t)
+      SELECT user_id,
+        SUM(CAST(value < 0.5 AS BIGINT)) AS n_refilled,
+        CAST(SUM(CAST(refilled AS DECIMAL(38,6))) AS DOUBLE) AS sum_refilled
+      FROM f GROUP BY 1
+    """),
+  )
+
+  /** B12: as-of join to the config record valid at each event's time
+    * (`dlyfix.getcorrection`, scripts/dlyfix.py:128). Event times are
+    * mapped into the orders epoch so the match is non-trivial; the output
+    * aggregates the matched delay, which is tie-invariant. */
+  private val q22 = Q(
+    "q22_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        expr("timestamp_micros(788918400000000 + (unix_micros(ts) - 1704067200000000) * 80)").as("mts"),
+      )
+      val ord = Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey")
+      AsOfJoin.join(ev, ord, "user_id", "o_custkey", "mts", "o_orderdate",
+          rightCols = Seq("o_orderkey"), rightTiebreak = Some("o_orderkey"))
+        .filter(col("asof_time").isNotNull)
+        .withColumn("delay_days",
+          (unix_micros(col("mts")) - unix_micros(col("asof_time"))) / lit(86400000000.0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matched"), davg(col("delay_days")).as("avg_delay_days"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+          make_timestamp(788918400000000 + (epoch_us(ts) - 1704067200000000) * 80) AS mts
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_matched,
+        CAST(SUM(CAST((epoch_us(mts) - epoch_us(o_orderdate)) / 86400000000.0 AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*) AS avg_delay_days
+      FROM ev ASOF JOIN orders ON ev.user_id = orders.o_custkey AND orders.o_orderdate <= ev.mts
+      GROUP BY 1
+    """),
+  )
+
+  /** B13: S/N-driven subintegration formula
+    * (`calc_max_nsub`, calc_max_nsub.py:4). */
+  private val q23 = Q(
+    "q23_max_nsub",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000.0)).as("duration_s"),
+          count(lit(1)).as("input_nsub"),
+        )
+        .filter(col("duration_s") > 0.0)
+        .withColumn("sn", sqrt(col("input_nsub")) * lit(2.0))
+        .withColumn("max_nsub",
+          Signal.maxNsub(col("sn"), lit(16.0), col("duration_s"), col("input_nsub")))
+        .select("user_id", "duration_s", "input_nsub", "max_nsub"),
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+          (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_s,
+          COUNT(*) AS input_nsub
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT user_id, duration_s, input_nsub, SQRT(input_nsub) * 2.0 AS sn
+        FROM g WHERE duration_s > 0.0)
+      SELECT user_id, duration_s, input_nsub,
+        LEAST(FLOOR(duration_s / GREATEST(duration_s * POW(12.0 / (sn / SQRT(16.0)), 2.0), 480.0)),
+              CAST(input_nsub AS DOUBLE)) AS max_nsub
+      FROM c
+    """),
+  )
+
+  /** B14: circular-orbit binary phase histogram
+    * (`get_binphase`, binary_tools.py:76; ECC=0 path). The eccentric path
+    * is the native KeplerSolve expression (ScalaTest-verified). */
+  private val q24 = Q(
+    "q24_orbital_phase",
+    (s, dir) => {
+      val phase = Orbital.circularPhase(col("ts"), pbDays = 0.1025, t0Mjd = 60310.0)
+      Tables.events(s, dir)
+        .withColumn("phase_bin", floor(phase * lit(20.0)).cast("long"))
+        .groupBy("phase_bin")
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT value,
+          (epoch_us(ts) / 86400000000.0 + 40587.0 - 60310.0) / 0.1025 AS orbits
+        FROM events)
+      SELECT CAST(FLOOR((orbits - FLOOR(orbits)) * 20.0) AS BIGINT) AS phase_bin,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      FROM p GROUP BY 1
+    """),
+  )
+
+  /** B15: inactivity-gap sessionization (observation-session grouping). */
+  private val q25 = Q(
+    "q25_sessionize",
+    (s, dir) =>
+      Sessionize.withSessionIds(Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L)
+        .groupBy("user_id")
+        .agg((max(col("session_id")) + 1L).as("n_sessions"), count(lit(1)).as("n_events")),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id,
+          CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events)
+      SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+      FROM flagged GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}
