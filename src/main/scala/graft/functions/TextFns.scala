@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for the training-data pipeline
+  * operators (SURVEY.md §2.C). All are builtin compositions (split,
+  * replace, md5, transform) so they stay codegen'd — no UDFs.
+  */
+object TextFns {
+
+  /** Whitespace tokens (literal single-space split, mirroring DuckDB
+    * string_split semantics). */
+  def words(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    val idx = sequence(lit(1), size(ws) - lit(n - 1))
+    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+  }
+
+  /** MinHash component for one seed: min over shingles of md5(seed:shingle).
+    * Lexicographic min of hex strings — engine-portable with no numeric
+    * conversion. Apply as an aggregate over exploded distinct shingles. */
+  def minhashAgg(shingle: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), shingle)))
+
+  /** Number of non-overlapping occurrences of `marker` in `padded`
+    * (left-to-right replace semantics, identical in both engines). */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length)).cast("long")
+
+  /** Content fingerprint: md5 of the text with spaces squeezed out
+    * (rolling-hash analog; exact, normalization-insensitive). */
+  def fingerprint(text: Column): Column = md5(replace(text, lit(" "), lit("")))
+
+  /** Language-ID marker words per language (space-padded so they match
+    * whole tokens). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ",
+    "es" -> " el ",
+    "de" -> " der ",
+    "fr" -> " le ",
+    "zh" -> " de ",
+  )
+
+  /** Heuristic language ID: argmax of marker-occurrence scores with a
+    * deterministic first-max tie-break. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, m) => lang -> occurrences(padded, m) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(Option.empty[Column]) { case (acc, (lang, sc)) =>
+      val cond = sc === mx
+      Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+    }.get.otherwise("und")
+  }
+
+  /** Vowel count (lowercased, replace-chain — deterministic both engines). */
+  def vowelCount(text: Column): Column = {
+    val lowered = lower(text)
+    val stripped = Seq("a", "e", "i", "o", "u").foldLeft(lowered)((c, v) => replace(c, lit(v), lit("")))
+    (length(lowered) - length(stripped)).cast("long")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** Document deduplication operators (SURVEY.md §2.C).
+  *
+  * Scale design: every variant is blocking-based — candidates are only
+  * compared inside a shared bucket (hash group, LSH band, sign bucket), so
+  * there is never an O(n²) cross join. Each stage is one explode+groupBy
+  * (a single shuffle keyed on doc or bucket id).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one survivor (min id) per distinct text. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH candidate pairs: `numHashes` md5-minhash components over
+    * distinct word-`shingleN`-gram shingles, banded `bands`-wise; docs
+    * sharing any band hash become candidate pairs (a_id < b_id, distinct).
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val perBand = numHashes / bands
+    // Guard: Spark sequence(1, n) DESCENDS for n < 1, so short docs would
+    // produce invalid shingle indices — filter them out (mirrored in the
+    // oracle SQL).
+    val sh = df
+      .filter(size(TextFns.words(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("sh"), i).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+    val bandDf = (0 until bands).map { b =>
+      val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
+      sig.select(col("doc"), md5(concat(cols: _*)).as("band"))
+    }.reduce(_ union _)
+    val a = bandDf.select(col("doc").as("a_id"), col("band"))
+    val b = bandDf.select(col("doc").as("b_id"), col("band"))
+    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 16): per distinct word, ±1 votes from
+    * the low bit of each hex digit of md5(word); fingerprint bit set where
+    * the vote sum is positive. */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val wordsDf = df
+      .select(col(idCol).as("doc"), explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
+      .distinct()
+      .withColumn("h", md5(col("w")))
+    val votes = (0 until bits).map { j =>
+      val c = substring(col("h"), j + 1, 1)
+      val hexVal = when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+      sum(when(hexVal % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val voted = wordsDf.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col("doc").as("doc_id"), fp.as("simhash"))
+  }
+
+  /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
+    * exact cosine above `threshold` inside each bucket. */
+  def byEmbedding(df: DataFrame, vecCol: String, idCol: String,
+                  threshold: Double, bits: Int = 4): DataFrame = {
+    val withBucket = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+    val a = withBucket.select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
+    val b = withBucket.select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

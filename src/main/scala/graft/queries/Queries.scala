@@ -239,7 +239,7 @@ object Queries {
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
 
   /** Full catalog (extended by later sections). */
-  def all: Seq[Q] = relational ++ SignalQueries.all
+  def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num._
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** SURVEY.md §2.C (text half) — training-data pipeline operators over the
+  * `documents` table. */
+object TextQueries {
+
+  /** C1: exact dedup via content-hash groupBy. */
+  private val q30 = Q(
+    "q30_dedup_exact",
+    (s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id"),
+    Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  /** C2: MinHash+LSH candidate pairs (8 md5-minhashes over word 3-gram
+    * shingles, 2 bands of 4). */
+  private val q31 = Q(
+    "q31_minhash_lsh",
+    (s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), "text", "doc_id"),
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      sig AS (
+        SELECT doc,
+          min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+          min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+          min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+          min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+        FROM sh GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig)
+      SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+      FROM bands x JOIN bands y ON x.bd = y.bd AND x.doc < y.doc
+    """),
+  )
+
+  /** C3: SimHash fingerprint histogram (16-bit). Oracle SQL generated to
+    * mirror the 16 vote/bit terms exactly. */
+  private val q32 = {
+    val votes = (0 until 16).map { j =>
+      val a = s"ascii(substr(h, ${j + 1}, 1))"
+      s"SUM(CASE WHEN (CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END) % 2 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n          ")
+    val fp = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    Q(
+      "q32_simhash",
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
+          .groupBy("simhash")
+          .agg(count(lit(1)).as("n_docs")),
+      Some(s"""
+        WITH w AS (
+          SELECT DISTINCT doc_id AS doc, w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
+        h AS (SELECT doc, md5(w) AS h FROM w),
+        v AS (SELECT doc,
+          $votes
+          FROM h GROUP BY 1)
+        SELECT ($fp) AS simhash, COUNT(*) AS n_docs FROM v GROUP BY 1
+      """),
+    )
+  }
+
+  /** C4: word-set Jaccard on blocked candidate pairs (same source + same
+    * token count — cheap blocking; pairs with no common word get 0). */
+  private val q33 = Q(
+    "q33_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("ntok", TextFns.tokenCount(col("text")))
+      val wd = d.select(col("doc_id"), explode(array_distinct(TextFns.words(col("text")))).as("w"))
+      val wc = wd.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      val a = d.select(col("doc_id").as("a_id"), col("source"), col("ntok"))
+      val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
+      val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val inter = pairs
+        .join(wd.select(col("doc_id").as("a_id"), col("w")), Seq("a_id"))
+        .join(wd.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(wc.select(col("doc_id").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
+        .join(wc.select(col("doc_id").as("b_id"), col("nw").as("nw_b")), Seq("b_id"))
+        .withColumn("jaccard", col("inter") / (col("nw_a") + col("nw_b") - col("inter")))
+        .select("a_id", "b_id", "jaccard")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS ntok FROM documents),
+      wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT doc_id, COUNT(*) AS nw FROM wd GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, COUNT(*) AS inter
+        FROM pairs p
+        JOIN wd wa ON wa.doc_id = p.a_id
+        JOIN wd wb ON wb.doc_id = p.b_id AND wb.w = wa.w
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id,
+        COALESCE(i.inter, 0) / (ca.nw + cb.nw - COALESCE(i.inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+      JOIN wc ca ON ca.doc_id = p.a_id
+      JOIN wc cb ON cb.doc_id = p.b_id
+    """),
+  )
+
+  /** C5: token counting per language. */
+  private val q34 = Q(
+    "q34_token_count",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ntok", TextFns.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(
+          sum(col("ntok").cast("long")).as("sum_tokens"),
+          (sum(col("ntok").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"),
+          count(lit(1)).as("n_docs"),
+        ),
+    Some("""
+      SELECT lang,
+        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens,
+        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  /** C6: quality scoring — avg word length, vowel ratio, stopword ratio. */
+  private val q35 = Q(
+    "q35_quality_score",
+    (s, dir) => {
+      val ntok = TextFns.tokenCount(col("text"))
+      val nchar = length(col("text"))
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      Tables.documents(s, dir)
+        .withColumn("awl", (nchar - (ntok - lit(1))).cast("double") / ntok)
+        .withColumn("vr", TextFns.vowelCount(col("text")).cast("double") / nchar)
+        .withColumn("sr", TextFns.occurrences(padded, " the ").cast("double") / ntok)
+        .groupBy("source")
+        .agg(
+          davg(col("awl")).as("avg_word_len"),
+          davg(col("vr")).as("avg_vowel_ratio"),
+          davg(col("sr")).as("avg_stopword_ratio"),
+          count(lit(1)).as("n_docs"),
+        )
+    },
+    Some("""
+      WITH m AS (
+        SELECT source,
+          CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS awl,
+          CAST(length(lower(text)) - length(replace(replace(replace(replace(replace(lower(text),
+            'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS DOUBLE) / length(text) AS vr,
+          CAST(CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS DOUBLE)
+            / len(string_split(text, ' ')) AS sr
+        FROM documents)
+      SELECT source,
+        CAST(SUM(CAST(awl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(awl) AS avg_word_len,
+        CAST(SUM(CAST(vr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(vr) AS avg_vowel_ratio,
+        CAST(SUM(CAST(sr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(sr) AS avg_stopword_ratio,
+        COUNT(*) AS n_docs
+      FROM m GROUP BY 1
+    """),
+  )
+
+  /** C7: heuristic language ID vs the labeled `lang` column. */
+  private val q36 = Q(
+    "q36_lang_id",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("predicted", TextFns.langId(col("text")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n")),
+    Some {
+      val p = "(' ' || text || ' ')"
+      def score(m: String) =
+        s"CAST((length($p) - length(replace($p, '$m', ''))) / ${m.length} AS BIGINT)"
+      val scores = TextFns.langMarkers.map { case (lang, m) => s"${score(m)} AS s_$lang" }
+        .mkString(",\n          ")
+      val caseChain = TextFns.langMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = mx THEN '$lang'"
+      }.mkString(" ")
+      val sCols = TextFns.langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val mx = "GREATEST(" + TextFns.langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      s"""
+        WITH sc AS (
+          SELECT lang,
+          $scores
+          FROM documents),
+        mxed AS (SELECT lang, $sCols, $mx AS mx FROM sc)
+        SELECT lang, CASE $caseChain ELSE 'und' END AS predicted, COUNT(*) AS n
+        FROM mxed GROUP BY 1, 2
+      """
+    },
+  )
+
+  /** C8: normalized-content fingerprint distinctness per source. */
+  private val q37 = Q(
+    "q37_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .groupBy("source")
+        .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n_docs")),
+    Some("""
+      SELECT source, COUNT(DISTINCT md5(replace(text, ' ', ''))) AS n_distinct,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num._
+import graft.functions.VectorFns
+import graft.operators.KnnJoin
+import graft.sources.Tables
+
+/** SURVEY.md §2.C (vector half) — similarity search over `embeddings`.
+  *
+  * Oracle parity relies on the decimal-accumulator dot product
+  * (VectorFns.dotExact): decimal addition is exact and therefore
+  * order-independent, so Spark's sequential array fold equals DuckDB's
+  * grouped sum over the same per-element double products.
+  */
+object VectorQueries {
+
+  private val dotSql =
+    "CAST(SUM(CAST(CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"
+
+  private val normsCte =
+    s"""norms AS (
+        SELECT vec_id, SQRT(${dotSql.format("embedding", "embedding")}) AS nrm
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1)"""
+
+  /** C9: brute-force cosine top-k (exact ANN baseline). Queries broadcast;
+    * one window shuffle for the top-k. */
+  private val q38 = Q(
+    "q38_cosine_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      KnnJoin.bruteForce(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", k = 3, exact = true)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      dots AS (
+        SELECT q.vec_id AS q_id, t.vec_id AS t_id, ${dotSql.format("q.embedding", "t.embedding")} AS dot
+        FROM q, t, LATERAL unnest(generate_series(1, len(q.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      $normsCte,
+      cos AS (
+        SELECT q_id, t_id, dot / (nq.nrm * nt.nrm) AS cosine
+        FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nt ON nt.vec_id = t_id),
+      r AS (SELECT q_id, t_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS "rank" FROM cos)
+      SELECT q_id, t_id, cosine, "rank" FROM r WHERE "rank" <= 3
+    """),
+  )
+
+  /** C10: sign-LSH bucketed ANN (scale path — pair join is bucket-local). */
+  private val q39 = Q(
+    "q39_ann_buckets",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      KnnJoin.bucketed(
+        e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+        "embedding", "vec_id", k = 1, bits = 4, exact = true)
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+           + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+           + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+           + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      t AS (SELECT * FROM e WHERE vec_id >= 20),
+      dots AS (
+        SELECT q.vec_id AS q_id, t.vec_id AS t_id, q.bucket,
+          ${dotSql.format("q.embedding", "t.embedding")} AS dot
+        FROM q JOIN t ON q.bucket = t.bucket,
+             LATERAL unnest(generate_series(1, len(q.embedding))) AS u(i)
+        GROUP BY 1, 2, 3),
+      $normsCte,
+      cos AS (
+        SELECT q_id, t_id, dot / (nq.nrm * nt.nrm) AS cosine, bucket
+        FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nt ON nt.vec_id = t_id),
+      r AS (SELECT q_id, t_id, cosine, bucket,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS "rank" FROM cos)
+      SELECT q_id, t_id, cosine, "rank", bucket FROM r WHERE "rank" <= 1
+    """),
+  )
+
+  /** C11: per-label norm/centroid stats (decimal-exact). */
+  private val q40 = Q(
+    "q40_embedding_stats",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("nrm", VectorFns.normExact(col("embedding")))
+        .withColumn("c1", element_at(col("embedding"), 1).cast("double"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          davg(col("nrm")).as("avg_norm"),
+          davg(col("c1")).as("avg_first_comp"),
+        ),
+    Some(s"""
+      WITH $normsCte,
+      j AS (
+        SELECT label, nrm, CAST(embedding[1] AS DOUBLE) AS c1
+        FROM embeddings JOIN norms USING (vec_id))
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(nrm) AS avg_norm,
+        CAST(SUM(CAST(c1 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c1) AS avg_first_comp
+      FROM j GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40)
+}
