@@ -397,5 +397,26 @@ object SignalQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+  /** B16: eccentric binary phase via the native KeplerSolve Catalyst
+    * expression (codegen'd Newton solver). Rows-only check: libm sin/cos
+    * differ across engines at the ulp level, so no bit-exact SQL oracle
+    * exists — correctness is covered by OrbitalSpec against the
+    * reference formulas (binary_tools.py:232). */
+  private val q26 = Q(
+    "q26_kepler_phase",
+    (s, dir) => {
+      graft.expressions.KeplerSolve.register(s)
+      val twoPi = 2.0 * math.Pi
+      Tables.events(s, dir)
+        .withColumn("m_rad",
+          Orbital.meanOrbits(Orbital.mjd(col("ts")), pbDays = 0.1025, t0Mjd = 60310.0) * lit(twoPi))
+        .withColumn("ecc_anom", expr("kepler_solve(m_rad, 0.3)"))
+        .withColumn("phase", (col("ecc_anom") / lit(twoPi)) - floor(col("ecc_anom") / lit(twoPi)))
+        .groupBy(floor(col("phase") * lit(20.0)).cast("long").as("phase_bin"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+    },
+    None,
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-pipeline operators: the
+  * streaming analog of meerpipe's per-observation processing loop (each new
+  * observation triggers incremental computation).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Running-session state (field names avoid clashing with generated
+    * aggregate method names like `sum`). */
+  case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+  /** Watermarked sliding-window aggregation (decimation-at-cadence analog).
+    * Late data beyond the watermark is dropped, state is bounded. */
+  def windowedStats(events: DataFrame, windowDur: String = "10 minutes",
+                    slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Inactivity-gap sessionization with explicit state
+    * (flatMapGroupsWithState): emits a session when the gap exceeds
+    * `gapSeconds`. Event-time processing; per-key state is a single
+    * running session — O(1) per key. */
+  def sessionized(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Sort this micro-batch's events by time (micro-batches are small).
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.endMs <= gapMs =>
+                cur = Some(SessionState(st.startMs, t, st.n + 1, st.total + e.value))
+              case Some(st) =>
+                out += SessionOut(userId, new Timestamp(st.startMs), new Timestamp(st.endMs), st.n, st.total)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** File-source stream over the events layout (parquet dir → stream). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Interpolate, Outliers, Sessionize}
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin picks the most recent right row at or before each left time") {
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 12:00:00")),
+      (2L, t("2024-01-01 09:00:00")),
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), "cfgA", 1L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB", 2L),
+      (1L, t("2024-01-01 13:00:00"), "cfgC", 3L),
+      (2L, t("2024-01-01 09:00:00"), "cfgD", 4L),
+    ).toDF("rk", "rts", "cfg", "rid")
+
+    val out = AsOfJoin.join(left, right, "k", "rk", "ts", "rts",
+        rightCols = Seq("cfg"), rightTiebreak = Some("rid"))
+      .select("k", "ts", "cfg").as[(Long, Timestamp, String)].collect().toSet
+
+    assert(out == Set(
+      (1L, t("2024-01-01 10:00:00"), "cfgA"),
+      (1L, t("2024-01-01 12:00:00"), "cfgB"),
+      (2L, t("2024-01-01 09:00:00"), "cfgD"), // equal time matches (<=)
+    ))
+  }
+
+  test("AsOfJoin leaves unmatched left rows with null match") {
+    val left = Seq((9L, t("2024-01-01 08:00:00"))).toDF("k", "ts")
+    val right = Seq((9L, t("2024-01-01 09:00:00"), "late", 1L)).toDF("rk", "rts", "cfg", "rid")
+    val out = AsOfJoin.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))
+    assert(out.filter(col("asof_time").isNull).count() == 1)
+  }
+
+  test("Sessionize splits on inactivity gaps") {
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 10:10:00")),
+      (1L, t("2024-01-01 12:00:00")), // > 30 min gap → new session
+      (2L, t("2024-01-01 10:00:00")),
+    ).toDF("user", "ts")
+    val out = Sessionize.withSessionIds(df, "user", "ts", gapSeconds = 1800)
+      .groupBy("user").agg(max("session_id").as("max_sid"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 10.0, false),
+      (1L, t("2024-01-01 10:01:00"), -1.0, true),
+      (1L, t("2024-01-01 10:02:00"), 20.0, false),
+      (1L, t("2024-01-01 09:59:00"), -1.0, true), // leading edge → nearest next good
+    ).toDF("k", "ts", "v", "miss")
+    val out = Interpolate.refillLinear(df, "k", "ts", "v", col("miss"))
+      .orderBy("ts").select("refilled").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 10.0, 15.0, 20.0))
+  }
+
+  test("Outliers.sigmaClip flags only far points") {
+    val vals = Seq.fill(20)(10.0) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val out = Outliers.sigmaClip(df, Seq("g"), "v", 2.0)
+    assert(out.filter(col("is_outlier")).select("v").as[Double].collect().toSeq == Seq(1000.0))
+  }
+}

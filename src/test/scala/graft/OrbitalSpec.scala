@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{KeplerMath, KeplerSolve}
+import graft.functions.Orbital
+
+class OrbitalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KeplerMath.solve inverts Kepler's equation") {
+    for (ecc <- Seq(0.1, 0.5, 0.9); m <- Seq(0.3, 1.7, 4.0, 6.1)) {
+      val e = KeplerMath.solve(m, ecc)
+      assert(math.abs(e - ecc * math.sin(e) - m) < 1e-10, s"ecc=$ecc m=$m")
+    }
+  }
+
+  test("KeplerMath.solve short-circuits to circular below 1e-4 (binary_tools.py:232)") {
+    assert(KeplerMath.solve(1.234, 5e-5) == 1.234)
+  }
+
+  test("kepler_solve expression works in SQL with codegen") {
+    KeplerSolve.register(spark)
+    val df = Seq((1.5, 0.3), (4.0, 0.7)).toDF("m", "ecc")
+      .selectExpr("m", "ecc", "kepler_solve(m, ecc) AS e")
+    df.collect().foreach { r =>
+      val (m, ecc, e) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - ecc * math.sin(e) - m) < 1e-10)
+    }
+  }
+
+  test("trueAnomaly is continuous across orbits and in [M-range]") {
+    // circular limit: U == E == M
+    assert(math.abs(KeplerMath.trueAnomaly(2.5, 0.0) - 2.5) < 1e-12)
+    // monotone rescale: for E just past 2π the orbit count carries over
+    val u = KeplerMath.trueAnomaly(2.0 * math.Pi + 0.1, 0.2)
+    assert(u > 2.0 * math.Pi)
+  }
+
+  test("binPhase stays in [0,1) and matches circular closed form at ecc=0") {
+    for (m <- Seq(0.0, 1.0, 5.0, 12.6)) {
+      val p = KeplerMath.binPhase(m, 0.0, 0.0, 0.0, 1.0)
+      val want = (m / (2 * math.Pi)) % 1.0
+      assert(p >= 0.0 && p < 1.0)
+      assert(math.abs(p - want) < 1e-12, s"m=$m got=$p want=$want")
+    }
+  }
+
+  test("circularPhase column matches scalar computation") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val df = Seq(ts).toDF("ts")
+      .withColumn("phase", Orbital.circularPhase(col("ts"), pbDays = 0.25, t0Mjd = 60000.0))
+    val got = df.select("phase").as[Double].head()
+    val mjd = ts.getTime / 86400000.0 + 40587.0
+    val orbits = (mjd - 60000.0) / 0.25
+    assert(math.abs(got - (orbits - math.floor(orbits))) < 1e-9)
+  }
+}

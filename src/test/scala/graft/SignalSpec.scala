@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Signal
+
+class SignalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bandOf buckets values into configured bands") {
+    val df = Seq(10.0, 75.0, 200.0, 300.0, 450.0, 600.0).toDF("v")
+      .withColumn("band", Signal.bandOf(col("v")))
+    val got = df.select("band").as[String].collect().toSeq
+    assert(got == Seq("UHF", "LBAND", "SBAND_0", "SBAND_1", "SBAND_2", "UNKNOWN"))
+  }
+
+  test("insideChop keeps only inner band ranges") {
+    val df = Seq(2.0, 10.0, 49.0, 70.0, 145.0).toDF("v")
+      .withColumn("keep", Signal.insideChop(col("v")))
+    assert(df.select("keep").as[Boolean].collect().toSeq ==
+      Seq(false, true, false, true, false))
+  }
+
+  test("maxNsub matches the reference formula (calc_max_nsub.py:4)") {
+    // Reference semantics: sn_chan = sn/sqrt(nchan); est = dur*(12/sn_chan)^2,
+    // clamped to >=480; nsub = floor(dur/est) capped at input_nsub.
+    def ref(sn: Double, nchan: Double, dur: Double, inputNsub: Long): Long = {
+      val snChan = sn / math.sqrt(nchan)
+      val est = math.max(dur * math.pow(12.0 / snChan, 2), 480.0)
+      math.min(math.floor(dur / est).toLong, inputNsub)
+    }
+    val cases = Seq((100.0, 16.0, 7200.0, 60L), (20.0, 16.0, 3600.0, 16L), (400.0, 1.0, 960.0, 4L))
+    val df = cases.toDF("sn", "nchan", "dur", "input")
+      .withColumn("nsub", Signal.maxNsub(col("sn"), col("nchan"), col("dur"), col("input")).cast("long"))
+    val got = df.select("nsub").as[Long].collect().toSeq
+    assert(got == cases.map(c => ref(c._1, c._2, c._3, c._4)))
+  }
+
+  test("radiometerRms implements the radiometer equation") {
+    val df = Seq((400.0, 800.0, 16.0, 3600.0, 1024.0)).toDF("ssys", "bw", "nchan", "tobs", "nbin")
+      .withColumn("rms", Signal.radiometerRms(col("ssys"), col("bw"), col("nchan"), col("tobs"), col("nbin")))
+    val got = df.select("rms").as[Double].head()
+    val want = 400.0 / math.sqrt(2.0 * 800.0 / 16.0 * 3600.0 / 1024.0)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("zapFraction counts predicate fraction exactly") {
+    val df = Seq(0.0, 0.0, 1.0, 2.0).toDF("v")
+    val got = df.agg(Signal.zapFraction(col("v") === 0.0)).as[Double].head()
+    assert(got == 0.5)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowedStats aggregates per window+type under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, t("2024-01-01 10:01:00"), 1, "click", 1.0),
+      Event(2, t("2024-01-01 10:02:00"), 1, "click", 2.0),
+      Event(3, t("2024-01-01 10:03:00"), 2, "view", 5.0),
+    )
+    val q = EventStream.windowedStats(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM win_out")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionized emits a session once its inactivity gap passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionized(mem.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, t("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, t("2024-01-01 10:05:00"), 7, "click", 2.0),
+      )
+      q.processAllAvailable()
+      // second batch arrives after the gap → first session closes
+      mem.addData(Event(3, t("2024-01-01 11:00:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT user_id, n_events, sum_value FROM sess_out")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(sessions == Seq((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
