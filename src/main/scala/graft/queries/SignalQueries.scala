@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Num._
 import graft.functions.{Orbital, Signal}
-import graft.operators.{AsOfJoin, Interpolate, Outliers, Sessionize}
+import graft.operators.{AsOfJoin, Downsample, Interpolate, Outliers, Sessionize}
 import graft.sources.Tables
 
 /** SURVEY.md §2.B — time-series / signal operators (meerpipe compute
@@ -418,5 +418,73 @@ object SignalQueries {
     None,
   )
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+  /** B17: integer-factor bin scrunch (`bscrunch_to_nbin` via
+    * `template_adjuster`, archive_utils.py:74): every 8 consecutive
+    * events per user collapse into one bin. */
+  private val q27 = Q(
+    "q27_bscrunch",
+    (s, dir) =>
+      Downsample.byFactor(Tables.events(s, dir), "user_id", "ts", "event_id", factor = 8)
+        .groupBy("user_id", "bin")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+    Some("""
+      WITH r AS (
+        SELECT user_id, value,
+          CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 8.0) AS BIGINT) AS bin
+        FROM events)
+      SELECT user_id, bin, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM r GROUP BY 1, 2
+    """),
+  )
+
+  /** B18: semi-structured props extraction (JSON key-value config parsing,
+    * `read_par` analog, binary_tools.py:26). */
+  private val q28 = Q(
+    "q28_props_parse",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+        ),
+    Some("""
+      WITH p AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      SELECT event_type,
+        CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+        MIN(k) AS min_k, MAX(k) AS max_k,
+        COUNT(DISTINCT k) AS n_distinct_k
+      FROM p GROUP BY 1
+    """),
+  )
+
+  /** B19: trailing boxcar smoothing (pre-S/N profile smoothing analog) —
+    * exact running decimal sums keep the window mean deterministic. */
+  private val q29 = Q(
+    "q29_boxcar_smooth",
+    (s, dir) =>
+      Downsample.boxcar(Tables.events(s, dir), "user_id", "ts", "event_id", "value", width = 5)
+        .groupBy("event_type")
+        .agg(davg(col("smooth")).as("avg_smooth"), count(lit(1)).as("n")),
+    Some("""
+      WITH sm AS (
+        SELECT event_type,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(value) OVER w AS smooth
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      SELECT event_type,
+        CAST(SUM(CAST(smooth AS DECIMAL(38,6))) AS DOUBLE) / COUNT(smooth) AS avg_smooth,
+        COUNT(*) AS n
+      FROM sm GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

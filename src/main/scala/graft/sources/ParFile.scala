@@ -1,0 +1,70 @@
+package graft.sources
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pulsar ephemeris (.par) key-value config parsing with typed coercion —
+  * the engine-level form of `binary_tools.read_par` (binary_tools.py:26):
+  * skip comments and ignored params, rename E→ECC, D→E exponent fix,
+  * classify each value as int ('d'), fixed ('f'), scientific ('e') or
+  * string ('s'), and carry the optional uncertainty column.
+  */
+object ParFile {
+
+  /** Params the reference ignores (binary_tools.py:31). */
+  val Ignored: Set[String] = Set(
+    "DMMODEL", "DMOFF", "DM_", "CM_", "CONSTRAIN", "JUMP", "NITS",
+    "NTOA", "CORRECT_TROPOSPHERE", "PLANET_SHAPIRO", "DILATEFREQ",
+    "TIMEEPH", "MODE", "TZRMJD", "TZRSITE", "TZRFRQ", "EPHVER", "T2CMETHOD")
+
+  final case class ParEntry(param: String, raw: String, valueType: String,
+                            numValue: Option[Double], err: Option[Double])
+
+  def parseLine(line: String): Option[ParEntry] = {
+    val sline = line.trim.split("\\s+").toSeq
+    if (sline.isEmpty || sline.head.isEmpty || line.startsWith("#") ||
+        line.startsWith("C ") || Ignored.contains(sline.head)) return None
+
+    val param = if (sline.head == "E") "ECC" else sline.head
+    if (sline.length < 2) return None
+    val rawVal = sline(1)
+
+    val err: Option[Double] = sline match {
+      case s if s.length == 3 && s(2) != "0" && s(2) != "1" =>
+        Try(s(2).replace("D", "E").toDouble).toOption
+      case s if s.length >= 4 => Try(s(3).replace("D", "E").toDouble).toOption
+      case _ => None
+    }
+
+    val asInt = Try(rawVal.toLong).toOption
+    val asFloat = Try(BigDecimal(rawVal.replace("D", "E"))).toOption
+    val (vt, num) = asInt match {
+      case Some(i) => ("d", Some(i.toDouble))
+      case None => asFloat match {
+        case Some(f) =>
+          val t = if (rawVal.toUpperCase.replace("D", "E").contains("E")) "e" else "f"
+          (t, Some(f.toDouble))
+        case None => ("s", None)
+      }
+    }
+    Some(ParEntry(param, rawVal, vt, num, err))
+  }
+
+  def parse(text: String): Seq[ParEntry] =
+    text.linesIterator.flatMap(parseLine).toSeq
+
+  /** Distributed load: one or many .par files → a DataFrame of entries
+    * (param, raw, valueType, numValue, err, source_file). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => parseLine(l))
+      .toDF()
+  }
+
+  /** Convenience: entries → (param → numeric value) map, like the
+    * reference's dict. Driver-side; for small ephemerides only. */
+  def toParams(entries: Seq[ParEntry]): Map[String, Double] =
+    entries.flatMap(e => e.numValue.map(e.param -> _)).toMap
+}
