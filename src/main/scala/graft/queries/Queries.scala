@@ -168,18 +168,19 @@ object Queries {
     """),
   )
 
-  /** A7: top-k per group via window rank (best-TOA-per-pulsar analog).
-    * Tie-broken by key so the result is fully deterministic. */
+  /** A7: top-k per group (best-TOA-per-pulsar analog) via the custom
+    * TopKPerKey physical operator (graft.plans) — bounded per-key heaps
+    * with a map-side partial phase instead of a full window sort. The
+    * DuckDB oracle (window row_number formulation) validates the custom
+    * plan end-to-end. Tie-broken by key so the result is deterministic. */
   private val q07 = Q(
     "q07_topk_per_group",
-    (s, dir) => {
-      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
-      Tables.part(s, dir)
-        .select("p_brand", "p_partkey", "p_retailprice")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .drop("rn")
-    },
+    (s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables.part(s, dir).select("p_brand", "p_partkey", "p_retailprice"),
+        keys = Seq("p_brand"),
+        order = Seq(graft.plans.TopK.desc("p_retailprice"), graft.plans.TopK.asc("p_partkey")),
+        k = 3),
     Some("""
       SELECT p_brand, p_partkey, p_retailprice FROM (
         SELECT p_brand, p_partkey, p_retailprice,
