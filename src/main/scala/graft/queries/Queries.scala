@@ -237,7 +237,66 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  /** A11: scalar-subquery pattern — rows above their group's (exact) mean;
+    * expressed as aggregate + join so Catalyst plans one shuffle + one
+    * broadcast instead of a correlated subquery per row. */
+  private val q41 = Q(
+    "q41_above_avg",
+    (s, dir) => {
+      val p = Tables.part(s, dir).select("p_brand", "p_retailprice")
+      val avgs = p.groupBy("p_brand").agg(davg(col("p_retailprice")).as("brand_avg"))
+      p.join(broadcast(avgs), Seq("p_brand"))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_above"), dsum(col("p_retailprice")).as("sum_above"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT p_brand,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p_retailprice) AS brand_avg
+        FROM part GROUP BY 1)
+      SELECT p.p_brand, COUNT(*) AS n_above,
+        CAST(SUM(CAST(p.p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_above
+      FROM part p JOIN a ON p.p_brand = a.p_brand
+      WHERE p.p_retailprice > a.brand_avg
+      GROUP BY 1
+    """),
+  )
+
+  /** A12: exact-element quartiles per group (no interpolation → engine-
+    * portable; lower-element rule as in q19's median). */
+  private val q42 = Q(
+    "q42_quantiles",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val cw = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(col("cnt") * 0.25), col("value"))).as("p25"),
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("value"))).as("p50"),
+          max(when(col("rn") === ceil(col("cnt") * 0.75), col("value"))).as("p75"),
+          count(lit(1)).as("n"),
+        )
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events)
+      SELECT event_type,
+        MAX(CASE WHEN rn = CEIL(cnt * 0.25) THEN value END) AS p25,
+        MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN value END) AS p50,
+        MAX(CASE WHEN rn = CEIL(cnt * 0.75) THEN value END) AS p75,
+        COUNT(*) AS n
+      FROM r GROUP BY 1
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num._
@@ -112,5 +113,78 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40)
+  /** C12: IVF "training" — per-label centroids as exact component means
+    * (one explode + one groupBy; 640 output rows). */
+  private val q43 = Q(
+    "q43_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("label", "pos")
+        .agg(davg(col("comp").cast("double")).as("c")),
+    Some("""
+      SELECT label, i - 1 AS pos,
+        CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(embedding[i]) AS c
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+      GROUP BY 1, 2
+    """),
+  )
+
+  /** C13: IVF assignment — every vector to its nearest label-centroid by
+    * exact cosine; centroids broadcast, so the scan is one pass with a
+    * 10-way comparison per row (the IVF coarse-quantizer step). */
+  private val q44 = Q(
+    "q44_ivf_assign",
+    (s, dir) => {
+      val centroids = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("label", "pos")
+        .agg(davg(col("comp").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .select(col("label").as("assigned"), col("centroid"),
+          VectorFns.normExact(col("centroid")).as("nrm_c"))
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .withColumn("nrm_e", VectorFns.normExact(col("embedding")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("assigned"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("cosine",
+          VectorFns.dotExact(col("embedding"), col("centroid")) / (col("nrm_e") * col("nrm_c")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "assigned", "cosine")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label AS assigned, i - 1 AS pos,
+          CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(embedding[i]) AS c
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cnorm AS (
+        SELECT assigned, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
+        FROM cent GROUP BY 1),
+      $normsCte,
+      dots AS (
+        SELECT e.vec_id, cent.assigned,
+          CAST(SUM(CAST(CAST(e.embedding[cent.pos + 1] AS DOUBLE) * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT dots.vec_id AS vec_id, dots.assigned AS assigned,
+          dot / (norms.nrm * cnorm.nrm_c) AS cosine
+        FROM dots
+        JOIN norms ON norms.vec_id = dots.vec_id
+        JOIN cnorm ON cnorm.assigned = dots.assigned),
+      r AS (
+        SELECT vec_id, assigned, cosine,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, assigned) AS rn
+        FROM cos)
+      SELECT vec_id, assigned, cosine FROM r WHERE rn = 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44)
 }
