@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nearest-pixel 2D grid lookup with default fallback — the engine-level
+  * form of the CHIPASS sky-temperature lookup in
+  * `get_tsky_updated` (scripts/fluxcal_meerkat.py:160): continuous
+  * coordinates quantize to the nearest grid pixel (`int(pix + 0.5)`),
+  * out-of-range or blanked (null) pixels fall back to a default value.
+  *
+  * The grid broadcasts (sky maps are small relative to facts); the fact
+  * scan stays one pass with no shuffle.
+  */
+object GridLookup {
+
+  /** Grid axis: world coordinate = crval + (pixel - crpix) * cdelt. */
+  final case class Axis(crval: Double, crpix: Double, cdelt: Double, n: Int)
+
+  /** Quantize a world coordinate to its nearest pixel index
+    * (fluxcal_meerkat.py:186: `ipix = int(pix + 0.5)`). */
+  def toPixel(world: Column, axis: Axis): Column =
+    floor((world - lit(axis.crval)) / lit(axis.cdelt) + lit(axis.crpix) + lit(0.5)).cast("int")
+
+  /** Attach `looked_up`: the grid value at the row's nearest pixel, or
+    * `default` when the pixel is out of range or the grid cell is missing/
+    * null (blanked pixel).
+    *
+    * @param grid DataFrame with integer `pix1`, `pix2` and a value column.
+    */
+  def nearest(df: DataFrame, grid: DataFrame, x: Column, y: Column,
+              ax1: Axis, ax2: Axis, gridValueCol: String, default: Double): DataFrame = {
+    val withPix = df
+      .withColumn("__p1", toPixel(x, ax1))
+      .withColumn("__p2", toPixel(y, ax2))
+    val g = broadcast(grid.select(
+      col("pix1").as("__p1"), col("pix2").as("__p2"),
+      col(gridValueCol).as("__gv")))
+    withPix
+      .join(g, Seq("__p1", "__p2"), "left")
+      .withColumn("looked_up",
+        when(col("__p1") < 0 || col("__p1") >= ax1.n ||
+             col("__p2") < 0 || col("__p2") >= ax2.n, lit(default))
+          .otherwise(coalesce(col("__gv"), lit(default))))
+      .drop("__p1", "__p2", "__gv")
+  }
+}

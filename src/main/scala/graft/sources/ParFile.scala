@@ -68,3 +68,17 @@ object ParFile {
   def toParams(entries: Seq[ParEntry]): Map[String, Double] =
     entries.flatMap(e => e.numValue.map(e.param -> _)).toMap
 }
+
+/** Plain `KEY VALUE` header parsing — `get_listinfo`
+  * (scripts/fluxcal_meerkat.py:20), used for obs.header and lookup
+  * tables (e.g. the UHF Tsky table). */
+object HeaderFile {
+  def parse(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val parts = l.split("\\s+", 2)
+        if (parts.length == 2) Some(parts(0) -> parts(1).trim) else None
+      }.toMap
+}

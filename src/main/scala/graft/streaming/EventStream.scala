@@ -63,6 +63,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events with a duplicate id inside the
+    * watermark horizon (state bounded by the watermark — the streaming
+    * form of Dedup.exact). */
+  def deduplicated(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source stream over the events layout (parquet dir → stream). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -1,0 +1,32 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingDedupSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("deduplicated drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, t("2024-01-01 10:00:30"), 1, "click", 1.0), // dup id
+      Event(2, t("2024-01-01 10:01:00"), 1, "view", 2.0),
+    )
+    val q = EventStream.deduplicated(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
