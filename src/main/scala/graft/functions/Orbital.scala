@@ -34,4 +34,48 @@ object Orbital {
   /** ELL1 eccentricity from EPS1/EPS2 (`get_ecc`, binary_tools.py:160). */
   def eccEll1(eps1: Column, eps2: Column): Column =
     sqrt(eps1 * eps1 + eps2 * eps2)
+
+  /** Binary-model parameters (BT-style subset; ELL1 callers convert via
+    * eccEll1/TASC first, as `get_T0` does, binary_tools.py:180). */
+  final case class BinaryPars(
+      pbDays: Double,
+      t0Mjd: Double,
+      ecc: Double,
+      om0Rad: Double = 0.0,
+      omdotDegPerYear: Double = 0.0,
+      pbdot: Double = 0.0,
+  )
+
+  /** Full distributed binary phase — the Column form of
+    * `get_binphase` (binary_tools.py:76): mean anomaly (with PBDOT term,
+    * binary_tools.py:196) → Kepler solve (native KeplerSolve expression)
+    * → true anomaly (binary_tools.py:252) → instantaneous omega with
+    * OMDOT (binary_tools.py:113) → phase in [0,1).
+    *
+    * Requires `KeplerSolve.register(spark)` (or GraftExtensions) so the
+    * solver is available; everything else is codegen'd builtins.
+    */
+  def binPhase(ts: Column, pars: BinaryPars): Column = {
+    import org.apache.spark.sql.functions.expr
+    val twoPi = 2.0 * math.Pi
+    val omb = twoPi / pars.pbDays                       // rad/day (get_OMB, binary_tools.py:148)
+    val dt = mjd(ts) - lit(pars.t0Mjd)
+    val m = lit(omb) * (dt - lit(0.5 * pars.pbdot / pars.pbDays) * dt * dt)
+    val e = call_kepler(m, pars.ecc)
+    // true anomaly, rescaled to count whole orbits
+    val u0 = lit(2.0) * atan2(
+      sqrt(lit(1.0 + pars.ecc)) * sin(e / 2.0),
+      sqrt(lit(1.0 - pars.ecc)) * cos(e / 2.0))
+    val uPos = when(u0 < 0.0, u0 + twoPi).otherwise(u0)
+    val u = uPos + floor(e / twoPi) * twoPi
+    val omdotRadPerDay = pars.omdotDegPerYear * (math.Pi / 180.0) / 365.25
+    val om = lit(pars.om0Rad) + lit(omdotRadPerDay) * u / omb
+    val uNorm = u % twoPi
+    ((uNorm + om + twoPi) % twoPi / twoPi + 1.0) % 1.0
+  }
+
+  private def call_kepler(m: Column, ecc: Double): Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("kepler_solve", m, org.apache.spark.sql.functions.lit(ecc))
+  }
 }
