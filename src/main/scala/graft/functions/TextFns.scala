@@ -30,11 +30,14 @@ object TextFns {
     parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** MinHash component for one seed: min over shingles of md5(seed:shingle).
-    * Lexicographic min of hex strings — engine-portable with no numeric
-    * conversion. Apply as an aggregate over exploded distinct shingles. */
-  def minhashAgg(shingle: Column, seed: Int): Column =
-    min(md5(concat(lit(s"$seed:"), shingle)))
+  /** MinHash component for one seed: min over shingles of a 4-hex-char
+    * slice of md5(shingle). One md5 evaluation serves all seeds (md5 bits
+    * are independent, so disjoint slices act as independent hash
+    * functions); lexicographic min of hex strings is engine-portable with
+    * no numeric conversion. Apply as an aggregate over exploded shingles,
+    * with the md5 computed once in a prior projection. */
+  def minhashAgg(md5Col: Column, seed: Int): Column =
+    min(substring(md5Col, 1 + 4 * seed, 4))
 
   /** Number of non-overlapping occurrences of `marker` in `padded`
     * (left-to-right replace semantics, identical in both engines). */

@@ -38,11 +38,13 @@ object Dedup {
     // repartition: a small parquet file arrives as one split, which would
     // serialize all shingle+md5 work onto a single task; at cluster scale
     // the scan is already parallel and AQE coalesces the extra shuffle.
+    require(numHashes * 4 <= 32, "md5 slicing supports at most 8 hash components")
     val sh = df
       .filter(size(TextFns.words(col(textCol))) >= shingleN)
       .repartition(col(idCol))
       .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
-    val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("sh"), i).as(s"h$i"))
+      .select(col("doc"), md5(col("sh")).as("shmd5"))
+    val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("shmd5"), i).as(s"h$i"))
     val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
     val bandDf = withSig.select(
       col("doc"),

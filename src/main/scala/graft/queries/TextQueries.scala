@@ -32,13 +32,14 @@ object TextQueries {
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
               WHERE len(string_split(text, ' ')) >= 3) w,
              LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
       sig AS (
         SELECT doc,
-          min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-          min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-          min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-          min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-        FROM sh GROUP BY 1),
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
       bands AS (
         SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
         UNION ALL
