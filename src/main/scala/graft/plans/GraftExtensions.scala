@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KeplerSolve.coerced(exprs.head, exprs(1)),
     ))
+    // rank-filter → TopK pruning (strategy + optimizer rule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => RankFilterToTopK)
   }
 }
