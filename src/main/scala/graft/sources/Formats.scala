@@ -31,4 +31,15 @@ object Formats {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed managed table: pre-shuffles data into `n` hash buckets on
+    * `bucketCol` at write time, so later equi-joins between tables
+    * bucketed the same way need NO exchange at read time — the key lever
+    * for repeated fact-fact joins at 100 TB (pay the shuffle once). */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(n, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 }
