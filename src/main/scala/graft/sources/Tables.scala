@@ -22,12 +22,15 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   /** `ts` is parquet TIMESTAMP(NANOS), which Spark has no native type for;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong and this loader
-    * converts to micros TimestampType (the driver data is micro-aligned, so
-    * the conversion is lossless). */
-  def events(spark: SparkSession, dir: String): DataFrame =
+    * the loader forces spark.sql.legacy.parquet.nanosAsLong (runtime-
+    * settable, so callers with their own sessions also work) and converts
+    * to micros TimestampType (the driver data is micro-aligned, so the
+    * conversion is lossless). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
