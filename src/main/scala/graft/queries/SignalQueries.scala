@@ -84,15 +84,18 @@ object SignalQueries {
     """),
   )
 
-  /** B4: time-bucket downsample ("tscrunch" / decimation analog). */
+  /** B4: time-bucket downsample ("tscrunch" / decimation analog). Bucket
+    * emitted as epoch micros: UTC-adjusted Spark timestamps surface as
+    * tz-aware values while DuckDB's are naive — integers compare
+    * identically everywhere. */
   private val q14 = Q(
     "q14_downsample_time",
     (s, dir) =>
       Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
     Some("""
-      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
@@ -106,12 +109,12 @@ object SignalQueries {
     "q15_pivot_spectrum",
     (s, dir) =>
       Tables.events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(dsum(col("value")))
         .na.fill(0.0, Seq("click", "view", "purchase", "signup", "error")),
     Some("""
-      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_us,
         COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS click,
         COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS view,
         COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS purchase,
