@@ -35,6 +35,25 @@ object Orbital {
   def eccEll1(eps1: Column, eps2: Column): Column =
     sqrt(eps1 * eps1 + eps2 * eps2)
 
+  /** arctan(EPS1/EPS2) with all ELL1 degeneracies resolved, in [0, 2π)
+    * (`get_ELL1_arctan`, binary_tools.py:93). Scalar: used to convert
+    * (TASC, EPS1, EPS2) parameter sets to (T0, OM, ECC). */
+  def ell1Arctan(eps1: Double, eps2: Double): Double = {
+    val at =
+      if (eps2 == 0.0) {
+        if (eps1 > 0) math.Pi / 2 else if (eps1 < 0) -math.Pi / 2 else 0.0
+      } else {
+        val a = math.atan(eps1 / eps2)
+        if (eps2 < 0) a + math.Pi else a
+      }
+    ((at % (2 * math.Pi)) + 2 * math.Pi) % (2 * math.Pi)
+  }
+
+  /** T0 from an ELL1 (TASC, EPS1, EPS2) parameterization
+    * (`get_T0`, binary_tools.py:180): TASC + arctan/OMB, OMB = 2π/PB. */
+  def t0FromTasc(tascMjd: Double, eps1: Double, eps2: Double, pbDays: Double): Double =
+    tascMjd + ell1Arctan(eps1, eps2) / (2 * math.Pi / pbDays)
+
   /** Binary-model parameters (BT-style subset; ELL1 callers convert via
     * eccEll1/TASC first, as `get_T0` does, binary_tools.py:180). */
   final case class BinaryPars(

@@ -38,6 +38,11 @@ object Signal {
     bands.map(b => v >= b.keepLow && v <= b.keepHigh && v >= b.low && v < b.high)
       .reduce(_ || _)
 
+  /** Per-array system-equivalent flux density: (SEFD + Tsky_Jy) / Nant
+    * (`get_Ssys`, scripts/fluxcal_meerkat.py:258). */
+  def ssys(sefdJy: Column, tskyJy: Column, nant: Column): Column =
+    (sefdJy + tskyJy) / nant
+
   /** Radiometer-equation expected RMS: ssys / sqrt(2*bw/nchan * tobs/nbin)
     * (`get_expectedRMS`, scripts/fluxcal_meerkat.py:278). */
   def radiometerRms(ssys: Column, bw: Column, nchan: Column, tobs: Column, nbin: Column): Column =

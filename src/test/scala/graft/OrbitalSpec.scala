@@ -46,6 +46,21 @@ class OrbitalSpec extends SparkSpec {
     }
   }
 
+  test("ell1Arctan resolves tan degeneracies into [0,2pi) (binary_tools.py:93)") {
+    assert(Orbital.ell1Arctan(0.0, 0.0) == 0.0)                       // zero ecc: undefined -> 0
+    assert(Orbital.ell1Arctan(1.0, 0.0) == math.Pi / 2)               // EPS2=0, EPS1>0
+    assert(Orbital.ell1Arctan(-1.0, 0.0) == 3 * math.Pi / 2)          // EPS2=0, EPS1<0 -> wrapped
+    val a = Orbital.ell1Arctan(1.0, -1.0)                             // EPS2<0: +pi branch
+    assert(math.abs(a - (math.Pi - math.Pi / 4)) < 1e-12)
+    val b = Orbital.ell1Arctan(1.0, 1.0)
+    assert(math.abs(b - math.Pi / 4) < 1e-12)
+  }
+
+  test("t0FromTasc shifts by arctan/OMB (binary_tools.py:180)") {
+    val t0 = Orbital.t0FromTasc(60000.0, 1.0, 1.0, pbDays = 2.0)
+    assert(math.abs(t0 - (60000.0 + (math.Pi / 4) / (math.Pi))) < 1e-12)
+  }
+
   test("circularPhase column matches scalar computation") {
     val ts = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
     val df = Seq(ts).toDF("ts")

@@ -36,6 +36,12 @@ class SignalSpec extends SparkSpec {
     assert(got == cases.map(c => ref(c._1, c._2, c._3, c._4)))
   }
 
+  test("ssys implements (SEFD + Tsky)/Nant (fluxcal_meerkat.py:258)") {
+    val df = Seq((390.0, 15.2, 60.0)).toDF("sefd", "tsky", "nant")
+      .withColumn("s", Signal.ssys(col("sefd"), col("tsky"), col("nant")))
+    assert(math.abs(df.select("s").as[Double].head() - (390.0 + 15.2) / 60.0) < 1e-12)
+  }
+
   test("radiometerRms implements the radiometer equation") {
     val df = Seq((400.0, 800.0, 16.0, 3600.0, 1024.0)).toDF("ssys", "bw", "nchan", "tobs", "nbin")
       .withColumn("rms", Signal.radiometerRms(col("ssys"), col("bw"), col("nchan"), col("tobs"), col("nbin")))
