@@ -12,6 +12,26 @@ class StreamingDedupSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("stream-static join enriches a live stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, t("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, t("2024-01-01 10:02:00"), 9, "view", 3.0), // no dim row
+    )
+    val q = mem.toDF().join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enrich_out")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic")))
+    } finally q.stop()
+  }
+
   test("deduplicated drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
