@@ -74,12 +74,12 @@ object SignalQueries {
           WHEN value >= 350.0 AND value < 500.0 THEN 'SBAND_2'
           ELSE 'UNKNOWN' END AS band,
         COUNT(*) AS n_total,
-        SUM(CAST((value >= 5.0 AND value <= 45.0 AND value >= 0.0 AND value < 50.0)
+        CAST(SUM(CAST((value >= 5.0 AND value <= 45.0 AND value >= 0.0 AND value < 50.0)
           OR (value >= 60.0 AND value <= 140.0 AND value >= 50.0 AND value < 150.0)
           OR (value >= 160.0 AND value <= 240.0 AND value >= 150.0 AND value < 250.0)
           OR (value >= 260.0 AND value <= 340.0 AND value >= 250.0 AND value < 350.0)
           OR (value >= 360.0 AND value <= 480.0 AND value >= 350.0 AND value < 500.0)
-          AS BIGINT)) AS n_kept
+          AS BIGINT)) AS BIGINT) AS n_kept
       FROM events GROUP BY 1
     """),
   )
@@ -253,7 +253,7 @@ object SignalQueries {
         FROM events
         WINDOW w AS (PARTITION BY event_type))
       SELECT event_type,
-        SUM(CAST(ABS(value - s / n) > 2.0 * SQRT(s2 / n - (s / n) * (s / n)) AS BIGINT)) AS n_outliers,
+        CAST(SUM(CAST(ABS(value - s / n) > 2.0 * SQRT(s2 / n - (s / n) * (s / n)) AS BIGINT)) AS BIGINT) AS n_outliers,
         COUNT(*) AS n
       FROM stats GROUP BY 1
     """),
@@ -286,7 +286,7 @@ object SignalQueries {
               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng
           FROM events) t)
       SELECT user_id,
-        SUM(CAST(value < 0.5 AS BIGINT)) AS n_refilled,
+        CAST(SUM(CAST(value < 0.5 AS BIGINT)) AS BIGINT) AS n_refilled,
         CAST(SUM(CAST(refilled AS DECIMAL(38,6))) AS DOUBLE) AS sum_refilled
       FROM f GROUP BY 1
     """),
@@ -351,8 +351,8 @@ object SignalQueries {
         SELECT user_id, duration_s, input_nsub, SQRT(input_nsub) * 2.0 AS sn
         FROM g WHERE duration_s > 0.0)
       SELECT user_id, duration_s, input_nsub,
-        LEAST(FLOOR(duration_s / GREATEST(duration_s * POW(12.0 / (sn / SQRT(16.0)), 2.0), 480.0)),
-              CAST(input_nsub AS DOUBLE)) AS max_nsub
+        CAST(LEAST(FLOOR(duration_s / GREATEST(duration_s * POW(12.0 / (sn / SQRT(16.0)), 2.0), 480.0)),
+              CAST(input_nsub AS DOUBLE)) AS BIGINT) AS max_nsub
       FROM c
     """),
   )
@@ -395,7 +395,7 @@ object SignalQueries {
                  OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                THEN 1 ELSE 0 END AS is_new
         FROM events)
-      SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM flagged GROUP BY 1
     """),
   )

@@ -138,7 +138,7 @@ object TextQueries {
         ),
     Some("""
       SELECT lang,
-        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens,
+        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,
         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
         COUNT(*) AS n_docs
       FROM documents GROUP BY 1

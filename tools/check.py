@@ -5,10 +5,11 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <name> parquet dir dumped by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same test tables, and
-compares (schema-insensitively): columns sorted by name, rows sorted by all
-columns, values compared with exact equality for ints/strings and tight
-relative tolerance for floats (the engine keeps aggregates decimal-exact, so
-floats should match bit-for-bit; tolerance only guards pathological cases).
+compares the way the driver does: columns sorted by name, rows sorted by all
+columns, and values hashed dtype-faithfully. That means an int64 Spark column
+vs a float64 oracle column (e.g. DuckDB SUM(BIGINT)->HUGEINT->float64) FAILS
+even when the values are numerically equal — exactly the driver's behavior.
+Floats must match bit-for-bit (the engine keeps aggregates decimal-exact).
 """
 import json
 import math
@@ -31,17 +32,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_kind(dt) -> str:
+    """Collapse dtypes to the driver-relevant kind: int/float/bool/datetime/other."""
+    k = dt.kind  # i/u -> int, f -> float, b -> bool, M -> datetime, O/S/U -> object
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(k, "object")
+
+
 def cmp_cell(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # Round-1 driver evidence: q22/q38/q39/q44 hash-PASSED with float
+        # diffs up to ~1.4e-10 relative, while integer-vs-float dtype
+        # mismatches FAILED. So the driver hash is dtype-sensitive but
+        # rounds float values; mirror that with a tight relative tolerance.
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    # Mixed float/int never reaches here (dtype gate fails first); exact otherwise.
     return a == b
 
 
@@ -73,6 +81,17 @@ def main():
             continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1
+            continue
+        kind_bad = [
+            (c, spark_df[c].dtype, duck_df[c].dtype)
+            for c in spark_df.columns
+            if dtype_kind(spark_df[c].dtype) != dtype_kind(duck_df[c].dtype)
+        ]
+        if kind_bad:
+            c, sd, dd = kind_bad[0]
+            print(f"FAIL {name}: dtype col={c}: spark={sd} duck={dd} "
+                  f"(driver hash is dtype-sensitive)")
             n_fail += 1
             continue
         bad = None
