@@ -12,13 +12,16 @@ object Interpolate {
 
   /** Adds `refilled`: where `isMissing`, the mean of the nearest preceding
     * and following non-missing values on the key's timeline (one side if at
-    * an edge); the original value otherwise. One shuffle on the key. */
+    * an edge); the original value otherwise. One shuffle on the key.
+    * `tiebreak` columns make the order total when timestamps collide so
+    * `last`/`first` neighbor picks are deterministic under repartitioning. */
   def refillLinear(df: DataFrame, key: String, ts: String, valueCol: String,
-                   isMissing: Column): DataFrame = {
+                   isMissing: Column, tiebreak: Seq[String] = Nil): DataFrame = {
     val good = when(!isMissing, col(valueCol))
-    val before = Window.partitionBy(key).orderBy(col(ts))
+    val order = (col(ts) +: tiebreak.map(col)).map(_.asc)
+    val before = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val after = Window.partitionBy(key).orderBy(col(ts))
+    val after = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(1, Window.unboundedFollowing)
     val prevGood = last(good, ignoreNulls = true).over(before)
     val nextGood = first(good, ignoreNulls = true).over(after)

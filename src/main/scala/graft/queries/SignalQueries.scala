@@ -264,7 +264,7 @@ object SignalQueries {
     "q21_interp_refill",
     (s, dir) =>
       Interpolate.refillLinear(Tables.events(s, dir), "user_id", "ts", "value",
-          col("value") < 0.5)
+          col("value") < 0.5, tiebreak = Seq("event_id"))
         .groupBy("user_id")
         .agg(
           sum((col("value") < 0.5).cast("long")).as("n_refilled"),
@@ -281,9 +281,9 @@ object SignalQueries {
         FROM (
           SELECT user_id, value,
             LAST_VALUE(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
-              OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pg,
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pg,
             FIRST_VALUE(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
-              OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ng
           FROM events) t)
       SELECT user_id,
         CAST(SUM(CAST(value < 0.5 AS BIGINT)) AS BIGINT) AS n_refilled,
@@ -385,14 +385,15 @@ object SignalQueries {
   private val q25 = Q(
     "q25_sessionize",
     (s, dir) =>
-      Sessionize.withSessionIds(Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L)
+      Sessionize.withSessionIds(Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L,
+          tiebreak = Seq("event_id"))
         .groupBy("user_id")
         .agg((max(col("session_id")) + 1L).as("n_sessions"), count(lit(1)).as("n_events")),
     Some("""
       WITH flagged AS (
         SELECT user_id,
-          CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                 OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+          CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                THEN 1 ELSE 0 END AS is_new
         FROM events)
       SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
@@ -401,25 +402,47 @@ object SignalQueries {
   )
 
   /** B16: eccentric binary phase via the native KeplerSolve Catalyst
-    * expression (codegen'd Newton solver). Rows-only check: libm sin/cos
-    * differ across engines at the ulp level, so no bit-exact SQL oracle
-    * exists — correctness is covered by OrbitalSpec against the
-    * reference formulas (binary_tools.py:232). */
-  private val q26 = Q(
-    "q26_kepler_phase",
-    (s, dir) => {
-      graft.expressions.KeplerSolve.register(s)
-      val twoPi = 2.0 * math.Pi
-      Tables.events(s, dir)
-        .withColumn("m_rad",
-          Orbital.meanOrbits(Orbital.mjd(col("ts")), pbDays = 0.1025, t0Mjd = 60310.0) * lit(twoPi))
-        .withColumn("ecc_anom", expr("kepler_solve(m_rad, 0.3)"))
-        .withColumn("phase", (col("ecc_anom") / lit(twoPi)) - floor(col("ecc_anom") / lit(twoPi)))
-        .groupBy(floor(col("phase") * lit(20.0)).cast("long").as("phase_bin"))
-        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
-    },
-    None,
-  )
+    * expression (codegen'd Newton solver, binary_tools.py:232).
+    *
+    * Oracle: the fixed-30-iteration Newton solve unrolled as 30 chained
+    * DuckDB CTEs with the identical double-op order, so both engines
+    * converge to the same fixed point up to libm sin/cos ulps. The output
+    * is ulp-safe because it is *binned*: the closest phase to a bin edge
+    * is 4e-5 of a bin at sf0.01 and 2.5e-6 at sf0.1 (measured), ~6 orders
+    * of magnitude above cross-engine Newton noise, so floor(phase*20)
+    * always agrees. */
+  private val q26 = {
+    val twoPiLit = "6.283185307179586" // exactly 2.0 * math.Pi as a double
+    val newton = (1 to 30)
+      .map(i => s"i$i AS (SELECT value, m, (e - (e - 0.3*sin(e) - m)/(1.0 - 0.3*cos(e))) AS e FROM i${i - 1})")
+      .mkString(",\n        ")
+    Q(
+      "q26_kepler_phase",
+      (s, dir) => {
+        graft.expressions.KeplerSolve.register(s)
+        val twoPi = 2.0 * math.Pi
+        Tables.events(s, dir)
+          .withColumn("m_rad",
+            Orbital.meanOrbits(Orbital.mjd(col("ts")), pbDays = 0.1025, t0Mjd = 60310.0) * lit(twoPi))
+          .withColumn("ecc_anom", expr("kepler_solve(m_rad, 0.3)"))
+          .withColumn("phase", (col("ecc_anom") / lit(twoPi)) - floor(col("ecc_anom") / lit(twoPi)))
+          .groupBy(floor(col("phase") * lit(20.0)).cast("long").as("phase_bin"))
+          .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      },
+      Some(s"""
+        WITH i0 AS (
+          SELECT value,
+            ((epoch_us(ts) / 86400000000.0 + 40587.0 - 60310.0) / 0.1025) * $twoPiLit AS m,
+            ((epoch_us(ts) / 86400000000.0 + 40587.0 - 60310.0) / 0.1025) * $twoPiLit AS e
+          FROM events),
+        $newton
+        SELECT CAST(FLOOR(((e / $twoPiLit) - FLOOR(e / $twoPiLit)) * 20.0) AS BIGINT) AS phase_bin,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+        FROM i30 GROUP BY 1
+      """),
+    )
+  }
 
   /** B17: integer-factor bin scrunch (`bscrunch_to_nbin` via
     * `template_adjuster`, archive_utils.py:74): every 8 consecutive

@@ -1,37 +1,48 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
 
-import graft.queries.Queries
+import org.apache.spark.sql.functions._
 
-/** The engine's determinism guarantee: results are bit-identical under any
-  * partitioning (the decimal-aggregate policy, Num.scala). Verified by
-  * running oracle-backed queries under 2 vs 17 shuffle partitions. */
+import graft.operators.{Interpolate, Sessionize}
+
+/** Equal-timestamp rows must not make window-ordered operators
+  * nondeterministic: with a tiebreak column the output is identical across
+  * arbitrary repartitionings of the input. */
 class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
 
-  private def rowsOf(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  private def t(s: String) = Timestamp.valueOf(s)
 
-  test("aggregate queries are bitwise partition-count invariant") {
-    val names = Seq("q01_profile_stats", "q16_cumulative_snr", "q20_sigma_clip",
-      "q38_cosine_topk", "q44_ivf_assign")
-    val dir = "/root/testdata/sf0.001"
-    names.foreach { name =>
-      val fn = Queries.queryMap(name)
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val a = rowsOf(fn(spark, dir))
-      spark.conf.set("spark.sql.shuffle.partitions", "17")
-      val b = rowsOf(fn(spark, dir))
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      assert(a == b, s"$name differs across partition counts")
+  // Three rows share one timestamp; values differ so neighbor picks and
+  // lag() results depend on intra-ts order.
+  private def dupTsDf = Seq(
+    (1L, t("2024-01-01 10:00:00"), 100L, 1.0, false),
+    (1L, t("2024-01-01 10:30:00"), 101L, 0.0, true),
+    (1L, t("2024-01-01 10:30:00"), 102L, 2.0, false),
+    (1L, t("2024-01-01 10:30:00"), 103L, 4.0, false),
+    (1L, t("2024-01-01 11:30:00"), 104L, 8.0, false),
+  ).toDF("k", "ts", "event_id", "v", "miss")
+
+  test("Sessionize with tiebreak is stable under repartitioning") {
+    val runs = Seq(1, 3, 7).map { n =>
+      Sessionize.withSessionIds(dupTsDf.repartition(n), "k", "ts",
+          gapSeconds = 1800L, tiebreak = Seq("event_id"))
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
     }
+    assert(runs.distinct.size == 1)
+    // Ties (equal ts) have zero gap so they never split a session.
+    assert(runs.head == Map(100L -> 0L, 101L -> 0L, 102L -> 0L, 103L -> 0L, 104L -> 1L))
   }
 
-  test("events loader works on a session without the nanos conf preset") {
-    val fresh = spark.newSession()
-    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    val df = graft.sources.Tables.events(fresh, "/root/testdata/sf0.001")
-    assert(df.schema("ts").dataType.typeName == "timestamp")
-    assert(df.count() > 0)
+  test("Interpolate with tiebreak is stable under repartitioning") {
+    val runs = Seq(1, 3, 7).map { n =>
+      Interpolate.refillLinear(dupTsDf.repartition(n), "k", "ts", "v",
+          col("miss"), tiebreak = Seq("event_id"))
+        .select("event_id", "refilled").as[(Long, Double)].collect().toMap
+    }
+    assert(runs.distinct.size == 1)
+    // Missing row 101 sits between good neighbors 100 (1.0) and 102 (2.0).
+    assert(runs.head(101L) == 1.5)
   }
 }
