@@ -31,6 +31,16 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    install(spark)
     spark
+  }
+
+  /** Install graft's native function + optimizer surface on any session
+    * (idempotent): the kepler_solve SQL function and the rank-filter →
+    * TopKPerKey rewrite. Queries also self-install so the driver contract
+    * works on externally-created sessions. */
+  def install(spark: SparkSession): Unit = {
+    graft.expressions.KeplerSolve.register(spark)
+    graft.plans.RankFilterToTopK_Install(spark)
   }
 }

@@ -6,23 +6,20 @@ import org.apache.spark.sql.functions._
 /** Embedding-vector column math over `array<float>` columns.
   *
   * Two paths:
-  *  - `dot`/`cosine`: double-precision `zip_with` + `aggregate` fold —
-  *    per-row, no shuffle, codegen-adjacent; the production path.
-  *  - `dotExact`/`cosineExact`: the same fold with a DECIMAL(38,18)
+  *  - `dot`/`cosine`: the native codegen'd `DotProduct` expression —
+  *    per-row, no shuffle, whole-stage-codegen; the production path.
+  *  - `dotExact`/`cosineExact`: an interpreted fold with a DECIMAL(38,18)
   *    accumulator. Decimal addition is exact hence order-independent, so
   *    results are bit-identical to any engine that sums the same products
-  *    — this is the DuckDB-parity path used by the oracle queries.
+  *    — kept for oracle-parity variants and as the reference for specs
+  *    bounding the double path's rounding (≤ a few ulps).
   */
 object VectorFns {
 
   private val DecT = "decimal(38,18)"
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+    graft.expressions.DotProduct.of(a, b)
 
   def dotExact(a: Column, b: Column): Column =
     aggregate(
@@ -45,4 +42,19 @@ object VectorFns {
     (0 until bits).map { i =>
       when(element_at(a, i + 1) > 0.0f, lit(1L << (bits - 1 - i))).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Random-hyperplane sign-LSH bucket: bit i set when a · h_i > 0, with
+    * `bits` hyperplanes drawn from a deterministic seeded RNG and inlined
+    * as array literals — each bit is one native DotProduct against a
+    * constant, so the whole bucket stays in whole-stage codegen. Unlike
+    * `signBucket` (single fixed projection), different seeds give
+    * independent bucketings for multi-table LSH recall. */
+  def planeBucket(a: Column, bits: Int, seed: Int, dim: Int = 64): Column = {
+    val rng = new scala.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + 1L)
+    (0 until bits).map { i =>
+      val plane = Array.fill(dim)(rng.nextGaussian())
+      val h = lit(plane) // array<double> literal
+      when(graft.expressions.DotProduct.of(a, h) > 0.0, lit(1L << (bits - 1 - i))).otherwise(0L)
+    }.reduce(_ + _)
+  }
 }

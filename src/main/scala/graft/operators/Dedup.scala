@@ -86,15 +86,29 @@ object Dedup {
   }
 
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
-    * exact cosine above `threshold` inside each bucket. */
+    * cosine above `threshold` inside each bucket.
+    *
+    * Scale shape: size `bits` with the data (`KnnJoin.bitsFor`) so bucket
+    * population stays bounded — a fixed small bucket count makes the
+    * within-bucket self-join quadratic. `tables > 1` unions independent
+    * seeded-hyperplane bucketings (multi-table LSH) to recover recall lost
+    * to finer buckets; candidate pairs are deduped across tables. */
   def byEmbedding(df: DataFrame, vecCol: String, idCol: String,
-                  threshold: Double, bits: Int = 4): DataFrame = {
+                  threshold: Double, bits: Int = 4, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val bcols = (0 until tables).map { tab =>
+      val b = if (tab == 0) VectorFns.signBucket(col(vecCol), bits)
+              else VectorFns.planeBucket(col(vecCol), bits, seed = tab)
+      (b + lit(tab.toLong << 32)).as(s"b$tab")
+    }
     val withBucket = df.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+      explode(array(bcols: _*)).as("bucket"))
     val a = withBucket.select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val b = withBucket.select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    val distinctPairs = if (tables == 1) pairs else pairs.dropDuplicates("a_id", "b_id")
+    distinctPairs
       .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

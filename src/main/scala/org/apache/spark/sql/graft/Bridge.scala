@@ -20,6 +20,10 @@ object Bridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Column wrapping a catalyst Expression. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Analyzed logical plan of a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed

@@ -13,6 +13,10 @@ class RankRewriteSpec extends SparkSpec {
   }.toDF("g", "id", "score")
 
   test("rank filter rewrites to TopK pruning below the window, results unchanged") {
+    // Other suites (KnnJoin, GraftSession) self-install the rule on the
+    // shared session; remove it so the "before" plan is rule-free.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RankFilterToTopK)
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
     val query = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
 
