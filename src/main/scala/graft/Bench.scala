@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main (driver contract): times every catalog query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup action runs first
@@ -8,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * to run first; queries run in sorted name order for reproducibility.
   */
 object Bench {
+
+  /** Full-materialization action: checksum every output column so column
+    * pruning can't skip per-row compute the way a bare count() would
+    * (count lets Spark drop e.g. q16's sqrt or q44's cosine entirely). */
+  private def checksum(df: DataFrame): Unit = {
+    val h = xxhash64(df.columns.map(col): _*)
+    df.select(h.as("h")).agg(sum(col("h"))).collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,7 +41,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try checksum(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

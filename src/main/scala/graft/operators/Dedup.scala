@@ -19,6 +19,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Pre-shuffle only when the scan arrives with too few partitions to
+    * feed the cores (a small local parquet file is ONE split, serializing
+    * all per-row hash work onto a single task). On a cluster the scan is
+    * already parallel and the extra shuffle would be pure waste, so it is
+    * skipped. */
+  private def parallelized(df: DataFrame, idCol: String): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (parts * 2 < cores) df.repartition(col(idCol)) else df
+  }
+
   /** MinHash + LSH candidate pairs: `numHashes` md5-minhash components over
     * word-`shingleN`-gram shingles, banded `bands`-wise; docs sharing any
     * band hash become candidate pairs (a_id < b_id, distinct).
@@ -27,6 +38,9 @@ object Dedup {
     * needed and partial (map-side) aggregation shrinks the shuffle to
     * numHashes values per doc. The band self-join shuffles on the short
     * band hash; candidate verification stays bucket-local.
+    *
+    * md5 string slicing is the DuckDB-parity choice; `minhashLshFast` is
+    * the same pipeline on xxhash64 longs for production scale.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
@@ -35,13 +49,8 @@ object Dedup {
     // Guard: Spark sequence(1, n) DESCENDS for n < 1, so short docs would
     // produce invalid shingle indices — filter them out (mirrored in the
     // oracle SQL).
-    // repartition: a small parquet file arrives as one split, which would
-    // serialize all shingle+md5 work onto a single task; at cluster scale
-    // the scan is already parallel and AQE coalesces the extra shuffle.
     require(numHashes * 4 <= 32, "md5 slicing supports at most 8 hash components")
-    val sh = df
-      .filter(size(TextFns.words(col(textCol))) >= shingleN)
-      .repartition(col(idCol))
+    val sh = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
       .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
       .select(col("doc"), md5(col("sh")).as("shmd5"))
     val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("shmd5"), i).as(s"h$i"))
@@ -51,6 +60,31 @@ object Dedup {
       explode(array((0 until bands).map { b =>
         val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
         md5(concat(cols: _*))
+      }: _*)).as("band"))
+    val a = bandDf.select(col("doc").as("a_id"), col("band"))
+    val b = bandDf.select(col("doc").as("b_id"), col("band"))
+    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Scale-path MinHash+LSH: identical banded design to `minhashLsh` but
+    * each minhash component is `xxhash64(shingle, seed_i)` — one codegen'd
+    * long hash per component instead of md5 hex-string slicing and string
+    * mins. ~an order of magnitude less per-shingle work; use when DuckDB
+    * oracle parity is not required (xxhash64 has no DuckDB twin). */
+  def minhashLshFast(df: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val perBand = numHashes / bands
+    val sh = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+      .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
+    val hashCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+    val bandDf = withSig.select(
+      col("doc"),
+      explode(array((0 until bands).map { b =>
+        val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
+        xxhash64(cols: _*)
       }: _*)).as("band"))
     val a = bandDf.select(col("doc").as("a_id"), col("band"))
     val b = bandDf.select(col("doc").as("b_id"), col("band"))
@@ -68,8 +102,7 @@ object Dedup {
     * slower: higher-order-function lambdas defeat common-subexpression
     * elimination, so 16 bit-folds re-evaluate the hash array 16 times.) */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val wordsDf = df
-      .repartition(col(idCol))
+    val wordsDf = parallelized(df, idCol)
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
       .withColumn("h", md5(col("w")))

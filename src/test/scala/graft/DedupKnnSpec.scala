@@ -28,6 +28,17 @@ class DedupKnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("Dedup.minhashLshFast (xxhash64 scale path) pairs near-duplicates like the md5 path") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely different words describing some other topic entirely here now"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshFast(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("Dedup.simhash: identical word sets share a fingerprint") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("doc_id", "text")
