@@ -27,9 +27,31 @@ object DelayCorrection {
 
   final case class Cond(attr: String, op: Op, value: String)
 
-  /** One parsed block: all conds must hold; `reset` when its delay line
-    * used `=`; `seconds` is the block's net delay. */
-  final case class DelayRule(name: String, conds: Seq[Cond], reset: Boolean, seconds: Double)
+  /** One `delay` line. `set` when the line used `=` (which clears
+    * everything accumulated before it, dlyfix.py:99); `value` is already
+    * signed for `-=`. The unit is either a constant factor (ms/us/ns/none)
+    * or an observation *attribute name* resolved per-observation at eval
+    * time — the reference treats any other unit token as
+    * `conv = float(getattr(self, elems[3]))`, e.g. `delay += 1 tbin`
+    * (dlyfix.py:94). */
+  final case class DelayTerm(set: Boolean, value: Double, unitFactor: Double,
+                             unitAttr: Option[String])
+
+  /** One parsed block: all conds must hold; its delay lines evaluate in
+    * order. */
+  final case class DelayRule(name: String, conds: Seq[Cond], terms: Seq[DelayTerm]) {
+    /** True when any delay line used `=` (replaces prior corrections). */
+    def reset: Boolean = terms.exists(_.set)
+
+    /** Net seconds for constant-unit rules (undefined for attribute units,
+      * which need an observation). */
+    def seconds: Double = {
+      require(terms.forall(_.unitAttr.isEmpty),
+        s"rule '$name' uses attribute units; evaluate per-observation")
+      terms.foldLeft(0.0)((acc, t) => if (t.set) t.value * t.unitFactor
+                                      else acc + t.value * t.unitFactor)
+    }
+  }
 
   private val unitConv = Map("ms" -> 1e-3, "us" -> 1e-6, "ns" -> 1e-9)
 
@@ -38,13 +60,11 @@ object DelayCorrection {
     var name = "VOID"
     var conds = Seq.empty[Cond]
     var inBlock = false
-    var delay = 0.0
-    var reset = false
-    var sawDelay = false
+    var terms = Seq.empty[DelayTerm]
 
     def flush(): Unit = {
-      if (inBlock && sawDelay) rules += DelayRule(name, conds, reset, delay)
-      conds = Seq.empty; delay = 0.0; reset = false; sawDelay = false
+      if (inBlock && terms.nonEmpty) rules += DelayRule(name, conds, terms)
+      conds = Seq.empty; terms = Seq.empty
     }
 
     text.linesIterator.foreach { raw =>
@@ -57,14 +77,15 @@ object DelayCorrection {
           inBlock = true
         } else if (inBlock && elems.length >= 3 && elems(0) == "delay" &&
             Seq("=", "+=", "-=").contains(elems(1))) {
-          val conv = if (elems.length > 3) unitConv.getOrElse(elems(3), 1.0) else 1.0
-          val v = elems(2).toDouble * conv
-          elems(1) match {
-            case "="  => delay = v; reset = true
-            case "+=" => delay += v
-            case "-=" => delay -= v
-          }
-          sawDelay = true
+          val (factor, attr) =
+            if (elems.length > 3) {
+              unitConv.get(elems(3)) match {
+                case Some(f) => (f, None)
+                case None => (1.0, Some(elems(3))) // attribute unit, per-observation
+              }
+            } else (1.0, None)
+          val sign = if (elems(1) == "-=") -1.0 else 1.0
+          terms :+= DelayTerm(elems(1) == "=", sign * elems(2).toDouble, factor, attr)
         } else if (inBlock && elems.length >= 3) {
           val op = elems(1) match {
             case "~="  => Some(Re)
@@ -83,46 +104,69 @@ object DelayCorrection {
     rules.result()
   }
 
+  /** Anchored-prefix regex semantics: python `re.match` matches at the
+    * start only, including for patterns with alternation or anchors where
+    * appending ".*" would change meaning (e.g. `a|b`). */
+  private def reMatch(pattern: String, v: String): Boolean =
+    java.util.regex.Pattern.compile(pattern).matcher(v).lookingAt()
+
   /** Scalar evaluation over one observation's properties (mirrors
-    * `getcorrection`, scripts/dlyfix.py:128). */
+    * `getcorrection`, scripts/dlyfix.py:128). Missing attributes referenced
+    * by a unit token throw, like the reference's getattr. */
   def totalDelay(rules: Seq[DelayRule], props: Map[String, String]): Double = {
     var total = 0.0
     rules.foreach { r =>
       val ok = r.conds.forall { c =>
         val v = props.getOrElse(c.attr, "")
         c.op match {
-          case Re    => v.matches(c.value + ".*") // python re.match = anchored prefix
-          case NotRe => !v.matches(c.value + ".*")
+          case Re    => reMatch(c.value, v)
+          case NotRe => !reMatch(c.value, v)
           case Lt    => v.toDouble < c.value.toDouble
           case Gt    => v.toDouble > c.value.toDouble
           case Le    => v.toDouble <= c.value.toDouble
           case Ge    => v.toDouble >= c.value.toDouble
         }
       }
-      if (ok) { if (r.reset) total = r.seconds else total += r.seconds }
+      if (ok) r.terms.foreach { t =>
+        val conv = t.unitAttr match {
+          case Some(a) => props(a).toDouble
+          case None => t.unitFactor
+        }
+        val v = t.value * conv
+        if (t.set) total = v else total += v
+      }
     }
     total
   }
 
   /** Distributed evaluation: adds `delay_correction` (seconds) from a
     * left-to-right fold of the rules over the row's property columns.
-    * The config is tiny, so the fold compiles to one codegen'd
-    * when-chain — no join, no shuffle. */
+    * Attribute units resolve against the row via `colFor`. The config is
+    * tiny, so the fold compiles to one codegen'd when-chain — no join, no
+    * shuffle. */
   def applyTo(df: DataFrame, rules: Seq[DelayRule], colFor: String => Column): DataFrame = {
     val total = rules.foldLeft(lit(0.0)) { (acc, r) =>
       val cond = r.conds.map { c =>
         val v = colFor(c.attr)
         c.op match {
-          case Re    => v.cast("string").rlike("^" + c.value)
-          case NotRe => !v.cast("string").rlike("^" + c.value)
+          // "^(?:...)": group the pattern so alternation stays anchored,
+          // matching python re.match / the scalar lookingAt path.
+          case Re    => v.cast("string").rlike("^(?:" + c.value + ")")
+          case NotRe => !v.cast("string").rlike("^(?:" + c.value + ")")
           case Lt    => v.cast("double") < c.value.toDouble
           case Gt    => v.cast("double") > c.value.toDouble
           case Le    => v.cast("double") <= c.value.toDouble
           case Ge    => v.cast("double") >= c.value.toDouble
         }
       }.reduceOption(_ && _).getOrElse(lit(true))
-      if (r.reset) when(cond, lit(r.seconds)).otherwise(acc)
-      else when(cond, acc + lit(r.seconds)).otherwise(acc)
+      val applied = r.terms.foldLeft(acc) { (tacc, t) =>
+        val v = t.unitAttr match {
+          case Some(a) => colFor(a).cast("double") * lit(t.value)
+          case None => lit(t.value * t.unitFactor)
+        }
+        if (t.set) v else tacc + v
+      }
+      when(cond, applied).otherwise(acc)
     }
     df.withColumn("delay_correction", total)
   }

@@ -18,9 +18,12 @@ object GridLookup {
   final case class Axis(crval: Double, crpix: Double, cdelt: Double, n: Int)
 
   /** Quantize a world coordinate to its nearest pixel index
-    * (fluxcal_meerkat.py:186: `ipix = int(pix + 0.5)`). */
+    * (fluxcal_meerkat.py:186: `ipix = int(pix + 0.5)`). Python `int()`
+    * truncates toward zero — NOT floor — so pix+0.5 in (-0.5, 0) maps to
+    * pixel 0, not -1; Spark's double→int cast has the same
+    * truncate-toward-zero semantics, giving bit-parity. */
   def toPixel(world: Column, axis: Axis): Column =
-    floor((world - lit(axis.crval)) / lit(axis.cdelt) + lit(axis.crpix) + lit(0.5)).cast("int")
+    ((world - lit(axis.crval)) / lit(axis.cdelt) + lit(axis.crpix) + lit(0.5)).cast("int")
 
   /** Attach `looked_up`: the grid value at the row's nearest pixel, or
     * `default` when the pixel is out of range or the grid cell is missing/
@@ -36,11 +39,14 @@ object GridLookup {
     val g = broadcast(grid.select(
       col("pix1").as("__p1"), col("pix2").as("__p2"),
       col(gridValueCol).as("__gv")))
+    // Bounds mirror the reference's `ipix > naxis` check (fluxcal_meerkat
+    // .py:195) — pix == n passes the check there but has no grid row, so
+    // the null-coalesce default makes the two formulations agree.
     withPix
       .join(g, Seq("__p1", "__p2"), "left")
       .withColumn("looked_up",
-        when(col("__p1") < 0 || col("__p1") >= ax1.n ||
-             col("__p2") < 0 || col("__p2") >= ax2.n, lit(default))
+        when(col("__p1") < 0 || col("__p1") > ax1.n ||
+             col("__p2") < 0 || col("__p2") > ax2.n, lit(default))
           .otherwise(coalesce(col("__gv"), lit(default))))
       .drop("__p1", "__p2", "__gv")
   }

@@ -51,6 +51,42 @@ class DelayCorrectionSpec extends SparkSpec {
     assert(math.abs(got2 - (10e-6 + -2e-9)) < 1e-15) // reset, then the !~= block still adds
   }
 
+  test("attribute unit tokens resolve per-observation like the reference getattr (dlyfix.py:94)") {
+    val cfg =
+      """* tbin-scaled correction
+        |mjd > 58000
+        |delay += 2 tbin
+        |delay -= 1 us
+        |""".stripMargin
+    val r = DelayCorrection.parseConfig(cfg)
+    assert(r.head.terms.head.unitAttr == Some("tbin"))
+    val got = DelayCorrection.totalDelay(r, Map("mjd" -> "58600", "tbin" -> "0.000256"))
+    assert(math.abs(got - (2 * 0.000256 - 1e-6)) < 1e-15)
+    // distributed path resolves the same attribute column
+    val obs = Seq((58600.0, 0.000256), (57000.0, 0.000256)).toDF("mjd", "tbin")
+    val out = DelayCorrection.applyTo(obs, r, col)
+      .select("delay_correction").as[Double].collect().toSeq
+    assert(math.abs(out(0) - (2 * 0.000256 - 1e-6)) < 1e-15)
+    assert(out(1) == 0.0)
+  }
+
+  test("regex conditions are anchored-prefix even with alternation (python re.match parity)") {
+    val cfg =
+      """* alt match
+        |firmware ~= a|b
+        |delay += 1 us
+        |""".stripMargin
+    val r = DelayCorrection.parseConfig(cfg)
+    // 'axx' and 'b9' match re.match('a|b'); 'xb' must NOT (prefix-anchored)
+    assert(DelayCorrection.totalDelay(r, Map("firmware" -> "axx")) > 0)
+    assert(DelayCorrection.totalDelay(r, Map("firmware" -> "b9")) > 0)
+    assert(DelayCorrection.totalDelay(r, Map("firmware" -> "xb")) == 0.0)
+    val obs = Seq("axx", "b9", "xb").toDF("firmware")
+    val out = DelayCorrection.applyTo(obs, r, col)
+      .select("delay_correction").as[Double].collect().toSeq
+    assert(out == Seq(1e-6, 1e-6, 0.0))
+  }
+
   test("applyTo matches the scalar path row by row") {
     val obs = Seq(
       (58600.0, "bluster2k-v2", "ptuse"),

@@ -18,11 +18,14 @@ class GridResultsSpec extends SparkSpec {
       (3L, 5.0, 5.0),    // exact (5,5) → 7
       (4L, 4.0, 4.0),    // in range but no grid cell → default
       (5L, -3.0, 2.0),   // out of range → default
-      (6L, 11.0, 2.0),   // out of range → default
+      (6L, 11.0, 2.0),   // pix 11 > naxis → default (reference bound is `> n`)
+      (7L, -0.7, 3.0),   // pix+0.5 = -0.2: python int() truncates to 0, not -1
     ).toDF("id", "x", "y")
-    val out = GridLookup.nearest(pts, grid, col("x"), col("y"), ax, ax, "v", default = 3.4)
+    val grid2 = grid.union(Seq((0, 3, 9.0)).toDF("pix1", "pix2", "v"))
+    val out = GridLookup.nearest(pts, grid2, col("x"), col("y"), ax, ax, "v", default = 3.4)
       .select("id", "looked_up").as[(Long, Double)].collect().toMap
-    assert(out == Map(1L -> 42.0, 2L -> 42.0, 3L -> 7.0, 4L -> 3.4, 5L -> 3.4, 6L -> 3.4))
+    assert(out == Map(1L -> 42.0, 2L -> 42.0, 3L -> 7.0, 4L -> 3.4, 5L -> 3.4,
+      6L -> 3.4, 7L -> 9.0))
   }
 
   test("HeaderFile.parse reads KEY VALUE headers (fluxcal_meerkat.py:20)") {
