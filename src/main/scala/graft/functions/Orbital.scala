@@ -55,7 +55,11 @@ object Orbital {
     tascMjd + ell1Arctan(eps1, eps2) / (2 * math.Pi / pbDays)
 
   /** Binary-model parameters (BT-style subset; ELL1 callers convert via
-    * eccEll1/TASC first, as `get_T0` does, binary_tools.py:180). */
+    * eccEll1/TASC first, as `get_T0` does, binary_tools.py:180).
+    *
+    * `fb` non-empty selects the orbital-frequency (FB0, FB1, …)
+    * parameterization instead of PB/PBDOT — common for black-widow
+    * systems; FB0 in Hz, higher terms as in the par file. */
   final case class BinaryPars(
       pbDays: Double,
       t0Mjd: Double,
@@ -63,13 +67,42 @@ object Orbital {
       om0Rad: Double = 0.0,
       omdotDegPerYear: Double = 0.0,
       pbdot: Double = 0.0,
+      fb: Seq[Double] = Nil,
   )
 
+  /** Constant orbital angular frequency in rad/day (`get_OMB`,
+    * binary_tools.py:148): 2π/PB, or 2π·FB0·86400 for FB ephemerides. */
+  def ombRadPerDay(pars: BinaryPars): Double =
+    if (pars.fb.nonEmpty) 2.0 * math.Pi * pars.fb.head * 86400.0
+    else 2.0 * math.Pi / pars.pbDays
+
+  /** Mean anomaly (radians) from days-since-T0 (`get_mean_anomaly`,
+    * binary_tools.py:195).
+    *
+    * PB branch: OMB·(dt − ½(PBDOT/PB)·dt²), with the reference's
+    * tempo-format auto-correction (|PBDOT| > 1e-6 → ×1e-12,
+    * binary_tools.py:216).
+    *
+    * FB branch: 2π·86400·Σᵢ FBᵢ·dt^(i+1)/(i+1)! — the integrated Taylor
+    * series of the orbital frequency (binary_tools.py:221-232). */
+  def meanAnomaly(dtDays: Column, pars: BinaryPars): Column =
+    if (pars.fb.nonEmpty) {
+      val series = pars.fb.zipWithIndex.map { case (fbi, i) =>
+        var fact = 1.0
+        (2 to i + 1).foreach(k => fact *= k)
+        lit(fbi / fact) * pow(dtDays, lit(i + 1.0))
+      }.reduce(_ + _)
+      series * lit(2.0 * math.Pi * 86400.0)
+    } else {
+      val pbdot = if (math.abs(pars.pbdot) > 1e-6) pars.pbdot * 1e-12 else pars.pbdot
+      lit(ombRadPerDay(pars)) * (dtDays - lit(0.5 * pbdot / pars.pbDays) * dtDays * dtDays)
+    }
+
   /** Full distributed binary phase — the Column form of
-    * `get_binphase` (binary_tools.py:76): mean anomaly (with PBDOT term,
-    * binary_tools.py:196) → Kepler solve (native KeplerSolve expression)
-    * → true anomaly (binary_tools.py:252) → instantaneous omega with
-    * OMDOT (binary_tools.py:113) → phase in [0,1).
+    * `get_binphase` (binary_tools.py:76): mean anomaly (PB/PBDOT or
+    * FB0-Taylor, binary_tools.py:195) → Kepler solve (native KeplerSolve
+    * expression) → true anomaly (binary_tools.py:252) → instantaneous
+    * omega with OMDOT (binary_tools.py:113) → phase in [0,1).
     *
     * Requires `KeplerSolve.register(spark)` (or GraftExtensions) so the
     * solver is available; everything else is codegen'd builtins.
@@ -77,9 +110,9 @@ object Orbital {
   def binPhase(ts: Column, pars: BinaryPars): Column = {
     import org.apache.spark.sql.functions.expr
     val twoPi = 2.0 * math.Pi
-    val omb = twoPi / pars.pbDays                       // rad/day (get_OMB, binary_tools.py:148)
+    val omb = ombRadPerDay(pars)
     val dt = mjd(ts) - lit(pars.t0Mjd)
-    val m = lit(omb) * (dt - lit(0.5 * pars.pbdot / pars.pbDays) * dt * dt)
+    val m = meanAnomaly(dt, pars)
     val e = call_kepler(m, pars.ecc)
     // true anomaly, rescaled to count whole orbits
     val u0 = lit(2.0) * atan2(

@@ -61,6 +61,53 @@ class OrbitalSpec extends SparkSpec {
     assert(math.abs(t0 - (60000.0 + (math.Pi / 4) / (math.Pi))) < 1e-12)
   }
 
+  test("FB0-Taylor mean anomaly matches the reference series (binary_tools.py:221)") {
+    // FB-parameterized black-widow-style ephemeris: FB0 in Hz + two
+    // higher-order terms. Reference: M = 2π·86400·Σ FBᵢ·dt^(i+1)/(i+1)!
+    val fb = Seq(7.5e-5, 1.2e-14, -3.0e-22)
+    val pars = Orbital.BinaryPars(pbDays = 0.0, t0Mjd = 60000.0, ecc = 0.0, fb = fb)
+    def refM(dt: Double): Double = {
+      def fact(n: Int): Double = (1 to n).product.toDouble
+      2.0 * math.Pi * 86400.0 *
+        fb.zipWithIndex.map { case (f, i) => f * math.pow(dt, i + 1) / fact(i + 1) }.sum
+    }
+    val dts = Seq(-3.7, 0.0, 0.4, 12.9, 400.0)
+    val got = dts.toDF("dt").select(Orbital.meanAnomaly(col("dt"), pars).as("m"))
+      .as[Double].collect().toSeq
+    dts.zip(got).foreach { case (dt, m) =>
+      assert(math.abs(m - refM(dt)) <= 1e-12 * math.max(1.0, math.abs(refM(dt))), s"dt=$dt")
+    }
+    // OMB for FB ephemerides is 2π·FB0·86400 rad/day (get_OMB, binary_tools.py:156)
+    assert(math.abs(Orbital.ombRadPerDay(pars) - 2.0 * math.Pi * 7.5e-5 * 86400.0) < 1e-12)
+  }
+
+  test("PBDOT in tempo format auto-corrects by 1e-12 (binary_tools.py:216)") {
+    val raw = Orbital.BinaryPars(pbDays = 2.0, t0Mjd = 60000.0, ecc = 0.0, pbdot = 1.5e-12)
+    val tempo = raw.copy(pbdot = 1.5) // tempo files carry PBDOT×1e12
+    val df = Seq(10.0).toDF("dt")
+    val m1 = df.select(Orbital.meanAnomaly(col("dt"), raw)).as[Double].head()
+    val m2 = df.select(Orbital.meanAnomaly(col("dt"), tempo)).as[Double].head()
+    assert(m1 == m2)
+    val omb = 2.0 * math.Pi / 2.0
+    val want = omb * (10.0 - 0.5 * (1.5e-12 / 2.0) * 100.0)
+    assert(math.abs(m1 - want) < 1e-12)
+  }
+
+  test("binPhase with FB parameters stays in [0,1) and matches the PB form when equivalent") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+    val pb = 0.1025
+    val fbEquiv = 1.0 / (pb * 86400.0) // FB0 = 1/PB_seconds
+    KeplerSolve.register(spark)
+    val df = Seq(ts).toDF("ts")
+    val pPb = df.select(Orbital.binPhase(col("ts"),
+      Orbital.BinaryPars(pb, 60000.0, 0.3)).as("p")).as[Double].head()
+    val pFb = df.select(Orbital.binPhase(col("ts"),
+      Orbital.BinaryPars(0.0, 60000.0, 0.3, fb = Seq(fbEquiv))).as("p")).as[Double].head()
+    assert(pPb >= 0.0 && pPb < 1.0)
+    // same physical ephemeris → same phase up to double rounding of 2πFB0·86400 vs 2π/PB
+    assert(math.abs(pFb - pPb) < 1e-6)
+  }
+
   test("circularPhase column matches scalar computation") {
     val ts = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
     val df = Seq(ts).toDF("ts")
