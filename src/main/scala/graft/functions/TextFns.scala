@@ -15,20 +15,13 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(words(text))
 
-  /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings.
-    *
-    * Built by zipping n shifted slices rather than indexing inside a
-    * `transform` lambda: higher-order-function lambdas are interpreted and
-    * defeat common-subexpression elimination, so an element_at(ws, i)
-    * formulation re-evaluates the split per element (measured ~20µs per
-    * shingle). The slice/zip form evaluates the split O(n) times per row.
-    * Short docs (< n words) yield an empty array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = words(text)
-    val len = greatest(size(ws) - lit(n - 1), lit(0))
-    val parts = (0 until n).map(o => slice(ws, lit(o + 1), len))
-    parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
-  }
+  /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings: the
+    * native codegen'd WordShingles expression (one split + one linear
+    * pass; a slice/zip_with composition runs its lambdas interpreted and
+    * re-boxes every word n times). Short docs (< n words) yield an empty
+    * array. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.expressions.WordShingles.of(text, n)
 
   /** MinHash component for one seed: min over shingles of a 4-hex-char
     * slice of md5(shingle). One md5 evaluation serves all seeds (md5 bits
@@ -70,10 +63,12 @@ object TextFns {
     }.get.otherwise("und")
   }
 
-  /** Vowel count (lowercased, replace-chain — deterministic both engines). */
+  /** Vowel count: single-pass `translate` deletion (one scan of the text
+    * vs a 5-deep replace chain — 5x fewer string allocations and a much
+    * smaller codegen method; value-identical to the oracle's replace
+    * chain). */
   def vowelCount(text: Column): Column = {
     val lowered = lower(text)
-    val stripped = Seq("a", "e", "i", "o", "u").foldLeft(lowered)((c, v) => replace(c, lit(v), lit("")))
-    (length(lowered) - length(stripped)).cast("long")
+    (length(lowered) - length(translate(lowered, "aeiou", ""))).cast("long")
   }
 }

@@ -20,15 +20,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Pre-shuffle only when the scan arrives with too few partitions to
-    * feed the cores (a small local parquet file is ONE split, serializing
-    * all per-row hash work onto a single task). On a cluster the scan is
-    * already parallel and the extra shuffle would be pure waste, so it is
-    * skipped. */
-  private def parallelized(df: DataFrame, idCol: String): DataFrame = {
-    val parts = df.rdd.getNumPartitions
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (parts * 2 < cores) df.repartition(col(idCol)) else df
-  }
+    * feed the cores — see Tables.parallelized. */
+  private def parallelized(df: DataFrame, idCol: String): DataFrame =
+    graft.sources.Tables.parallelized(df, idCol)
 
   /** MinHash + LSH candidate pairs: `numHashes` md5-minhash components over
     * word-`shingleN`-gram shingles, banded `bands`-wise; docs sharing any

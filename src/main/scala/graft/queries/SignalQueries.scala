@@ -421,7 +421,7 @@ object SignalQueries {
       (s, dir) => {
         graft.expressions.KeplerSolve.register(s)
         val twoPi = 2.0 * math.Pi
-        Tables.events(s, dir)
+        Tables.parallelized(Tables.events(s, dir), "event_id")
           .withColumn("m_rad",
             Orbital.meanOrbits(Orbital.mjd(col("ts")), pbDays = 0.1025, t0Mjd = 60310.0) * lit(twoPi))
           .withColumn("ecc_anom", expr("kepler_solve(m_rad, 0.3)"))

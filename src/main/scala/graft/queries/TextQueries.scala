@@ -81,7 +81,7 @@ object TextQueries {
   private val q33 = Q(
     "q33_ngram_jaccard",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("source"), col("text"))
         .withColumn("ntok", TextFns.tokenCount(col("text")))
       val wd = d.select(col("doc_id"), explode(array_distinct(TextFns.words(col("text")))).as("w"))
@@ -152,7 +152,7 @@ object TextQueries {
       val ntok = TextFns.tokenCount(col("text"))
       val nchar = length(col("text"))
       val padded = concat(lit(" "), col("text"), lit(" "))
-      Tables.documents(s, dir)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id")
         .withColumn("awl", (nchar - (ntok - lit(1))).cast("double") / ntok)
         .withColumn("vr", TextFns.vowelCount(col("text")).cast("double") / nchar)
         .withColumn("sr", TextFns.occurrences(padded, " the ").cast("double") / ntok)
@@ -187,7 +187,7 @@ object TextQueries {
   private val q36 = Q(
     "q36_lang_id",
     (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id")
         .withColumn("predicted", TextFns.langId(col("text")))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n")),
@@ -218,7 +218,7 @@ object TextQueries {
   private val q37 = Q(
     "q37_fingerprint",
     (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id")
         .withColumn("fp", TextFns.fingerprint(col("text")))
         .groupBy("source")
         .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n_docs")),

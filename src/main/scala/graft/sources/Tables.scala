@@ -33,4 +33,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread per-row-heavy work across cores when the scan arrived with too
+    * few splits to feed them (a small local parquet file is ONE split,
+    * serializing e.g. a 30-iteration Newton solve or per-doc string
+    * munging onto a single task). On a cluster the scan is already
+    * parallel (parts >= cores) and this is a no-op — no extra shuffle at
+    * scale. */
+  def parallelized(df: DataFrame, keyCol: String): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (parts * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
+  }
 }
