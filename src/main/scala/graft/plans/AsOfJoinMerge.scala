@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.Bridge
+
+/** Custom whole-operator: sorted-merge as-of join.
+  *
+  * For each left row, attach the most recent right row with
+  * `rightTime <= leftTime` of the same key (ties on equal right time → the
+  * greatest tiebreak). The union + last-non-null-window formulation (see
+  * operators.AsOfJoin) is one shuffle but ships every row null-padded to
+  * the unified schema — double wire width — and pays a window sort over
+  * the union. This operator shuffles each side at its own width, sorts
+  * each side independently (EnsureRequirements inserts the exchanges and
+  * sorts), then streams both sorted partitions through a single merge
+  * pass: O(n log n) in the sort, O(n) merge, no per-key window buffers.
+  *
+  * Engine analog: `dlyfix.getcorrection` (scripts/dlyfix.py:128) matching
+  * each observation to the config valid at its MJD.
+  */
+final case class AsOfJoinPlan(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightCarry: Seq[Expression],   // carried right columns (incl. time first)
+    tiebreak: Option[Expression],
+    carryAttrs: Seq[Attribute],    // output attributes for the carried cols
+    left: LogicalPlan,
+    right: LogicalPlan,
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carryAttrs
+  // carryAttrs are minted by this operator (renamed/nullable right cols),
+  // not passed through from children
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(carryAttrs)
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, rk, lt, rt, carry, tb, attrs, l, r) =>
+      AsOfJoinMergeExec(lk, rk, lt, rt, carry, tb, attrs, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinMergeExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    rightCarry: Seq[Expression],
+    tiebreak: Option[Expression],
+    carryAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan,
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carryAttrs
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(carryAttrs)
+
+  override def requiredChildDistribution =
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(Seq(leftKey)) ::
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** Both sides sorted by (key, time[, tiebreak]) — EnsureRequirements
+    * inserts the SortExecs; the merge below is then a single pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      tiebreak.map(t => SortOrder(t, Ascending)),
+  )
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lt = leftTime
+    val rt = rightTime
+    val carry = rightCarry
+    val keyType = lk.dataType
+    val timeType = lt.dataType
+    val nCarry = carryAttrs.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val carryProj = UnsafeProjection.create(carry, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullCarry = new GenericInternalRow(nCarry)
+      val joined = new JoinedRow
+      // downstream operators (exchanges, aggregates) expect UnsafeRows
+      val resultProj = UnsafeProjection.create(lOut ++ carryAttrs, lOut ++ carryAttrs)
+
+      val rBuf = rIter.buffered
+      // state: the best (latest) right row seen for the current left key
+      var matchedCarry: InternalRow = null
+      var matchedKey: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeProj(lRow).copy()
+        // advance right while its key is before the left key, or same key
+        // with time <= left time; remember the last same-key advance
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rKey = rKeyProj(rBuf.head)
+          val kc = keyOrd.compare(rKey, lKey)
+          if (kc < 0) {
+            rBuf.next() // right key fully behind: discard
+          } else if (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0) {
+            val r = rBuf.next()
+            matchedCarry = carryProj(r).copy()
+            matchedKey = lKey.copy()
+          } else {
+            advancing = false
+          }
+        }
+        val ok = matchedCarry != null && matchedKey != null &&
+          keyOrd.compare(matchedKey, lKey) == 0
+        resultProj(joined(lRow, if (ok) matchedCarry else nullCarry))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinMergeExec =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry mirroring operators.AsOfJoin.join's contract. */
+object AsOfMerge {
+
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+  }
+
+  /** Sorted-merge as-of join: left columns + `asof_time` (the matched
+    * right time; null when unmatched) + the carried `rightCols`. */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTiebreak: Option[String] = None,
+  ): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = Bridge.logicalPlan(left)
+    val rPlan = Bridge.logicalPlan(right)
+    def rAttr(name: String): Attribute =
+      rPlan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"right column $name not found"))
+    def lAttr(name: String): Attribute =
+      lPlan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"left column $name not found"))
+    val carryExprs = rAttr(rightTime) +: rightCols.map(rAttr)
+    // fresh output attributes: same types, nullable (unmatched → null)
+    val carryAttrs = ("asof_time" +: rightCols).zip(carryExprs).map { case (n, e) =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(n, e.dataType, nullable = true)()
+    }
+    val plan = AsOfJoinPlan(
+      lAttr(leftKey), rAttr(rightKey), lAttr(leftTime), rAttr(rightTime),
+      carryExprs, rightTiebreak.map(rAttr), carryAttrs, lPlan, rPlan)
+    Bridge.ofRows(spark, plan)
+  }
+}

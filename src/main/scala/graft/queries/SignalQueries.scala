@@ -295,7 +295,11 @@ object SignalQueries {
   /** B12: as-of join to the config record valid at each event's time
     * (`dlyfix.getcorrection`, scripts/dlyfix.py:128). Event times are
     * mapped into the orders epoch so the match is non-trivial; the output
-    * aggregates the matched delay, which is tie-invariant. */
+    * aggregates the matched delay, which is tie-invariant. Runs on the
+    * custom sorted-merge exec (plans.AsOfJoinMergeExec): each side
+    * shuffles at its own width and a single merge pass replaces the
+    * union+window formulation (operators.AsOfJoin keeps that shape for
+    * sessions that can't install strategies). */
   private val q22 = Q(
     "q22_asof_join",
     (s, dir) => {
@@ -303,8 +307,13 @@ object SignalQueries {
         col("user_id"),
         expr("timestamp_micros(788918400000000 + (unix_micros(ts) - 1704067200000000) * 80)").as("mts"),
       )
-      val ord = Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_orderkey")
-      AsOfJoin.join(ev, ord, "user_id", "o_custkey", "mts", "o_orderdate",
+      // o_orderdate is parquet-naive (TIMESTAMP_NTZ); cast to session-TZ
+      // timestamp (UTC, value-preserving) so asof_time is unix_micros-able.
+      // The union+window path did this implicitly via union coercion; the
+      // merge exec carries right types verbatim.
+      val ord = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_orderkey"))
+      graft.plans.AsOfMerge.join(ev, ord, "user_id", "o_custkey", "mts", "o_orderdate",
           rightCols = Seq("o_orderkey"), rightTiebreak = Some("o_orderkey"))
         .filter(col("asof_time").isNotNull)
         .withColumn("delay_days",

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinMergeExec, AsOfMerge}
+
+/** The sorted-merge as-of exec must agree exactly with the union+window
+  * formulation — including equal-time inclusion, tiebreaks on duplicate
+  * right times, and unmatched-left nulls — while planning as the custom
+  * operator (each side shuffled at its own width, single merge pass). */
+class AsOfMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("plan uses AsOfJoinMergeExec with both sides sorted") {
+    val left = Seq((1L, t("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq((1L, t("2024-01-01 09:00:00"), "a", 1L)).toDF("rk", "rts", "cfg", "rid")
+    val df = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))
+    val execs = df.queryExecution.sparkPlan.collect { case e: AsOfJoinMergeExec => e }
+    assert(execs.nonEmpty)
+    assert(df.queryExecution.executedPlan.toString.contains("Sort"))
+  }
+
+  test("merge semantics: most recent <=, equal-time match, tiebreak, unmatched nulls") {
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")),
+      (1L, t("2024-01-01 12:00:00")),
+      (2L, t("2024-01-01 09:00:00")), // equal-time right row matches
+      (3L, t("2024-01-01 08:00:00")), // no right rows at all for key 3
+      (4L, t("2024-01-01 08:00:00")), // right rows exist but all later
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), "cfgA", 1L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB", 2L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB2", 3L), // duplicate time: max rid wins
+      (1L, t("2024-01-01 13:00:00"), "cfgC", 4L),
+      (2L, t("2024-01-01 09:00:00"), "cfgD", 5L),
+      (4L, t("2024-01-01 23:00:00"), "cfgE", 6L),
+    ).toDF("rk", "rts", "cfg", "rid")
+
+    val out = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))
+      .select("k", "ts", "cfg").as[(Long, Timestamp, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, t("2024-01-01 10:00:00"), Some("cfgA")),
+      (1L, t("2024-01-01 12:00:00"), Some("cfgB2")),
+      (2L, t("2024-01-01 09:00:00"), Some("cfgD")),
+      (3L, t("2024-01-01 08:00:00"), None),
+      (4L, t("2024-01-01 08:00:00"), None),
+    ))
+  }
+
+  test("agrees with the union+window formulation on randomized data") {
+    val rng = new scala.util.Random(11)
+    val base = t("2024-01-01 00:00:00").getTime
+    val left = (1 to 400).map { i =>
+      (rng.nextInt(8).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), i.toLong)
+    }.toDF("k", "ts", "lid")
+    val right = (1 to 300).map { i =>
+      (rng.nextInt(10).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), s"c$i", i.toLong)
+    }.toDF("rk", "rts", "cfg", "rid")
+
+    val merge = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))
+      .select("lid", "asof_time", "cfg")
+      .as[(Long, Option[Timestamp], Option[String])].collect().toSet
+    val window = AsOfJoin.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))
+      .select(col("lid"), col("asof_time"), col("cfg"))
+      .as[(Long, Option[Timestamp], Option[String])].collect().toSet
+    assert(merge == window)
+  }
+}
