@@ -42,5 +42,6 @@ object GraftSession {
   def install(spark: SparkSession): Unit = {
     graft.expressions.KeplerSolve.register(spark)
     graft.plans.RankFilterToTopK_Install(spark)
+    graft.plans.AsOfMerge.install(spark)
   }
 }

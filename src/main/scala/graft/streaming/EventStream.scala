@@ -76,4 +76,25 @@ object EventStream {
     spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** Streaming orbital-phase scoring: tag each live event with its binary
+    * phase (full eccentric model — FB or PB parameterized) and aggregate
+    * per phase bin per watermarked window. The phase math is stateless
+    * per-row column code (Kepler solve included, via the native
+    * KeplerSolve expression), so it composes with a streaming source
+    * exactly like any builtin — the streaming analog of re-folding each
+    * new observation onto the ephemeris as it arrives
+    * (`get_binphase`, binary_tools.py:76).
+    */
+  def orbitalScored(events: DataFrame, pars: graft.functions.Orbital.BinaryPars,
+                    bins: Int = 20, windowDur: String = "1 hour",
+                    watermark: String = "30 minutes"): DataFrame = {
+    graft.expressions.KeplerSolve.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("phase", graft.functions.Orbital.binPhase(col("ts"), pars))
+      .withColumn("phase_bin", floor(col("phase") * bins).cast("long"))
+      .groupBy(window(col("ts"), windowDur), col("phase_bin"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+  }
 }

@@ -31,6 +31,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("orbitalScored tags live events with binary phase and bins per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Orbital
+    val pars = Orbital.BinaryPars(pbDays = 0.5, t0Mjd = 60310.0, ecc = 0.3)
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, t("2024-01-01 10:01:00"), 1, "click", 1.0),
+      Event(2, t("2024-01-01 10:02:00"), 1, "click", 2.0),
+      Event(3, t("2024-01-01 16:00:00"), 2, "view", 5.0), // different phase + window
+    )
+    mem.addData(events: _*)
+    val q = EventStream.orbitalScored(mem.toDF(), pars, bins = 20)
+      .writeStream.format("memory").queryName("orb_out").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT phase_bin, n, sum_value FROM orb_out")
+        .as[(Long, Long, Double)].collect().toSet
+      // cross-check bins against the batch (scalar) phase computation
+      graft.expressions.KeplerSolve.register(spark)
+      val want = events.toDF()
+        .withColumn("phase", Orbital.binPhase(org.apache.spark.sql.functions.col("ts"), pars))
+        .groupBy((org.apache.spark.sql.functions.floor(org.apache.spark.sql.functions.col("phase") * 20)).cast("long").as("b"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("value").as("s"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == want, s"stream=$rows batch=$want")
+      rows.foreach { case (b, _, _) => assert(b >= 0 && b < 20) }
+    } finally q.stop()
+  }
+
   test("sessionized emits a session once its inactivity gap passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
