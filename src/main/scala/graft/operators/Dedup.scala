@@ -90,27 +90,17 @@ object Dedup {
     * the low bit of each hex digit of md5(word); fingerprint bit set where
     * the vote sum is positive.
     *
-    * Per-row array_distinct dedups words without a shuffle; one explode +
-    * one groupBy computes md5 once per distinct word and the 16 vote sums
-    * partial-aggregate map-side. (A fully per-row fold was tried and is
-    * slower: higher-order-function lambdas defeat common-subexpression
-    * elimination, so 16 bit-folds re-evaluate the hash array 16 times.) */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val wordsDf = parallelized(df, idCol)
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val votes = (0 until bits).map { j =>
-      val c = substring(col("h"), j + 1, 1)
-      val hexVal = when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
-      sum(when(hexVal % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val voted = wordsDf.groupBy("doc").agg(votes.head, votes.tail: _*)
-    val fp = (0 until bits).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    voted.select(col("doc").as("doc_id"), fp.as("simhash"))
-  }
+    * One pure map stage: array_distinct dedups words per row and the
+    * native SimHashBits expression folds the votes per row — NO shuffle
+    * (the earlier explode + 16-vote-aggregate shape shuffled rows ×
+    * distinct-words; a zip_with/transform fold was worse still, since HOF
+    * lambdas run interpreted). Values are identical to both prior shapes
+    * and the DuckDB oracle. */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame =
+    parallelized(df, idCol).select(
+      col(idCol).as("doc_id"),
+      graft.expressions.SimHashBits.of(
+        array_distinct(TextFns.words(col(textCol))), bits).as("simhash"))
 
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
     * cosine above `threshold` inside each bucket.
