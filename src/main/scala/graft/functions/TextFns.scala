@@ -23,15 +23,6 @@ object TextFns {
   def shingles(text: Column, n: Int = 3): Column =
     graft.expressions.WordShingles.of(text, n)
 
-  /** MinHash component for one seed: min over shingles of a 4-hex-char
-    * slice of md5(shingle). One md5 evaluation serves all seeds (md5 bits
-    * are independent, so disjoint slices act as independent hash
-    * functions); lexicographic min of hex strings is engine-portable with
-    * no numeric conversion. Apply as an aggregate over exploded shingles,
-    * with the md5 computed once in a prior projection. */
-  def minhashAgg(md5Col: Column, seed: Int): Column =
-    min(substring(md5Col, 1 + 4 * seed, 4))
-
   /** Number of non-overlapping occurrences of `marker` in `padded`
     * (left-to-right replace semantics, identical in both engines). */
   def occurrences(text: Column, marker: String): Column =

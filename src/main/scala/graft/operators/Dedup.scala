@@ -28,31 +28,29 @@ object Dedup {
     * word-`shingleN`-gram shingles, banded `bands`-wise; docs sharing any
     * band hash become candidate pairs (a_id < b_id, distinct).
     *
-    * One explode + one groupBy: min() is commutative so no pre-distinct is
-    * needed and partial (map-side) aggregation shrinks the shuffle to
-    * numHashes values per doc. The band self-join shuffles on the short
-    * band hash; candidate verification stays bucket-local.
+    * The signature is the native per-row MinHashSig expression — one md5
+    * per shingle serving all components, mins tracked in a single pass —
+    * so the rows × shingles explode (and its groupBy shuffle) never
+    * exists; only the per-doc band keys reach an exchange, and the band
+    * self-join stays bucket-local.
     *
-    * md5 string slicing is the DuckDB-parity choice; `minhashLshFast` is
-    * the same pipeline on xxhash64 longs for production scale.
+    * md5 slicing is the DuckDB-parity choice; `minhashLshFast` is the
+    * same pipeline on xxhash64 longs for production scale.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val perBand = numHashes / bands
-    // Guard: Spark sequence(1, n) DESCENDS for n < 1, so short docs would
-    // produce invalid shingle indices — filter them out (mirrored in the
-    // oracle SQL).
-    require(numHashes * 4 <= 32, "md5 slicing supports at most 8 hash components")
-    val sh = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
-      .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
-      .select(col("doc"), md5(col("sh")).as("shmd5"))
-    val hashCols = (0 until numHashes).map(i => TextFns.minhashAgg(col("shmd5"), i).as(s"h$i"))
-    val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+    // The >= shingleN filter drops docs with no shingles (mirrored in the
+    // oracle SQL); MinHashSig would return null for them anyway.
+    val withSig = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+      .select(col(idCol).as("doc"),
+        graft.expressions.MinHashSig.of(
+          TextFns.shingles(col(textCol), shingleN), numHashes).as("sig"))
     val bandDf = withSig.select(
       col("doc"),
       explode(array((0 until bands).map { b =>
-        val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
+        val cols = (b * perBand until (b + 1) * perBand).map(i => element_at(col("sig"), i + 1))
         md5(concat(cols: _*))
       }: _*)).as("band"))
     val a = bandDf.select(col("doc").as("a_id"), col("band"))
