@@ -100,6 +100,35 @@ object Dedup {
       graft.expressions.SimHashBits.of(
         array_distinct(TextFns.words(col(textCol))), bits).as("simhash"))
 
+  /** Word-set Jaccard similarity for given candidate pairs — the verify
+    * stage of the near-dup pipeline. Feed it `minhashLsh` (or
+    * `minhashLshFast`) candidates: LSH keeps the candidate count ~linear
+    * in corpus size, where an attribute-blocking key (same source + same
+    * token count) degenerates quadratically and skews at scale.
+    *
+    * Shape: two broadcast-free hash joins keyed on doc id carry each
+    * side's distinct word set size; the intersection count is one
+    * explode-join-aggregate over only the candidate pairs' words.
+    * `pairs` must have (a_id, b_id); output adds `jaccard`.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val wd = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
+    val wc = wd.groupBy("doc").agg(count(lit(1)).as("nw"))
+    val inter = pairs
+      .join(wd.select(col("doc").as("a_id"), col("w")), Seq("a_id"))
+      .join(wd.select(col("doc").as("b_id"), col("w")), Seq("b_id", "w"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(wc.select(col("doc").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
+      .join(wc.select(col("doc").as("b_id"), col("nw").as("nw_b")), Seq("b_id"))
+      .withColumn("jaccard", col("inter") / (col("nw_a") + col("nw_b") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("jaccard")) // using-joins reorder key cols
+  }
+
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
     * cosine above `threshold` inside each bucket.
     *

@@ -77,29 +77,22 @@ object TextQueries {
   }
 
   /** C4: word-set Jaccard on blocked candidate pairs (same source + same
-    * token count — cheap blocking; pairs with no common word get 0). */
+    * token count — a cheap, oracle-expressible blocking; pairs with no
+    * common word get 0). The verify stage is `Dedup.jaccardVerify`, whose
+    * production input is `minhashLsh` candidates — attribute blocking
+    * like this goes quadratic at scale (see DedupKnnSpec's LSH→verify
+    * pipeline test). */
   private val q33 = Q(
     "q33_ngram_jaccard",
     (s, dir) => {
       val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("source"), col("text"))
         .withColumn("ntok", TextFns.tokenCount(col("text")))
-      val wd = d.select(col("doc_id"), explode(array_distinct(TextFns.words(col("text")))).as("w"))
-      val wc = wd.groupBy("doc_id").agg(count(lit(1)).as("nw"))
       val a = d.select(col("doc_id").as("a_id"), col("source"), col("ntok"))
       val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
       val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
-      val inter = pairs
-        .join(wd.select(col("doc_id").as("a_id"), col("w")), Seq("a_id"))
-        .join(wd.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      pairs
-        .join(inter, Seq("a_id", "b_id"), "left")
-        .na.fill(0L, Seq("inter"))
-        .join(wc.select(col("doc_id").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
-        .join(wc.select(col("doc_id").as("b_id"), col("nw").as("nw_b")), Seq("b_id"))
-        .withColumn("jaccard", col("inter") / (col("nw_a") + col("nw_b") - col("inter")))
+      Dedup.jaccardVerify(pairs, d, "text", "doc_id")
         .select("a_id", "b_id", "jaccard")
     },
     Some("""
@@ -229,5 +222,44 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** C20: repetition filtering (Gopher-style quality rule): fraction of
+    * repeated word-3-gram shingles per doc; sources ranked by average
+    * repetition and count of repetitive docs. Per-row native shingles +
+    * array_distinct — no explode; the oracle unnests. Threshold compares
+    * are IEEE-identical because both engines compute the same doubles. */
+  private val q45 = Q(
+    "q45_repetition",
+    (s, dir) => {
+      val sh = TextFns.shingles(col("text"), 3)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id")
+        .filter(size(TextFns.words(col("text"))) >= 3)
+        .withColumn("ratio",
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+        .groupBy("source")
+        .agg(
+          davg(col("ratio")).as("avg_repetition"),
+          sum((col("ratio") > 0.1).cast("long")).cast("long").as("n_repetitive"),
+          count(lit(1)).as("n_docs"),
+        )
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (
+        SELECT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      r AS (
+        SELECT doc_id, source,
+          1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ratio
+        FROM sh GROUP BY 1, 2)
+      SELECT source,
+        CAST(SUM(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE) / COUNT(ratio) AS avg_repetition,
+        CAST(SUM(CAST(ratio > 0.1 AS BIGINT)) AS BIGINT) AS n_repetitive,
+        COUNT(*) AS n_docs
+      FROM r GROUP BY 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45)
 }

@@ -39,6 +39,21 @@ class DedupKnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH candidates -> jaccardVerify: the scale-shape near-dup pipeline") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely different words describing some other topic entirely here now"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val candidates = Dedup.minhashLsh(df, "text", "doc_id")
+    val verified = Dedup.jaccardVerify(candidates, df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // near1/near2: 11 distinct words each, 10 shared → jaccard = 10/12
+    assert(math.abs(verified((1L, 2L)) - 10.0 / 12.0) < 1e-12)
+    // the far doc never reached the verify stage (LSH pruned it)
+    assert(!verified.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("Dedup.simhash: identical word sets share a fingerprint") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("doc_id", "text")
