@@ -194,5 +194,104 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44)
+  /** C22: IVF probe search — the full coarse-quantizer ANN query: rank
+    * centroids per query, probe the best `nprobe` clusters, and search
+    * only vectors assigned there. Candidate generation joins on the
+    * centroid id, so at scale the search is cluster-local (a shuffle
+    * keyed on ≤ nlist values) instead of an all-pairs scan; the final
+    * top-k runs on the rank-filter→TopKPerKey rewrite. */
+  private val q46 = Q(
+    "q46_ivf_search",
+    (s, dir) => {
+      graft.plans.RankFilterToTopK_Install(s)
+      val centroids = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("label", "pos")
+        .agg(davg(col("comp").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          f => f.getField("c")).as("centroid"))
+        .select(col("label").as("cl"), col("centroid"),
+          sqrt(VectorFns.dot(col("centroid"), col("centroid"))).as("nrm_c"))
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .withColumn("nrm_e", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
+      val vc = e.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          VectorFns.dot(col("embedding"), col("centroid")) / (col("nrm_e") * col("nrm_c")))
+        .select("vec_id", "cl", "ccos")
+      // every vector's home cluster (the q44 assignment, as an aggregate)
+      val asgn = vc.groupBy("vec_id")
+        .agg(max(struct(col("ccos"), col("cl"))).as("best"))
+        .select(col("vec_id"), col("best.cl").as("cl"))
+      // per query: the nprobe=2 closest centroids
+      val pw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl").desc)
+      val probes = vc.filter(col("vec_id") < 5)
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= 2)
+        .select(col("vec_id").as("q_id"), col("cl"))
+      val targets = e.filter(col("vec_id") >= 5)
+        .join(asgn, Seq("vec_id"))
+        .select(col("vec_id").as("t_id"), col("embedding").as("t_vec"),
+          col("nrm_e").as("t_nrm"), col("cl"))
+      val qside = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm_e").as("q_nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("t_id"))
+      probes.join(targets, Seq("cl"))
+        .join(qside, Seq("q_id"))
+        .withColumn("cosine",
+          VectorFns.dot(col("q_vec"), col("t_vec")) / (col("q_nrm") * col("t_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 1)
+        .select("q_id", "t_id", "cosine")
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label AS cl, i - 1 AS pos,
+          CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(embedding[i]) AS c
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cnorm AS (
+        SELECT cl, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
+        FROM cent GROUP BY 1),
+      $normsCte,
+      vc AS (
+        SELECT e.vec_id, cent.cl,
+          CAST(SUM(CAST(CAST(e.embedding[cent.pos + 1] AS DOUBLE) * cent.c AS DECIMAL(38,18))) AS DOUBLE)
+            / (norms.nrm * cnorm.nrm_c) AS ccos
+        FROM embeddings e
+        CROSS JOIN cent
+        JOIN norms ON norms.vec_id = e.vec_id
+        JOIN cnorm ON cnorm.cl = cent.cl
+        GROUP BY 1, 2, norms.nrm, cnorm.nrm_c),
+      asgn AS (
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cl DESC) AS rn
+          FROM vc) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cl FROM (
+          SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cl DESC) AS pr
+          FROM vc WHERE vec_id < 5) WHERE pr <= 2),
+      cand AS (
+        SELECT p.q_id, a.vec_id AS t_id
+        FROM probes p JOIN asgn a ON a.cl = p.cl AND a.vec_id >= 5),
+      dots AS (
+        SELECT c.q_id, c.t_id,
+          CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.q_id
+        JOIN embeddings t ON t.vec_id = c.t_id,
+        LATERAL unnest(generate_series(1, len(q.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT q_id, t_id, dot / (nq.nrm * nt.nrm) AS cosine
+        FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nt ON nt.vec_id = t_id),
+      r AS (SELECT q_id, t_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS rn FROM cos)
+      SELECT q_id, t_id, cosine FROM r WHERE rn = 1
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46)
 }
