@@ -23,6 +23,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
   }
 
+  test("ImageHeader parses real PNG/JPEG/GIF/BMP dimension fields from bytes") {
+    import Multimodal.ImageHeader
+    // PNG: signature + IHDR length/type + width/height BE32
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* width 640 */ 0, 0, 0x01, 0xe0 /* height 480 */,
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(ImageHeader.parse(png) == Some(("png", 640, 480)))
+
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with height/width BE16
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4 (2 payload bytes)
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x64 /* h=100 */, 0x00, 0xc8 /* w=200 */,
+      0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(ImageHeader.parse(jpeg) == Some(("jpeg", 200, 100)))
+
+    // GIF89a: width/height LE16
+    val gif = Array[Int]('G', 'I', 'F', '8', '9', 'a', 0x20, 0x01 /* 288 */, 0x90, 0x00 /* 144 */).map(_.toByte)
+    assert(ImageHeader.parse(gif) == Some(("gif", 288, 144)))
+
+    // BMP: "BM", width/height LE32 at offsets 18/22
+    val bmp = (Array[Int]('B', 'M') ++ Array.fill(16)(0) ++
+      Array[Int](0x40, 0x01, 0, 0 /* 320 */, 0xf0, 0x00, 0, 0 /* 240 */) ++ Array.fill(2)(0)).map(_.toByte)
+    assert(ImageHeader.parse(bmp) == Some(("bmp", 320, 240)))
+
+    // unknown payloads stay unparsed
+    assert(ImageHeader.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("annotateDims fills dimensions from payload headers, keeps fallback otherwise") {
+    import spark.implicits._
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 32, 0, 0, 0, 16, 8, 6, 0, 0, 0).map(_.toByte)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", png, "application/octet-stream", -1, -1, -1L),
+      Multimodal.MediaItem(2L, "audio", Array[Byte](9, 9, 9), "audio/wav", -1, -1, 1234L),
+    ).toDS()
+    val out = Multimodal.annotateDims(items).collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).width == 32 && out(1L).height == 16 && out(1L).mime == "image/png")
+    assert(out(2L).width == -1 && out(2L).mime == "audio/wav") // untouched fallback
+  }
+
   test("queries() plumbing: features join back to items by id") {
     val items = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.extractFeatures(items)

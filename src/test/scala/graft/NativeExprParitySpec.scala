@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{MinHashSig, SimHashBits, WordShingles}
+import graft.functions.TextFns
+
+/** Randomized parity: each native expression must be value-identical to
+  * the builtin composition it replaced (which is what the DuckDB oracles
+  * mirror). Fixed seed keeps the corpus deterministic. */
+class NativeExprParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(23)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "the", "a", "", "x1", "Überlänge", "日本語")
+
+  private def randDoc(): String =
+    Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  private val docs = (1 to 200).map(i => (i.toLong, randDoc())).toDF("doc_id", "text")
+
+  test("WordShingles == slice/zip_with composition on random docs (incl. empties, unicode)") {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - lit(2), lit(0))
+    val composed = (0 until 3).map(o => slice(ws, lit(o + 1), len))
+      .reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    val rows = docs.select(
+      WordShingles.of(col("text"), 3).as("native"),
+      composed.as("composed"),
+    ).as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("SimHashBits == explode + 16-vote aggregation on random docs") {
+    val native = docs.select(col("doc_id"),
+      SimHashBits.of(array_distinct(TextFns.words(col("text"))), 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val wordsDf = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(TextFns.words(col("text")))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = (0 until 16).map { j =>
+      val c = substring(col("h"), j + 1, 1)
+      val hexVal = when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+      sum(when(hexVal % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val fp = (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val composed = wordsDf.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"), fp.as("fp")).as[(Long, Long)].collect().toMap
+    // the explode path drops docs with zero words; compare on its domain
+    composed.foreach { case (d, f) => assert(native(d) == f, s"doc $d") }
+    assert(composed.nonEmpty)
+  }
+
+  test("MinHashSig == explode + min(substring(md5)) aggregation on random docs") {
+    val eligible = docs.filter(size(TextFns.words(col("text"))) >= 3)
+    val native = eligible.select(col("doc_id"),
+      MinHashSig.of(TextFns.shingles(col("text"), 3), 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sh = eligible
+      .select(col("doc_id").as("doc"), explode(TextFns.shingles(col("text"), 3)).as("s"))
+      .select(col("doc"), md5(col("s")).as("h"))
+    val mins = (0 until 8).map(j => min(substring(col("h"), 1 + 4 * j, 4)).as(s"m$j"))
+    val composed = sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until 8).map(j => col(s"m$j")): _*).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    composed.foreach { case (d, s) => assert(native(d) == s, s"doc $d") }
+    assert(composed.nonEmpty)
+  }
+}
