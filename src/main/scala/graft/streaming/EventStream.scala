@@ -77,6 +77,27 @@ object EventStream {
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Watermarked stream-stream interval join: each event joins config
+    * records of the same key whose validity window (`cfg_ts`,
+    * `cfg_ts + validSeconds`) covers the event time. Both sides carry
+    * watermarks and the join condition bounds event time against config
+    * time in both directions, so state on each side is provably
+    * droppable — the streaming analog of the as-of/config-validity match
+    * (`dlyfix.getcorrection`), with bounded state at any scale.
+    *
+    * `configs` needs columns (cfg_user_id, cfg_ts, ...). */
+  def enrichedByConfig(events: DataFrame, configs: DataFrame, validSeconds: Long,
+                       watermark: String = "30 minutes"): DataFrame = {
+    val ev = events.withWatermark("ts", watermark)
+    val cfg = configs.withWatermark("cfg_ts", watermark)
+    ev.join(cfg,
+      expr(s"""
+        user_id = cfg_user_id AND
+        ts >= cfg_ts AND
+        ts < cfg_ts + interval $validSeconds seconds
+      """))
+  }
+
   /** Streaming orbital-phase scoring: tag each live event with its binary
     * phase (full eccentric model — FB or PB parameterized) and aggregate
     * per phase bin per watermarked window. The phase math is stateless

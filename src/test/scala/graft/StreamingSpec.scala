@@ -62,6 +62,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedByConfig joins streams on key + validity interval with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evMem = MemoryStream[Event]
+    val cfgMem = MemoryStream[(Long, Timestamp, String)]
+    val cfg = cfgMem.toDF().toDF("cfg_user_id", "cfg_ts", "cfg_name")
+    val q = EventStream.enrichedByConfig(evMem.toDF(), cfg, validSeconds = 3600)
+      .select("event_id", "cfg_name")
+      .writeStream.format("memory").queryName("enrich_out").outputMode(OutputMode.Append()).start()
+    try {
+      cfgMem.addData(
+        (1L, t("2024-01-01 09:30:00"), "cfgA"), // covers 09:30-10:30
+        (1L, t("2024-01-01 11:00:00"), "cfgB"), // covers 11:00-12:00
+        (2L, t("2024-01-01 00:00:00"), "cfgC"), // expired by event time
+      )
+      evMem.addData(
+        Event(1, t("2024-01-01 10:00:00"), 1, "click", 1.0), // inside cfgA only
+        Event(2, t("2024-01-01 11:30:00"), 1, "click", 2.0), // inside cfgB only
+        Event(3, t("2024-01-01 10:00:00"), 2, "view", 3.0),  // cfgC expired → no match
+      )
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, cfg_name FROM enrich_out")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "cfgA"), (2L, "cfgB")))
+    } finally q.stop()
+  }
+
   test("sessionized emits a session once its inactivity gap passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
