@@ -18,8 +18,8 @@ object Outliers {
     val w = Window.partitionBy(groupCols.map(col): _*)
     val v = col(valueCol)
     val n = count(v).over(w).cast("double")
-    val s = sum(v.cast("decimal(38,6)")).over(w).cast("double")
-    val s2 = sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    val s = sum(v.cast("decimal(18,6)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(18,6)")).over(w).cast("double")
     val mean = s / n
     val std = sqrt((s2 / n) - (s / n) * (s / n))
     df.withColumn("grp_mean", mean)
