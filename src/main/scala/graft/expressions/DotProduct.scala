@@ -50,45 +50,66 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case (DoubleType, DoubleType) => "dotDD"
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    fn match {
-      case "dotFF" => DotMath.dotFF(x, y)
-      case "dotFD" => DotMath.dotFD(x, y)
-      case "dotDF" => DotMath.dotDF(x, y)
-      case "dotDD" => DotMath.dotDD(x, y)
-    }
-  }
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], fn)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.DotMath$$.MODULE$$.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
+      s"""
+         |java.lang.Double $boxed = graft.expressions.DotMath$$.MODULE$$.dot($a, $b, "$fn");
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
 object DotMath {
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+
+  /** Null for ragged lengths or null elements — the same null-propagating
+    * semantics as the zip_with + aggregate composition this expression
+    * replaced (zip_with pads the shorter side with nulls, so a ragged or
+    * null-element pair folded to null instead of a silently-partial dot).
+    * One boxed Double per call; escape analysis removes it in the loop. */
+  def dot(a: ArrayData, b: ArrayData, fn: String): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    fn match {
+      case "dotFF" => dotFF(a, b, n)
+      case "dotFD" => dotFD(a, b, n)
+      case "dotDF" => dotFD(b, a, n)
+      case "dotDD" => dotDD(a, b, n)
+    }
+  }
+
+  private def dotFF(a: ArrayData, b: ArrayData, n: Int): Double = {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
 
-  def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  private def dotFD(a: ArrayData, b: ArrayData, n: Int): Double = {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
     acc
   }
 
-  def dotDF(a: ArrayData, b: ArrayData): Double = DotMath.dotFD(b, a)
-
-  def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  private def dotDD(a: ArrayData, b: ArrayData, n: Int): Double = {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -34,11 +34,13 @@ object Num {
 
   /** Exact population variance via decimal moments:
     * E[x^2] - E[x]^2 computed from exact sums (deterministic across engines,
-    * unlike built-in var_pop over doubles which is order-dependent). */
+    * unlike built-in var_pop over doubles which is order-dependent).
+    * The squared moment keeps the wide DECIMAL(38,6) cast: v² reaches 1e12
+    * already at |v| = 1e6, which would overflow the compact type. */
   def dvarPop(c: Column): Column = {
     val n  = count(c).cast("double")
     val s  = sum(c.cast(DecT)).cast("double")
-    val s2 = sum((c * c).cast(DecT)).cast("double")
+    val s2 = sum((c * c).cast("decimal(38,6)")).cast("double")
     (s2 / n) - (s / n) * (s / n)
   }
 

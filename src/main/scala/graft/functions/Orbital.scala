@@ -84,7 +84,11 @@ object Orbital {
     * binary_tools.py:216).
     *
     * FB branch: 2π·86400·Σᵢ FBᵢ·dt^(i+1)/(i+1)! — the integrated Taylor
-    * series of the orbital frequency (binary_tools.py:221-232). */
+    * series of the orbital frequency (binary_tools.py:221-232). Note the
+    * single ×86400 over the whole series mirrors the reference EXACTLY,
+    * including for i ≥ 1 where a dimensionally-strict form would scale
+    * each term by 86400^(i+1); parity with the reference's numbers is the
+    * contract here, so the quirk is reproduced, not "fixed". */
   def meanAnomaly(dtDays: Column, pars: BinaryPars): Column =
     if (pars.fb.nonEmpty) {
       val series = pars.fb.zipWithIndex.map { case (fbi, i) =>

@@ -79,7 +79,9 @@ object Multimodal {
       var i = 2
       while (i + 3 < b.length && u8(b, i) == 0xff) {
         val code = u8(b, i + 1)
-        if (code == 0xd8 || (code >= 0xd0 && code <= 0xd7) || code == 0x01 || code == 0xff) {
+        if (code == 0xff) {
+          i += 1 // 0xFF fill/padding byte: the next byte may itself be the marker
+        } else if (code == 0xd8 || (code >= 0xd0 && code <= 0xd7) || code == 0x01) {
           i += 2 // standalone marker, no length field
         } else {
           val len = be16(b, i + 2)

@@ -174,6 +174,14 @@ object AsOfMerge {
     def lAttr(name: String): Attribute =
       lPlan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"left column $name not found"))
+    // The merge builds key/time orderings from the left side's types and
+    // applies them to right rows — mixed types (e.g. TIMESTAMP_NTZ vs
+    // TIMESTAMP) would compare garbage silently; fail loudly instead.
+    require(lAttr(leftKey).dataType == rAttr(rightKey).dataType,
+      s"as-of key types differ: ${lAttr(leftKey).dataType} vs ${rAttr(rightKey).dataType}")
+    require(lAttr(leftTime).dataType == rAttr(rightTime).dataType,
+      s"as-of time types differ: ${lAttr(leftTime).dataType} vs ${rAttr(rightTime).dataType} " +
+        "(cast explicitly, e.g. parquet-naive timestamps arrive as TIMESTAMP_NTZ)")
     val carryExprs = rAttr(rightTime) +: rightCols.map(rAttr)
     // fresh output attributes: same types, nullable (unmatched → null)
     val carryAttrs = ("asof_time" +: rightCols).zip(carryExprs).map { case (n, e) =>

@@ -38,9 +38,10 @@ object Catalogs {
     * (fluxcal_meerkat.py:239-249). Catalogue is broadcast. */
   def withTskyUhf(obs: DataFrame, psrCol: String, catalog: DataFrame,
                   defaultK: Double = TskyUhfDefaultK): DataFrame = {
-    val dim = broadcast(catalog.select(col("name"), col("value").as("__tsky")))
-    obs.join(dim, obs(psrCol) === dim("name"), "left")
-      .drop("name")
+    // key column aliased so dropping it can't eat an obs column named "name"
+    val dim = broadcast(catalog.select(col("name").as("__cat_name"), col("value").as("__tsky")))
+    obs.join(dim, obs(psrCol) === dim("__cat_name"), "left")
+      .drop("__cat_name")
       .withColumn("tsky_k", coalesce(col("__tsky"), lit(defaultK)))
       .withColumn("tsky_jy", col("tsky_k") * lit(GainG))
       .drop("__tsky")
@@ -50,9 +51,9 @@ object Catalogs {
     * correction) when the pulsar is uncatalogued. Catalogue is broadcast. */
   def withRm(obs: DataFrame, psrCol: String, catalog: DataFrame,
              default: Double = 0.0): DataFrame = {
-    val dim = broadcast(catalog.select(col("name"), col("value").as("__rm")))
-    obs.join(dim, obs(psrCol) === dim("name"), "left")
-      .drop("name")
+    val dim = broadcast(catalog.select(col("name").as("__cat_name"), col("value").as("__rm")))
+    obs.join(dim, obs(psrCol) === dim("__cat_name"), "left")
+      .drop("__cat_name")
       .withColumn("rm", coalesce(col("__rm"), lit(default)))
       .drop("__rm")
   }

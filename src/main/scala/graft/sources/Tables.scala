@@ -38,11 +38,14 @@ object Tables {
     * few splits to feed them (a small local parquet file is ONE split,
     * serializing e.g. a 30-iteration Newton solve or per-doc string
     * munging onto a single task). On a cluster the scan is already
-    * parallel (parts >= cores) and this is a no-op — no extra shuffle at
-    * scale. */
+    * parallel (many files/splits) and this is a no-op — no extra shuffle
+    * at scale. The probe counts input FILES (cheap plan walk) rather than
+    * calling df.rdd, which would force full physical planning + RDD DAG
+    * construction per query build; an in-memory relation (no files) also
+    * gets the repartition, which is harmless at test sizes. */
   def parallelized(df: DataFrame, keyCol: String): DataFrame = {
-    val parts = df.rdd.getNumPartitions
+    val files = df.inputFiles.length
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (parts * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
+    if (files * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
   }
 }

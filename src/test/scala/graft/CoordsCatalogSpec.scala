@@ -65,6 +65,14 @@ class CoordsCatalogSpec extends SparkSpec {
     assert(out("J9999-9999") == ((5.5, 5.5 * 19.0))) // default cold sky
   }
 
+  test("catalogue joins don't clobber an obs column named 'name'") {
+    val cat = Catalogs.fromText(spark, "J0001+0001 9.3\n")
+    val obs = Seq(("J0001+0001", "obsA")).toDF("psr", "name")
+    val out = Catalogs.withTskyUhf(obs, "psr", cat)
+    assert(out.columns.contains("name"))
+    assert(out.select("name").as[String].head() == "obsA")
+  }
+
   test("RM catalogue joins as a broadcast dim with zero default") {
     val cat = Catalogs.fromText(spark, "J0001+0001 18.4888\n")
     val obs = Seq("J0001+0001", "J9999-9999").toDF("psr")

@@ -6,13 +6,42 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Interpolate, Sessionize}
 
-/** Equal-timestamp rows must not make window-ordered operators
-  * nondeterministic: with a tiebreak column the output is identical across
-  * arbitrary repartitionings of the input. */
+/** The engine's determinism guarantees: (a) results are bit-identical
+  * under any partitioning (the decimal-aggregate policy, Num.scala),
+  * verified by running oracle-backed queries under 2 vs 17 shuffle
+  * partitions; (b) equal-timestamp rows must not make window-ordered
+  * operators nondeterministic — with a tiebreak column the output is
+  * identical across arbitrary repartitionings of the input. */
 class DeterminismSpec extends SparkSpec {
   import spark.implicits._
 
   private def t(s: String) = Timestamp.valueOf(s)
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("aggregate queries are bitwise partition-count invariant") {
+    val names = Seq("q01_profile_stats", "q16_cumulative_snr", "q20_sigma_clip",
+      "q38_cosine_topk", "q44_ivf_assign")
+    val dir = "/root/testdata/sf0.001"
+    names.foreach { name =>
+      val fn = graft.queries.Queries.queryMap(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = rowsOf(fn(spark, dir))
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = rowsOf(fn(spark, dir))
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$name differs across partition counts")
+    }
+  }
+
+  test("events loader works on a session without the nanos conf preset") {
+    val fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val df = graft.sources.Tables.events(fresh, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.count() > 0)
+  }
 
   // Three rows share one timestamp; values differ so neighbor picks and
   // lag() results depend on intra-ts order.

@@ -51,6 +51,13 @@ class MultimodalSpec extends SparkSpec {
     // unknown payloads stay unparsed
     assert(ImageHeader.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
+
+    // 0xFF fill bytes between segments (legal JPEG padding) don't desync
+    val padded = Array[Int](0xff, 0xd8,
+      0xff, /* single fill byte */
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x10, 0x00, 0x20,
+      0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(ImageHeader.parse(padded) == Some(("jpeg", 32, 16)))
   }
 
   test("annotateDims fills dimensions from payload headers, keeps fallback otherwise") {

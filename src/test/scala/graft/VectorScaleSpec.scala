@@ -38,6 +38,21 @@ class VectorScaleSpec extends SparkSpec {
     assert(out == ((11.0, 11.0, 25.0)))
   }
 
+  test("native DotProduct null-propagates on ragged lengths and null elements (zip_with parity)") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),        // clean → 11.0
+      (2L, Array(1.0f, 2.0f, 9.0f), Array(3.0f, 4.0f)),  // ragged → null
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), DotProduct.of(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(11.0))
+    assert(out(2L).isEmpty)
+    // null element → null, like the zip_with composition it replaced
+    val withNull = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, " +
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+    assert(withNull.select(DotProduct.of(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("q38's physical plan uses the bounded-heap TopK operator, not a full window sort") {
     val df = SparkEntry.queries("q38_cosine_topk")(spark, "/root/testdata/sf0.001")
     val execs = df.queryExecution.sparkPlan.collect { case e: TopKPerKeyExec => e }
