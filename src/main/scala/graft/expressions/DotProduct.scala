@@ -52,14 +52,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], fn)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    fn match {
+      case "dotFF" => DotMath.dotFF(x, y)
+      case "dotFD" => DotMath.dotFD(x, y)
+      case "dotDF" => DotMath.dotDF(x, y)
+      case "dotDD" => DotMath.dotDD(x, y)
+    }
+  }
 
+  // Static dispatch: the method name is resolved once at codegen time, so
+  // the per-row path is a single monomorphic call with no string match.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val boxed = ctx.freshName("dotBoxed")
       s"""
-         |java.lang.Double $boxed = graft.expressions.DotMath$$.MODULE$$.dot($a, $b, "$fn");
+         |java.lang.Double $boxed = graft.expressions.DotMath$$.MODULE$$.$fn($a, $b);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -72,47 +82,51 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Null for ragged lengths or null elements — the same null-propagating
+  * semantics as the zip_with + aggregate composition this expression
+  * replaced. The null check is folded into the single accumulation pass
+  * (one walk over the arrays); the boxed result is the nullability
+  * carrier and is elided by escape analysis on the hot non-null path. */
 object DotMath {
 
-  /** Null for ragged lengths or null elements — the same null-propagating
-    * semantics as the zip_with + aggregate composition this expression
-    * replaced (zip_with pads the shorter side with nulls, so a ragged or
-    * null-element pair folded to null instead of a silently-partial dot).
-    * One boxed Double per call; escape analysis removes it in the loop. */
-  def dot(a: ArrayData, b: ArrayData, fn: String): java.lang.Double = {
+  def dotFF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
+    var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    fn match {
-      case "dotFF" => dotFF(a, b, n)
-      case "dotFD" => dotFD(a, b, n)
-      case "dotDF" => dotFD(b, a, n)
-      case "dotDD" => dotDD(a, b, n)
+    acc
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
     }
-  }
-
-  private def dotFF(a: ArrayData, b: ArrayData, n: Int): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
 
-  private def dotFD(a: ArrayData, b: ArrayData, n: Int): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
-    acc
-  }
+  def dotDF(a: ArrayData, b: ArrayData): java.lang.Double = dotFD(b, a)
 
-  private def dotDD(a: ArrayData, b: ArrayData, n: Int): Double = {
+  def dotDD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }

@@ -13,15 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Num {
 
-  /** Per-row cast type: scale 6 like the oracle's DECIMAL(38,6) — the
-    * rounded values are identical because rounding depends only on the
-    * scale — but precision 18 so Spark's Decimal stays in its compact
-    * unscaled-long representation instead of BigDecimal (the sum result
-    * widens to DECIMAL(28,6): exact up to 1e22, far above any group sum —
-    * 1e12 rows × 1e6 magnitude = 1e18). Inputs must fit 12 integer
-    * digits, which every measure column here does by orders of
-    * magnitude. */
-  private val DecT = "decimal(18,6)"
+  /** Per-row cast type. DECIMAL(38,6) handles |v| up to 1e32: a narrower
+    * compact type (18,6) was tried for the unscaled-long fast path but
+    * reverted — it cliffs at |v| = 1e12 (ANSI: CAST_OVERFLOW kills the
+    * query; non-ANSI: the null'd cast makes davg silently skew because
+    * count(c) still counts the row), and the speedup was not measurable
+    * above run-to-run noise. Safety wins for a library-wide helper. */
+  private val DecT = "decimal(38,6)"
 
   /** Order-independent exact sum: cast each double to scale-6 decimal, sum
     * exactly, return as double. */
@@ -34,13 +32,11 @@ object Num {
 
   /** Exact population variance via decimal moments:
     * E[x^2] - E[x]^2 computed from exact sums (deterministic across engines,
-    * unlike built-in var_pop over doubles which is order-dependent).
-    * The squared moment keeps the wide DECIMAL(38,6) cast: v² reaches 1e12
-    * already at |v| = 1e6, which would overflow the compact type. */
+    * unlike built-in var_pop over doubles which is order-dependent). */
   def dvarPop(c: Column): Column = {
     val n  = count(c).cast("double")
     val s  = sum(c.cast(DecT)).cast("double")
-    val s2 = sum((c * c).cast("decimal(38,6)")).cast("double")
+    val s2 = sum((c * c).cast(DecT)).cast("double")
     (s2 / n) - (s / n) * (s / n)
   }
 

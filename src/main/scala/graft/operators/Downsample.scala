@@ -26,7 +26,7 @@ object Downsample {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
       .rowsBetween(-(width - 1), Window.currentRow)
     df.withColumn("smooth",
-      sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double") /
+      sum(col(valueCol).cast("decimal(38,6)")).over(w).cast("double") /
         count(col(valueCol)).over(w))
   }
 }

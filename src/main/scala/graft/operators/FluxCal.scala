@@ -30,9 +30,10 @@ object FluxCal {
       .when(bw === "875.0" && freq < 2845.0 && freq > 2841.0, "SBAND_3")
       .when(bw === "875.0" && freq < 3064.0 && freq > 3060.0, "SBAND_4")
 
-  /** Antenna gain and the LBAND/UHF constants of fluxcal_meerkat.py. */
-  val G = 19.0
+  /** LBAND/UHF constants of fluxcal_meerkat.py; the antenna gain G lives
+    * in Catalogs.GainG (shared with the UHF Tsky conversion). */
   val LbandTskyDefaultMilliK = 3400.0     // fluxcal_meerkat.py:156
+  val LbandZeroLevelMilliK = 3372.0       // SARAO zero-level offset (:224)
   val LbandScaling = 1.7202               // "new conversion - Jan 2022" (:225)
   val LbandSefd = 390.0                   // :264
   val UhfTsys = 18.5                      // :267
@@ -63,15 +64,18 @@ object FluxCal {
     val withGrid = GridLookup.nearest(banded, tskyGrid.withColumnRenamed("tsky_mk", "v"),
         col("rajd"), col("decjd"), ax1, ax2, "v", default = LbandTskyDefaultMilliK)
       .withColumnRenamed("looked_up", "tsky_mk")
-    // UHF: per-pulsar catalogue recall with cold-sky default (:231-249)
+    // UHF: per-pulsar catalogue recall with cold-sky default (:231-249);
+    // withTskyUhf already attaches the K→Jy conversion as tsky_jy, which
+    // the LBAND branch overrides with the grid-based mK→Jy formula
     val withTsky = Catalogs.withTskyUhf(withGrid, "psr", uhfCat)
       .withColumn("tsky_jy",
         when(col("band") === "LBAND",
-          lit(LbandScaling) * (col("tsky_mk") - lit(3372.0)) * lit(G / 1000.0))
-          .when(col("band") === "UHF", col("tsky_k") * lit(G)))
+          lit(LbandScaling) * (col("tsky_mk") - lit(LbandZeroLevelMilliK)) *
+            lit(Catalogs.GainG / 1000.0))
+          .when(col("band") === "UHF", col("tsky_jy")))
       .withColumn("sefd",
         when(col("band") === "LBAND", lit(LbandSefd))
-          .when(col("band") === "UHF", lit(UhfTsys * G)))
+          .when(col("band") === "UHF", lit(UhfTsys * Catalogs.GainG)))
       .withColumn("ssys", (col("sefd") + col("tsky_jy")) / col("nant"))
       .withColumn("expected_rms",
         col("ssys") / sqrt(lit(2.0) * col("obs_bw") / col("nchan") * col("tobs") / col("nbin")))
@@ -83,6 +87,9 @@ object FluxCal {
     val hi = when(col("band") === "LBAND", LbandWindow._2).otherwise(UhfWindow._2)
     val w = Window.partitionBy("obs_id").orderBy(col("offrms"), col("chan_freq"))
     val medians = banded.select(col("obs_id").as("rms_obs_id"), col("band"))
+      // only LBAND/UHF run get_median_offrms in the reference; SBAND and
+      // unknown bands never reach the observed-RMS computation
+      .filter(col("band").isin("LBAND", "UHF"))
       .join(chanRms, col("rms_obs_id") === chanRms("obs_id"))
       .filter(col("chan_freq") >= lo && col("chan_freq") < hi)
       .withColumn("rn", row_number().over(w))

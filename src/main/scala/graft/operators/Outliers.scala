@@ -18,9 +18,7 @@ object Outliers {
     val w = Window.partitionBy(groupCols.map(col): _*)
     val v = col(valueCol)
     val n = count(v).over(w).cast("double")
-    val s = sum(v.cast("decimal(18,6)")).over(w).cast("double")
-    // squared moment needs the wide type: v² overflows 12 integer digits
-    // already at |v| = 1e6
+    val s = sum(v.cast("decimal(38,6)")).over(w).cast("double")
     val s2 = sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
     val mean = s / n
     val std = sqrt((s2 / n) - (s / n) * (s / n))

@@ -176,10 +176,14 @@ object AsOfMerge {
         throw new IllegalArgumentException(s"left column $name not found"))
     // The merge builds key/time orderings from the left side's types and
     // applies them to right rows — mixed types (e.g. TIMESTAMP_NTZ vs
-    // TIMESTAMP) would compare garbage silently; fail loudly instead.
-    require(lAttr(leftKey).dataType == rAttr(rightKey).dataType,
+    // TIMESTAMP, or decimals across the compact/bytes layout boundary)
+    // would compare garbage silently; fail loudly instead. sameType
+    // ignores only nullability, which has no layout impact.
+    def compat(a: org.apache.spark.sql.types.DataType, b: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.types.DataType.equalsStructurally(a, b, ignoreNullability = true)
+    require(compat(lAttr(leftKey).dataType, rAttr(rightKey).dataType),
       s"as-of key types differ: ${lAttr(leftKey).dataType} vs ${rAttr(rightKey).dataType}")
-    require(lAttr(leftTime).dataType == rAttr(rightTime).dataType,
+    require(compat(lAttr(leftTime).dataType, rAttr(rightTime).dataType),
       s"as-of time types differ: ${lAttr(leftTime).dataType} vs ${rAttr(rightTime).dataType} " +
         "(cast explicitly, e.g. parquet-naive timestamps arrive as TIMESTAMP_NTZ)")
     val carryExprs = rAttr(rightTime) +: rightCols.map(rAttr)

@@ -133,7 +133,7 @@ object SignalQueries {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
-        .withColumn("cum_value", sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("cum_value", sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
         .withColumn("snr_cumulative", sqrt(col("cum_value")))
         .select("event_id", "user_id", "cum_value", "snr_cumulative")
     },

@@ -38,14 +38,17 @@ object Tables {
     * few splits to feed them (a small local parquet file is ONE split,
     * serializing e.g. a 30-iteration Newton solve or per-doc string
     * munging onto a single task). On a cluster the scan is already
-    * parallel (many files/splits) and this is a no-op — no extra shuffle
-    * at scale. The probe counts input FILES (cheap plan walk) rather than
-    * calling df.rdd, which would force full physical planning + RDD DAG
-    * construction per query build; an in-memory relation (no files) also
-    * gets the repartition, which is harmless at test sizes. */
+    * parallel and this is a no-op — no extra shuffle at scale.
+    *
+    * The split count is estimated from the optimizer's size statistics /
+    * maxPartitionBytes: a file COUNT would misjudge one large splittable
+    * file as serial (forcing a full at-scale shuffle), and probing df.rdd
+    * would pay physical planning + RDD DAG construction per query build. */
   def parallelized(df: DataFrame, keyCol: String): DataFrame = {
-    val files = df.inputFiles.length
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (bytes / BigInt(math.max(1L, conf.filesMaxPartitionBytes))) + 1
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (files * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
+    if (estSplits * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
   }
 }

@@ -17,8 +17,10 @@ class DeterminismSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
-  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted multiset, not a Set: a partitioning-sensitive duplication bug
+  // must not collapse away
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   test("aggregate queries are bitwise partition-count invariant") {
     val names = Seq("q01_profile_stats", "q16_cumulative_snr", "q20_sigma_clip",
