@@ -62,21 +62,42 @@ final case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Rows pass through unchanged, so the child's partitioning survives —
+  // without this the Window above a rank-filter rewrite would see
+  // UnknownPartitioning and insert a second, redundant exchange.
+  override def outputPartitioning = child.outputPartitioning
+
+  /** Map-side heap-count cap for the PARTIAL phase: when a task sees more
+    * distinct keys than this, the current heaps are flushed downstream
+    * and the map restarts — partial pruning is advisory (the final phase
+    * enforces exact top-k), so a flush trades pruning for bounded memory
+    * exactly like HashAggregate's fallback. The FINAL phase is exact and
+    * must hold one k-row heap per key in its partition: O(keys·k) rows,
+    * which is never more than the rows a window sort would buffer. */
+  private val MaxPartialHeaps = 1 << 16
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
       // heap root = worst kept row (reverse order), evicted on better rows
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      val flushed = mutable.ArrayBuffer.empty[InternalRow]
       iter.foreach { row =>
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (isPartial && heaps.size >= MaxPartialHeaps) {
+              // bounded-memory fallback: emit current partial results
+              heaps.valuesIterator.foreach(h => flushed ++= h.iterator.asScala)
+              heaps.clear()
+            }
             val h = new java.util.PriorityQueue[InternalRow](kk,
               (a: InternalRow, b: InternalRow) => ord.compare(b, a))
             heaps.put(key.copy(), h)
@@ -88,7 +109,7 @@ final case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.asScala)
+      flushed.iterator ++ heaps.valuesIterator.flatMap(_.iterator.asScala)
     }
   }
 
@@ -111,6 +132,7 @@ object TopK {
     * built directly, keeping the ColumnNode layer (non-serializable in
     * Spark 4) out of the physical plan's closures. */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Sort], k: Int): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k") // PriorityQueue rejects capacity < 1
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy

@@ -24,13 +24,13 @@ object Catalogs {
     * Kelvin (fluxcal_meerkat.py:234). */
   val TskyUhfDefaultK = 5.5
 
-  /** Parse `NAME VALUE` catalogue text into a (name, value) DataFrame. */
-  def fromText(spark: SparkSession, text: String,
-               valueCol: String = "value"): DataFrame = {
+  /** Parse `NAME VALUE` catalogue text into a (name, value) DataFrame —
+    * the fixed schema the join helpers below consume. */
+  def fromText(spark: SparkSession, text: String): DataFrame = {
     import spark.implicits._
     HeaderFile.parse(text).toSeq
       .map { case (k, v) => (k, v.toDouble) }
-      .toDF("name", valueCol)
+      .toDF("name", "value")
   }
 
   /** Attach `tsky_k` and `tsky_jy` from the UHF Tsky catalogue: recalled

@@ -14,7 +14,9 @@ object DynspecFile {
   /** Distributed parse of one or many dynspec files. */
   def load(spark: SparkSession, path: String): DataFrame = {
     spark.read.text(path)
-      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      // trim before the comment test: np.loadtxt also accepts
+      // whitespace-indented comment lines
+      .filter(!trim(col("value")).startsWith("#") && length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("f"))
       .filter(size(col("f")) >= 6)
       .select(
@@ -28,10 +30,12 @@ object DynspecFile {
       .withColumn("zapped", col("flux") === 0.0 && col("flux_err") === 0.0)
   }
 
-  /** Zapped-cell fraction (archive_utils.py:118), distributed. */
+  /** Zapped-cell fraction (archive_utils.py:118), distributed. An empty
+    * dynspec (headers only) yields 0.0 rather than a null-unboxing NPE. */
   def zapFraction(dynspec: DataFrame): Double = {
     val row = dynspec.agg(
-      (sum(col("zapped").cast("long")).cast("double") / count(lit(1))).as("frac"))
+      coalesce(sum(col("zapped").cast("long")).cast("double") / count(lit(1)), lit(0.0))
+        .as("frac"))
       .head()
     row.getDouble(0)
   }

@@ -55,12 +55,16 @@ object ParFile {
     text.linesIterator.flatMap(parseLine).toSeq
 
   /** Distributed load: one or many .par files → a DataFrame of entries
-    * (param, raw, valueType, numValue, err, source_file). */
+    * (param, raw, valueType, numValue, err, source_file) — source_file
+    * keeps multi-file loads separable per pulsar. */
   def load(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path)
-      .flatMap(l => parseLine(l))
-      .toDF()
+    val lines = spark.read.textFile(path)
+      .withColumn("source_file", org.apache.spark.sql.functions.input_file_name())
+      .as[(String, String)]
+    lines
+      .flatMap { case (l, f) => parseLine(l).map(e => (e.param, e.raw, e.valueType, e.numValue, e.err, f)) }
+      .toDF("param", "raw", "valueType", "numValue", "err", "source_file")
   }
 
   /** Convenience: entries → (param → numeric value) map, like the

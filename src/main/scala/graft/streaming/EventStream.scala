@@ -31,35 +31,55 @@ object EventStream {
 
   /** Inactivity-gap sessionization with explicit state
     * (flatMapGroupsWithState): emits a session when the gap exceeds
-    * `gapSeconds`. Event-time processing; per-key state is a single
-    * running session — O(1) per key. */
-  def sessionized(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    * `gapSeconds`, or when the event-time watermark passes the open
+    * session's gap horizon (EventTimeTimeout) — so a user who goes quiet
+    * still gets their final session emitted and their state entry
+    * removed; state stays bounded by the active-user population.
+    * Late events inside an open session extend it monotonically
+    * (max end / min start): a cross-batch straggler can never move the
+    * session end backwards and corrupt later gap checks. */
+  def sessionized(events: Dataset[Event], gapSeconds: Long,
+                  watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
 
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Sort this micro-batch's events by time (micro-batches are small).
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.endMs <= gapMs =>
-                cur = Some(SessionState(st.startMs, t, st.n + 1, st.total + e.value))
-              case Some(st) =>
-                out += SessionOut(userId, new Timestamp(st.startMs), new Timestamp(st.endMs), st.n, st.total)
-                cur = Some(SessionState(t, t, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1L, e.value))
+          def close(st: SessionState) =
+            SessionOut(userId, new Timestamp(st.startMs), new Timestamp(st.endMs), st.n, st.total)
+          if (state.hasTimedOut) {
+            // watermark passed the gap horizon: flush and drop the state
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            // Sort this micro-batch's events by time (micro-batches are small).
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.endMs <= gapMs =>
+                  cur = Some(SessionState(math.min(st.startMs, t), math.max(st.endMs, t),
+                    st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  out += close(st)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.endMs + gapMs)
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -71,11 +91,17 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** File-source stream over the events layout (parquet dir → stream). */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over the events layout (parquet dir → stream).
+    * The layout carries TIMESTAMP(NANOS), which Spark can only read as
+    * long — mirror Tables.events: declare BIGINT, convert to micros
+    * TimestampType (lossless for the micro-aligned driver data). */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Watermarked stream-stream interval join: each event joins config
     * records of the same key whose validity window (`cfg_ts`,

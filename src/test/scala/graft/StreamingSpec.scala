@@ -107,6 +107,16 @@ class StreamingSpec extends SparkSpec {
       val sessions = spark.sql("SELECT user_id, n_events, sum_value FROM sess_out")
         .as[(Long, Long, Double)].collect().toSeq
       assert(sessions == Seq((7L, 2L, 3.0)))
+
+      // a quiet user's final session flushes once the watermark passes its
+      // gap horizon (EventTimeTimeout) — no new events for user 7 needed
+      mem.addData(Event(4, t("2024-01-01 14:00:00"), 99, "click", 9.0))
+      q.processAllAvailable() // advances the watermark past 11:00 + gap
+      mem.addData(Event(5, t("2024-01-01 14:01:00"), 99, "click", 9.0))
+      q.processAllAvailable() // timeout fires in the next micro-batch
+      val flushed = spark.sql("SELECT user_id, n_events, sum_value FROM sess_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(flushed.contains((7L, 1L, 4.0)), s"final session not flushed: $flushed")
     } finally q.stop()
   }
 }
