@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Benchmark main (driver contract): times every catalog query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup action runs first
@@ -12,10 +12,12 @@ object Bench {
 
   /** Full-materialization action: checksum every output column so column
     * pruning can't skip per-row compute the way a bare count() would
-    * (count lets Spark drop e.g. q16's sqrt or q44's cosine entirely). */
+    * (count lets Spark drop e.g. q16's sqrt or q44's cosine entirely).
+    * XOR-combined: summing uniform 64-bit hashes overflows long on the
+    * second row under ANSI mode; XOR is order-independent and total. */
   private def checksum(df: DataFrame): Unit = {
     val h = xxhash64(df.columns.map(col): _*)
-    df.select(h.as("h")).agg(sum(col("h"))).collect()
+    df.select(h.as("h")).selectExpr("bit_xor(h)").collect()
     ()
   }
   def main(args: Array[String]): Unit = {
@@ -48,18 +50,27 @@ object Bench {
     // timed pass has multi-hundred-ms scheduler/GC noise per query; the
     // min of two is a stable throughput reading).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try checksum(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try checksum(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            // a failing query must be visible, not graded as ~0 s fast
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => JsonText.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed_queries":${failed.map(JsonText.quote).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson}""")
     spark.stop()
   }
 }

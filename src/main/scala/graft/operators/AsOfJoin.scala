@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightTiebreak column resolving equal-timestamp right rows
-    *        deterministically (max wins). */
+    *        deterministically (max wins, in the column's own ordering —
+    *        the type is carried, not coerced, so string/long tiebreaks
+    *        keep their native order exactly like the merge exec). */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -37,30 +39,38 @@ object AsOfJoin {
 
     def rtype(name: String) = rightSchema(name).dataType
 
-    // Unified schema: all left columns + the carried right columns.
-    val taggedLeft = rightCols.foldLeft(left.withColumn("__tag", lit(1))) {
-      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(rtype(c)))
-    }.withColumn("__tb", lit(null).cast("double"))
+    // The carried right columns travel as ONE struct so the window fill
+    // below picks the most recent right ROW atomically — per-column
+    // ignoreNulls fills would stitch values from different rows whenever
+    // a carried column is null. The matched time rides in the struct too.
+    val carryType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__t", rightSchema(rightTime).dataType) +:
+        rightCols.map(c => org.apache.spark.sql.types.StructField(c, rtype(c))))
 
-    val tb = rightTiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0))
+    val taggedLeft = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType))
+      .withColumn("__tb",
+        rightTiebreak.map(c => lit(null).cast(rtype(c))).getOrElse(lit(null).cast("int")))
+
     val taggedRight = {
-      val base = right.select(
-        col(rightKey).as(leftKey) +:
-          col(rightTime).as(leftTime) +:
-          tb.as("__tb") +:
-          rightCols.map(c => col(c).as(s"__r_$c")): _*
-      ).withColumn("__tag", lit(0))
+      // null-time right rows can never satisfy rightTime <= leftTime;
+      // drop them (the merge exec filters identically)
+      val base = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+        .select(
+          col(rightKey).as(leftKey) +:
+            col(rightTime).as(leftTime) +:
+            rightTiebreak.map(c => col(c).as("__tb")).getOrElse(lit(0).as("__tb")) +:
+            struct(col(rightTime).as("__t") +: rightCols.map(col): _*).as("__carry") +: Nil: _*
+        ).withColumn("__tag", lit(0))
       // null-fill the left-only columns
       leftCols.filterNot(c => c == leftKey || c == leftTime).foldLeft(base) {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
 
-    val unioned = taggedLeft.select(
-      (leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c")) :+ col("__tb") :+ col("__tag")): _*
-    ).unionByName(taggedRight.select(
-      (leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c")) :+ col("__tb") :+ col("__tag")): _*
-    ))
+    val shape = leftCols.map(col) :+ col("__carry") :+ col("__tb") :+ col("__tag")
+    val unioned = taggedLeft.select(shape: _*).unionByName(taggedRight.select(shape: _*))
 
     // Right rows sort before left rows at equal time (tag 0 < 1) so a
     // config taking effect exactly at the event time is visible to it.
@@ -68,19 +78,13 @@ object AsOfJoin {
       .orderBy(col(leftTime), col("__tag"), col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-
-    val out = filled.filter(col("__tag") === 1)
-    val matchTime = last(when(col("__tag") === 0, col(leftTime)), ignoreNulls = true).over(w)
-    val withMatch = filled
-      .withColumn("__match_time", matchTime)
+    val filled = unioned
+      .withColumn("__f", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
 
-    rightCols.foldLeft(withMatch) { (df, c) =>
-      df.withColumn(c, col(s"__f_$c")).drop(s"__r_$c", s"__f_$c")
-    }.withColumnRenamed("__match_time", "asof_time")
-      .drop("__tag", "__tb")
+    rightCols.foldLeft(
+      filled.withColumn("asof_time", col("__f.__t"))
+    ) { (df, c) => df.withColumn(c, col(s"__f.$c")) }
+      .drop("__tag", "__tb", "__carry", "__f")
   }
 }

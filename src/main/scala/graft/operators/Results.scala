@@ -19,7 +19,9 @@ object Results {
       .groupBy(col(keyCol))
       .pivot(nameCol, metricNames)
       .agg(first(col(valueCol)))
+    // keep null fields: the reference's results dict carries None for
+    // metrics a raw-only run didn't produce, serialized as JSON null
     wide.withColumn("results_json",
-      to_json(struct(metricNames.map(col): _*)))
+      to_json(struct(metricNames.map(col): _*), Map("ignoreNullFields" -> "false")))
   }
 }

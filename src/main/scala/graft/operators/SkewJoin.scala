@@ -18,6 +18,9 @@ object SkewJoin {
     *        rows (any high-cardinality column, e.g. the event id). */
   def salted(left: DataFrame, right: DataFrame, key: String,
              scatterCol: String, saltBuckets: Int): DataFrame = {
+    // saltBuckets = 0 would be pmod-by-zero (ANSI: runtime DIVIDE_BY_ZERO
+    // deep in the job) and a DESCENDING sequence(0, -1) on the right
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val l = left.withColumn("__salt", pmod(hash(col(scatterCol)), lit(saltBuckets)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -167,7 +167,11 @@ object AsOfMerge {
     val spark = left.sparkSession
     install(spark)
     val lPlan = Bridge.logicalPlan(left)
-    val rPlan = Bridge.logicalPlan(right)
+    // null-key rows can't join and null-time rows can never satisfy
+    // rightTime <= leftTime; drop them so the natural-ordering merge
+    // never compares against nulls (operators.AsOfJoin filters identically)
+    val rPlan = Bridge.logicalPlan(
+      right.filter(right(rightKey).isNotNull && right(rightTime).isNotNull))
     def rAttr(name: String): Attribute =
       rPlan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"right column $name not found"))

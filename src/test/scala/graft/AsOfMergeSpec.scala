@@ -53,14 +53,17 @@ class AsOfMergeSpec extends SparkSpec {
     ))
   }
 
-  test("agrees with the union+window formulation on randomized data") {
+  test("agrees with the union+window formulation on randomized data (incl. null carries)") {
     val rng = new scala.util.Random(11)
     val base = t("2024-01-01 00:00:00").getTime
     val left = (1 to 400).map { i =>
       (rng.nextInt(8).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), i.toLong)
     }.toDF("k", "ts", "lid")
+    // ~1/4 of carried values are null: the most recent right ROW must win
+    // atomically — a per-column fill would stitch values across rows
     val right = (1 to 300).map { i =>
-      (rng.nextInt(10).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), s"c$i", i.toLong)
+      val cfg = if (rng.nextInt(4) == 0) None else Some(s"c$i")
+      (rng.nextInt(10).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), cfg, i.toLong)
     }.toDF("rk", "rts", "cfg", "rid")
 
     val merge = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"))

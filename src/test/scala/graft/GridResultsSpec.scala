@@ -51,7 +51,7 @@ class GridResultsSpec extends SparkSpec {
     val rows = out.collect().map(r => r.getAs[String]("obs") -> r.getAs[String]("results_json")).toMap
     assert(rows("obsA").contains("\"sn\":42.5"))
     assert(rows("obsA").contains("\"percent_rfi_zapped\":0.07"))
-    assert(!rows("obsB").contains("flux")) // null metrics omitted by to_json
+    assert(rows("obsB").contains("\"flux\":null")) // reference writes nulls for raw-only runs
   }
 
   test("catalog smoke: every query builds and executes at sf0.001") {
