@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProduct
+
+/** Product quantization (PQ) — the standard compression for
+  * billion-vector ANN: split each embedding into `m` subvectors, learn a
+  * small per-subspace codebook with k-means, store each vector as `m`
+  * one-byte codes, and search with asymmetric distance (query kept
+  * full-precision, distances looked up per code). At 100 TB this turns a
+  * 256-byte float vector into m bytes and the scan into table lookups.
+  *
+  * Everything is DataFrame-composed: codebook training is a fixed number
+  * of Lloyd iterations (assign via broadcast + max-struct aggregate,
+  * update via exact decimal means), deterministic across partitionings;
+  * encode/search are per-row column math over broadcast codebooks.
+  */
+object Quantize {
+
+  /** Split `vecCol` (array<float|double>) into `m` equal subvectors:
+    * one row per (id, subspace, subvec). `dim` must divide by `m`. */
+  def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val slices = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        slice(col(vecCol), s * sub + 1, sub).cast("array<double>").as("subvec"))
+    }
+    df.select(col(idCol).as("id"), explode(array(slices: _*)).as("s"))
+      .select(col("id"), col("s.subspace").as("subspace"), col("s.subvec").as("subvec"))
+  }
+
+  /** Train per-subspace codebooks: `k` centroids per subspace via `iters`
+    * Lloyd iterations. Initial centroids are the subvectors of the `k`
+    * smallest ids (deterministic). Returns (subspace, code, centroid).
+    *
+    * Scale shape per iteration: centroids broadcast (m·k small arrays),
+    * assignment is a per-row argmin (no shuffle), update is one
+    * map-side-combining aggregate keyed on (subspace, code). */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    m: Int, dim: Int, k: Int, iters: Int = 3): DataFrame = {
+    val subs = subvectors(df, idCol, vecCol, m, dim).cache()
+    val init = subs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("id")))
+      .filter(col("rn") <= k)
+      .select(col("subspace"), (col("rn") - 1).cast("int").as("code"), col("subvec").as("centroid"))
+
+    (1 to iters).foldLeft(init) { (codebook, _) =>
+      val assigned = assignCodes(subs, codebook, "subvec")
+      // new centroid = exact mean of assigned subvectors, per component
+      val updated = assigned
+        .select(col("subspace"), col("code"), posexplode(col("subvec")).as(Seq("pos", "comp")))
+        .groupBy("subspace", "code", "pos")
+        .agg((sum(col("comp").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("subspace", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          f => f.getField("c")).as("centroid"))
+      // empty clusters keep their previous centroid
+      codebook.select(col("subspace"), col("code"), col("centroid").as("prev"))
+        .join(updated, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"), coalesce(col("centroid"), col("prev")).as("centroid"))
+    }
+  }
+
+  /** Nearest-code assignment for rows of (…, subspace, `vecField`):
+    * joins the broadcast codebook per subspace and picks the minimum
+    * squared-distance code via a max-struct aggregate (no window sort).
+    * Ties go to the smaller code. */
+  private def assignCodes(rows: DataFrame, codebook: DataFrame, vecField: String): DataFrame = {
+    val cb = broadcast(codebook.select(
+      col("subspace"), col("code").as("cb_code"), col("centroid")))
+    val d2 = sqDist(col(vecField), col("centroid"))
+    rows.join(cb, Seq("subspace"))
+      .withColumn("nd2", d2)
+      .groupBy(rows.columns.map(col): _*)
+      .agg(max(struct((-col("nd2")).as("neg"), (-col("cb_code")).as("negc"))).as("best"))
+      .withColumn("code", (-col("best.negc")).cast("int"))
+      .drop("best")
+  }
+
+  /** Squared L2 distance via dot products: |a|² − 2a·b + |b|². */
+  private def sqDist(a: Column, b: Column): Column =
+    DotProduct.of(a, a) - lit(2.0) * DotProduct.of(a, b) + DotProduct.of(b, b)
+
+  /** Encode every vector as its `m` codes: (id, codes array<int>). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val assigned = assignCodes(subvectors(df, idCol, vecCol, m, dim), codebook, "subvec")
+    assigned
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        f => f.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k: queries stay full precision; each encoded
+    * vector's distance is the sum over subspaces of the query-to-centroid
+    * distance of its code. The per-query distance table (m·k doubles)
+    * is built once via the broadcast codebook, then the encoded scan is
+    * per-row lookups — the rank filter rides the TopKPerKey rewrite. */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+              qIdCol: String, qVecCol: String, m: Int, dim: Int, k: Int): DataFrame = {
+    graft.plans.RankFilterToTopK_Install(queries.sparkSession)
+    // per (query, subspace, code): squared distance to that centroid
+    val qsubs = subvectors(queries, qIdCol, qVecCol, m, dim)
+      .select(col("id").as("q_id"), col("subspace"), col("subvec"))
+    val cb = broadcast(codebook)
+    val table = qsubs.join(cb, Seq("subspace"))
+      .select(col("q_id"), col("subspace"), col("code"),
+        sqDist(col("subvec"), col("centroid")).as("d2"))
+    // encoded rows explode to (id, subspace, code) and look up d2
+    val lookups = encoded
+      .select(col("id").as("t_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
+    lookups.join(broadcast(table), Seq("subspace", "code"))
+      .groupBy("q_id", "t_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "adc_d2", "rank")
+  }
+}

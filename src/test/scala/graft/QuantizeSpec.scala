@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantize
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(5)
+  private val dim = 16
+  private val m = 4
+  private val k = 4
+
+  // two well-separated clusters per subspace so Lloyd converges fast
+  private def vec(center: Float): Array[Float] =
+    Array.fill(dim)(center + 0.05f * rng.nextGaussian().toFloat)
+
+  private val data = ((1L to 12L).map(i => (i, vec(if (i % 2 == 0) 1.0f else -1.0f)))).toDF("vec_id", "embedding")
+
+  test("trainCodebook is deterministic and yields k centroids per subspace") {
+    val cb1 = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val cb2 = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(cb1 == cb2)
+    assert(cb1.keySet.map(_._1) == (0 until m).toSet)
+    assert(cb1.keySet.size == m * k)
+    assert(cb1.values.forall(_.length == dim / m))
+  }
+
+  test("encode emits m in-range codes; clusters map to distinct code words") {
+    // k=2 so each natural cluster owns exactly one code per subspace
+    val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k = 2)
+    val codes = Quantize.encode(data, "vec_id", "embedding", cb, m, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 12)
+    assert(codes.values.forall(c => c.length == m && c.forall(x => x >= 0 && x < 2)))
+    assert(codes(2L) == codes(4L))     // same cluster
+    assert(codes(1L) == codes(3L))     // same cluster
+    assert(codes(1L) != codes(2L))     // opposite clusters
+  }
+
+  test("adcTopK ranks by the exact asymmetric distance (re-derived scalar-side)") {
+    val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+    val encoded = Quantize.encode(data, "vec_id", "embedding", cb, m, dim)
+    val queries = data.filter(col("vec_id") === 1L)
+    val out = Quantize.adcTopK(queries, encoded, cb, "vec_id", "embedding", m, dim, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+
+    // scalar re-derivation of ADC distances
+    val cbMap = cb.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codesMap = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val q = data.filter(col("vec_id") === 1L).select("embedding").as[Array[Float]].head()
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = codesMap.map { case (tid, codes) =>
+      tid -> (0 until m).map { s =>
+        val qs = q.slice(s * (dim / m), (s + 1) * (dim / m)).map(_.toDouble).toSeq
+        d2(qs, cbMap((s, codes(s))))
+      }.sum
+    }
+    out.foreach { case (tid, got) =>
+      assert(math.abs(got - want(tid)) < 1e-9, s"t=$tid")
+    }
+    // top-ranked neighbors come from the query's own cluster
+    assert(out.take(3).forall(_._1 % 2 == 1))
+  }
+}
