@@ -103,6 +103,14 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stream-static enrichment: join a live stream against a broadcast
+    * dimension table (re-read per micro-batch for file sources, so
+    * dimension updates flow in). No stream state at all — the cheapest
+    * enrichment shape; use the interval join below only when the
+    * dimension itself is a stream. */
+  def enrichedStatic(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys)
+
   /** Watermarked stream-stream interval join: each event joins config
     * records of the same key whose validity window (`cfg_ts`,
     * `cfg_ts + validSeconds`) covers the event time. Both sides carry

@@ -22,11 +22,11 @@ class StreamingDedupSpec extends SparkSpec {
       Event(2, t("2024-01-01 10:01:00"), 2, "view", 2.0),
       Event(3, t("2024-01-01 10:02:00"), 9, "view", 3.0), // no dim row
     )
-    val q = mem.toDF().join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
-      .writeStream.format("memory").queryName("enrich_out").outputMode(OutputMode.Append()).start()
+    val q = EventStream.enrichedStatic(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("static_enrich_out").outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
-      val rows = spark.sql("SELECT event_id, tier FROM enrich_out")
+      val rows = spark.sql("SELECT event_id, tier FROM static_enrich_out")
         .as[(Long, String)].collect().toSet
       assert(rows == Set((1L, "gold"), (2L, "basic")))
     } finally q.stop()

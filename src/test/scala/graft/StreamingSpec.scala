@@ -70,7 +70,7 @@ class StreamingSpec extends SparkSpec {
     val cfg = cfgMem.toDF().toDF("cfg_user_id", "cfg_ts", "cfg_name")
     val q = EventStream.enrichedByConfig(evMem.toDF(), cfg, validSeconds = 3600)
       .select("event_id", "cfg_name")
-      .writeStream.format("memory").queryName("enrich_out").outputMode(OutputMode.Append()).start()
+      .writeStream.format("memory").queryName("cfg_enrich_out").outputMode(OutputMode.Append()).start()
     try {
       cfgMem.addData(
         (1L, t("2024-01-01 09:30:00"), "cfgA"), // covers 09:30-10:30
@@ -83,7 +83,7 @@ class StreamingSpec extends SparkSpec {
         Event(3, t("2024-01-01 10:00:00"), 2, "view", 3.0),  // cfgC expired → no match
       )
       q.processAllAvailable()
-      val rows = spark.sql("SELECT event_id, cfg_name FROM enrich_out")
+      val rows = spark.sql("SELECT event_id, cfg_name FROM cfg_enrich_out")
         .as[(Long, String)].collect().toSet
       assert(rows == Set((1L, "cfgA"), (2L, "cfgB")))
     } finally q.stop()
