@@ -129,6 +129,76 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard")) // using-joins reorder key cols
   }
 
+  /** Connected components over near-dup candidate pairs: every doc in the
+    * pair graph gets a `cluster_id` = the minimum doc id reachable through
+    * candidate edges. This is the step that turns pair *reports*
+    * (`minhashLsh` / `byEmbedding` / `jaccardVerify`) into keep/drop
+    * *decisions*: one survivor per cluster, everything else droppable —
+    * including transitive dups (A~B, B~C collapse even when A~C was never
+    * a candidate pair).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round a node's label becomes min(own, neighbors' labels), then
+    * label := label(label) (path halving), so convergence is
+    * O(log diameter) rounds — a 10⁶-long chain resolves in ~20 rounds,
+    * each round a bounded number of key-partitioned shuffles. Labels are
+    * `localCheckpoint`ed per round to truncate lineage (mandatory for
+    * iterative plans — otherwise round k re-executes rounds 1..k-1).
+    *
+    * Output: (`outId`, `outCluster`) for every node appearing in `pairs`.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                      outId: String = "doc_id", outCluster: String = "cluster_id",
+                      maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — don't re-run the pair pipeline
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
+        .groupBy("src").agg(min(col("dl")).as("nbr_min"))
+        .select(col("src").as("node"), col("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // Pointer jump (path halving): label := label(label). Labels are
+      // always node ids, so the self-join hits unless label is already a
+      // cluster root that only appears as a label — coalesce keeps it.
+      val jumped = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = jumped
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("node").as(outId), col("label").as(outCluster))
+  }
+
+  /** Survivor selection over a full corpus: each doc gets its near-dup
+    * `cluster_id` (itself when it appears in no candidate pair) and
+    * `keep` = 1 iff it is the cluster's minimum-id survivor — the same
+    * survivor policy as [[exact]]. `keep = 0` rows ARE the drop list. */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
     * cosine above `threshold` inside each bucket.
     *

@@ -261,5 +261,57 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45)
+  /** C24: near-dup cluster resolution + survivor selection — the step that
+    * turns q31's candidate-pair report into keep/drop decisions. LSH pairs
+    * → connected components (iterative min-label propagation, see
+    * `Dedup.resolveClusters`) → one min-id survivor per cluster; docs in no
+    * pair keep themselves. `keep = 0` rows are the drop list. The DuckDB
+    * oracle recomputes the same pair graph and resolves components with a
+    * recursive transitive-closure CTE. */
+  private val q47 = Q(
+    "q47_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
+      Dedup.survivors(docs, pairs, "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
+      sig AS (
+        SELECT doc,
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig),
+      pairs AS (
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM bands x JOIN bands y ON x.bd = y.bd AND x.doc < y.doc),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        CAST(d.doc_id = COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS keep
+      FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47)
 }

@@ -54,6 +54,34 @@ class DedupKnnSpec extends SparkSpec {
     assert(!verified.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("Dedup.resolveClusters collapses transitive chains (A~B, B~C, no A~C pair)") {
+    // 1-2 and 2-3 are candidate pairs but 1-3 never was; min-label
+    // propagation must still put all three in cluster 1. 7-8 is a
+    // separate component; 9 appears in no pair.
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val clusters = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("Dedup.resolveClusters handles long chains (pointer jumping) and empty input") {
+    // a 64-node path graph: naive propagation needs 63 rounds; pointer
+    // jumping must converge within the 25-round guard.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveClusters(chain).as[(Long, Long)].collect()
+    assert(labels.length == 64 && labels.forall(_._2 == 0L))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.resolveClusters(empty).isEmpty)
+  }
+
+  test("Dedup.survivors keeps one min-id doc per cluster; singletons keep themselves") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.survivors(docs, pairs, "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (9L, 9L, 1L)))
+  }
+
   test("Dedup.simhash: identical word sets share a fingerprint") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("doc_id", "text")
