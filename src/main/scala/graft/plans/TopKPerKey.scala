@@ -7,7 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -31,19 +31,24 @@ final case class TopKPerKeyPlan(
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
+    rankAttr: Option[Attribute] = None,
 ) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rankAttr is minted here, not derived from the child — without this
+  // CheckAnalysis flags MISSING_ATTRIBUTES on the replaced Window's rank.
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
 }
 
 /** Planner strategy: partial top-k → (exchange inserted by requirement) →
-  * final top-k. */
+  * final top-k. Only the final phase emits the rank column (when asked):
+  * partial-phase survivors aren't final ranks. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyPlan(keys, order, k, child, rankAttr) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, None, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -53,10 +58,11 @@ final case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan,
 ) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -82,6 +88,7 @@ final case class TopKPerKeyExec(
     val sortOrder = order
     val kk = k
     val isPartial = partial
+    val rankOut = rankAttr
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
@@ -109,7 +116,26 @@ final case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      flushed.iterator ++ heaps.valuesIterator.flatMap(_.iterator.asScala)
+      rankOut match {
+        case None =>
+          flushed.iterator ++ heaps.valuesIterator.flatMap(_.iterator.asScala)
+        case Some(attr) =>
+          // Final phase replacing a row_number Window: emit each key's ≤k
+          // survivors in sort order with their rank appended. Sorting k
+          // rows per key is O(keys·k log k) — the cost the rewrite saves
+          // is the O(n log n) sort of ALL candidate rows.
+          val outProj = UnsafeProjection.create(childOutput :+ attr, childOutput :+ attr)
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+          heaps.valuesIterator.flatMap { h =>
+            val arr = h.iterator.asScala.toArray
+            java.util.Arrays.sort(arr, ord)
+            arr.iterator.zipWithIndex.map { case (row, i) =>
+              rankRow.setInt(0, i + 1)
+              outProj(joined(row, rankRow))
+            }
+          }
+      }
     }
   }
 

@@ -27,7 +27,17 @@ class RankRewriteSpec extends SparkSpec {
     try {
       val rewritten = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
       val execs = rewritten.queryExecution.sparkPlan.collect { case e: TopKPerKeyExec => e }
-      assert(execs.nonEmpty, "expected TopKPerKeyExec below the window after rewrite")
+      assert(execs.nonEmpty, "expected TopKPerKeyExec after rewrite")
+      // the Window (and Spark's own WindowGroupLimit pruning) must be GONE:
+      // TopKPerKey replaces them and emits the rank itself — exactly one
+      // pruning mechanism, no per-key sort of the candidate set.
+      val sp = rewritten.queryExecution.executedPlan
+      assert(sp.collect { case e: org.apache.spark.sql.execution.window.WindowExec => e }.isEmpty,
+        "Window must be replaced, not kept above TopKPerKey")
+      assert(sp.collect { case e: org.apache.spark.sql.execution.window.WindowGroupLimitExec => e }.isEmpty,
+        "built-in WindowGroupLimit pruning must not stack on TopKPerKey")
+      assert(sp.collect { case e: org.apache.spark.sql.execution.SortExec => e }.isEmpty,
+        "no full map-side sort of the candidate set")
       // rank column survives and values are identical
       assert(rewritten.as[(String, Long, Double, Int)].collect().toSet == before)
     } finally {
