@@ -42,4 +42,26 @@ object Num {
 
   /** Exact population stddev from decimal moments. */
   def dstddevPop(c: Column): Column = sqrt(dvarPop(c))
+
+  // -------------------------------------------------------------------
+  // Production twins: plain double aggregates, same shapes as the d*
+  // versions. Decimal(38,6) sums cost ~10× a double sum (128-bit adds +
+  // per-row casts on the aggregation hot path); that price buys the
+  // bit-exact DuckDB parity the oracle gate needs, but an engine user
+  // who accepts float-sum order-dependence should get native speed. The
+  // oracle-checked catalog stays on d*; operators and the bench's
+  // `fast` variants use f*. (Same pairing as minhashLsh/minhashLshFast.)
+  // -------------------------------------------------------------------
+
+  /** Production sum (IEEE double accumulation, order-dependent). */
+  def fsum(c: Column): Column = sum(c)
+
+  /** Production average. */
+  def favg(c: Column): Column = avg(c)
+
+  /** Production population variance. */
+  def fvarPop(c: Column): Column = var_pop(c)
+
+  /** Production population stddev. */
+  def fstddevPop(c: Column): Column = stddev_pop(c)
 }

@@ -50,9 +50,17 @@ object Orbital {
   }
 
   /** T0 from an ELL1 (TASC, EPS1, EPS2) parameterization
-    * (`get_T0`, binary_tools.py:180): TASC + arctan/OMB, OMB = 2π/PB. */
+    * (`get_T0`, binary_tools.py:180): TASC + arctan/OMB. OMB comes from
+    * the full parameter set (`get_OMB`, binary_tools.py:148), so a
+    * TASC+FB ephemeris converts with the FB-based orbital frequency —
+    * not the 2π/PB shortcut, which is subtly wrong when PB is merely the
+    * derived 1/(86400·FB0) rounded in the par file. */
+  def t0FromTasc(tascMjd: Double, eps1: Double, eps2: Double, pars: BinaryPars): Double =
+    tascMjd + ell1Arctan(eps1, eps2) / ombRadPerDay(pars)
+
+  /** Convenience overload for PB-only ephemerides (OMB = 2π/PB). */
   def t0FromTasc(tascMjd: Double, eps1: Double, eps2: Double, pbDays: Double): Double =
-    tascMjd + ell1Arctan(eps1, eps2) / (2 * math.Pi / pbDays)
+    t0FromTasc(tascMjd, eps1, eps2, BinaryPars(pbDays = pbDays, t0Mjd = 0.0, ecc = 0.0))
 
   /** Binary-model parameters (BT-style subset; ELL1 callers convert via
     * eccEll1/TASC first, as `get_T0` does, binary_tools.py:180).

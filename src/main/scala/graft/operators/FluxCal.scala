@@ -108,4 +108,23 @@ object FluxCal {
       .select("obs_id", "psr", "band", "tsky_jy", "ssys",
         "expected_rms", "observed_rms", "multiplier")
   }
+
+  /** The apply step — the reference's ACTUAL output (`fluxcalibrate`,
+    * scripts/fluxcal_meerkat.py:344): every decimated product is scaled
+    * in place by its observation's multiplier (`pam --mult … -e fluxcal`).
+    * Distributed form: broadcast the (one-row-per-observation) multiplier
+    * table and scale `valueCols` — no shuffle of the big value table at
+    * any scale. Rows whose observation has no multiplier pass through
+    * unscaled, mirroring the reference only rewriting archives it
+    * calibrated. */
+  def applyMultipliers(values: DataFrame, multipliers: DataFrame,
+                       valueCols: Seq[String], obsIdCol: String = "obs_id"): DataFrame = {
+    val m = broadcast(
+      multipliers.select(col(obsIdCol).as("__mult_obs_id"), col("multiplier")))
+    val joined = values.join(m, values(obsIdCol) === col("__mult_obs_id"), "left")
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(col("multiplier").isNotNull, col(c) * col("multiplier")).otherwise(col(c)))
+    }.drop("__mult_obs_id", "multiplier")
+  }
 }

@@ -18,13 +18,22 @@ object Interpolate {
   def refillLinear(df: DataFrame, key: String, ts: String, valueCol: String,
                    isMissing: Column, tiebreak: Seq[String] = Nil): DataFrame = {
     val good = when(!isMissing, col(valueCol))
-    val order = (col(ts) +: tiebreak.map(col)).map(_.asc)
-    val before = Window.partitionBy(key).orderBy(order: _*)
+    val fwd = (col(ts) +: tiebreak.map(col)).map(_.asc)
+    val rev = (col(ts) +: tiebreak.map(col)).map(_.desc)
+    // Both neighbor lookups are RUNNING frames (unboundedPreceding → -1):
+    // Spark evaluates those incrementally in O(n) per partition. The
+    // backward neighbor uses a REVERSE-ordered running frame — the obvious
+    // `rowsBetween(1, unboundedFollowing)` + first(ignoreNulls) re-scans
+    // from every row to partition end, O(n²) per key: a real skew killer
+    // at 10⁶+ rows on one key. Value-identical: in reverse order, "last
+    // non-null before me" IS the nearest following non-null. Costs one
+    // extra in-partition sort (no extra shuffle — same key clustering).
+    val before = Window.partitionBy(key).orderBy(fwd: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val after = Window.partitionBy(key).orderBy(order: _*)
-      .rowsBetween(1, Window.unboundedFollowing)
+    val after = Window.partitionBy(key).orderBy(rev: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prevGood = last(good, ignoreNulls = true).over(before)
-    val nextGood = first(good, ignoreNulls = true).over(after)
+    val nextGood = last(good, ignoreNulls = true).over(after)
     val filled = when(prevGood.isNotNull && nextGood.isNotNull, (prevGood + nextGood) / 2.0)
       .otherwise(coalesce(prevGood, nextGood, col(valueCol)))
     df.withColumn("refilled", when(isMissing, filled).otherwise(col(valueCol)))

@@ -304,6 +304,40 @@ object Queries {
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
 
+  /** Production-path twins of decimal-exact catalog queries, on plain
+    * double aggregates (Num.f*). NOT oracle-checked — float sums are
+    * order-dependent, which is exactly the property the d* versions buy
+    * back for the gate — but benched (Bench "fast_queries") to quantify
+    * the decimal-exactness tax: same scan/shuffle/plan shape, ~an order
+    * of magnitude cheaper aggregate arithmetic. Engine users who accept
+    * IEEE float aggregation should write this form. */
+  def fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_profile_stats_fast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          fsum(col("l_quantity")).as("sum_qty"),
+          fsum(col("l_extendedprice")).as("sum_base_price"),
+          fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          favg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+    }),
+    "q40_embedding_stats_fast" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
+        .withColumn("c1", element_at(col("embedding"), 1).cast("double"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          favg(col("nrm")).as("avg_norm"),
+          favg(col("c1")).as("avg_first_comp"),
+        )
+    }),
+  )
+
   def oracleMap: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.trim.stripMargin)).toMap
 }

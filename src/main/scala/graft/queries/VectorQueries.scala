@@ -152,17 +152,24 @@ object VectorQueries {
           VectorFns.normExact(col("centroid")).as("nrm_c"))
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
         .withColumn("nrm_e", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
-      // Nearest-centroid pick as a hash aggregate: max over (cosine,
-      // assigned) structs orders lexicographically — highest cosine, ties
-      // to the greater label (oracle orders cosine DESC, assigned DESC).
-      // Unlike a window row_number this needs no per-key sort and
-      // partial-aggregates map-side, so only one row per vec_id shuffles.
+      // Nearest-centroid pick as a TRUE hash aggregate: the native
+      // ArgMaxPack expression packs (cosine, assigned) into one
+      // order-preserving long, so the argmax is max(long) — a mutable
+      // primitive buffer that HashAggregate accepts (max(struct) fell
+      // back to SortAggregate: struct buffers aren't UnsafeRow-mutable,
+      // costing a per-partition sort of the full n×nlist candidate set).
+      // max(cosine) is the same winning row's score; ties and ordering
+      // match the oracle's cosine DESC, assigned DESC.
       e.crossJoin(broadcast(centroids))
         .withColumn("cosine",
           VectorFns.dot(col("embedding"), col("centroid")) / (col("nrm_e") * col("nrm_c")))
         .groupBy("vec_id")
-        .agg(max(struct(col("cosine"), col("assigned"))).as("best"))
-        .select(col("vec_id"), col("best.assigned").as("assigned"), col("best.cosine").as("cosine"))
+        .agg(
+          max(graft.expressions.ArgMaxPack.of(col("cosine"), col("assigned"), 4)).as("packed"),
+          max(col("cosine")).as("cosine"))
+        .select(col("vec_id"),
+          graft.expressions.ArgMaxPack.unpackLabel(col("packed"), 4).as("assigned"),
+          col("cosine"))
     },
     Some(s"""
       WITH cent AS (
@@ -219,10 +226,11 @@ object VectorQueries {
         .withColumn("ccos",
           VectorFns.dot(col("embedding"), col("centroid")) / (col("nrm_e") * col("nrm_c")))
         .select("vec_id", "cl", "ccos")
-      // every vector's home cluster (the q44 assignment, as an aggregate)
+      // every vector's home cluster (the q44 assignment, as a packed-long
+      // hash aggregate — see q44's ArgMaxPack note)
       val asgn = vc.groupBy("vec_id")
-        .agg(max(struct(col("ccos"), col("cl"))).as("best"))
-        .select(col("vec_id"), col("best.cl").as("cl"))
+        .agg(max(graft.expressions.ArgMaxPack.of(col("ccos"), col("cl"), 4)).as("packed"))
+        .select(col("vec_id"), graft.expressions.ArgMaxPack.unpackLabel(col("packed"), 4).as("cl"))
       // per query: the nprobe=2 closest centroids
       val pw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cl").desc)
       val probes = vc.filter(col("vec_id") < 5)

@@ -74,4 +74,27 @@ class FluxCalSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("multiplier") == 1.0)
     assert(out(4L).isNullAt(out(4L).fieldIndex("tsky_jy")))
   }
+
+  test("applyMultipliers scales value columns per obs (fluxcalibrate, fluxcal_meerkat.py:344)") {
+    import spark.implicits._
+    // decimated products: (obs_id, chan, flux, weight); obs 3 has no
+    // multiplier row and must pass through unscaled
+    val values = Seq(
+      (1L, 0, 2.0, 10.0), (1L, 1, 3.0, 20.0),
+      (2L, 0, 4.0, 40.0),
+      (3L, 0, 8.0, 80.0),
+    ).toDF("obs_id", "chan", "flux", "weight")
+    val mults = Seq((1L, 2.5), (2L, 0.5)).toDF("obs_id", "multiplier")
+    val out = FluxCal.applyMultipliers(values, mults, Seq("flux", "weight"))
+      .select("obs_id", "chan", "flux", "weight")
+      .as[(Long, Int, Double, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 2.0 * 2.5, 10.0 * 2.5), (1L, 1, 3.0 * 2.5, 20.0 * 2.5),
+      (2L, 0, 4.0 * 0.5, 40.0 * 0.5),
+      (3L, 0, 8.0, 80.0),
+    ))
+    // untouched columns keep their values; schema preserved
+    assert(FluxCal.applyMultipliers(values, mults, Seq("flux")).columns.toSeq ==
+      Seq("obs_id", "chan", "flux", "weight"))
+  }
 }

@@ -67,4 +67,34 @@ class NativeExprParitySpec extends SparkSpec {
     composed.foreach { case (d, s) => assert(native(d) == s, s"doc $d") }
     assert(composed.nonEmpty)
   }
+
+  test("ArgMaxPack max(long) == max(struct) argmax on random scores, and plans HashAggregate") {
+    import graft.expressions.ArgMaxPack
+    // random (key, score, label) candidates; scores spaced far above the
+    // 2^-48 packing quantization, plus exact-tie rows (label breaks ties)
+    val cand = (1 to 2000).map { i =>
+      (i % 50L, math.rint(rng.nextDouble() * 1e6) / 1e6 - 0.5, i % 13)
+    } ++ Seq((999L, 0.25, 3), (999L, 0.25, 7))
+    val df = cand.toDF("k", "score", "lbl")
+    val viaStruct = df.groupBy("k").agg(max(struct(col("score"), col("lbl"))).as("b"))
+      .select(col("k"), col("b.lbl").as("lbl"), col("b.score").as("score"))
+      .as[(Long, Int, Double)].collect().toSet
+    val packed = df.groupBy("k").agg(
+        max(ArgMaxPack.of(col("score"), col("lbl"), 4)).as("p"),
+        max(col("score")).as("score"))
+      .select(col("k"), ArgMaxPack.unpackLabel(col("p"), 4).as("lbl"), col("score"))
+    assert(packed.as[(Long, Int, Double)].collect().toSet == viaStruct)
+    // the whole point: a mutable long buffer → HashAggregate, no sort
+    // (sparkPlan, not executedPlan: AQE wraps the tree until execution)
+    val sp = packed.queryExecution.sparkPlan
+    assert(sp.collect { case e: org.apache.spark.sql.execution.aggregate.SortAggregateExec => e }.isEmpty,
+      "packed argmax must not plan SortAggregate")
+    assert(sp.collect { case e: org.apache.spark.sql.execution.aggregate.HashAggregateExec => e }.nonEmpty)
+    // out-of-range label (13 > 15 is fine; 16 is not) must throw, not mask
+    val err = intercept[Exception] {
+      Seq((1L, 0.5, 16)).toDF("k", "score", "lbl")
+        .select(ArgMaxPack.of(col("score"), col("lbl"), 4)).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

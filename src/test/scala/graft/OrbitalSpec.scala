@@ -61,6 +61,18 @@ class OrbitalSpec extends SparkSpec {
     assert(math.abs(t0 - (60000.0 + (math.Pi / 4) / (math.Pi))) < 1e-12)
   }
 
+  test("t0FromTasc uses the FB-based OMB for TASC+FB ephemerides (get_OMB, binary_tools.py:148)") {
+    // FB0 corresponding to PB ≈ 2 days, but deliberately NOT exactly
+    // 1/(86400·2): the FB-based OMB must win over any PB field.
+    val fb0 = 1.0 / (86400.0 * 1.9)
+    val pars = Orbital.BinaryPars(pbDays = 2.0, t0Mjd = 0.0, ecc = 0.0, fb = Seq(fb0))
+    val t0 = Orbital.t0FromTasc(60000.0, 1.0, 1.0, pars)
+    val expected = 60000.0 + (math.Pi / 4) / (2.0 * math.Pi * fb0 * 86400.0)
+    assert(math.abs(t0 - expected) < 1e-12)
+    // and the PB-only overload still matches the old closed form
+    assert(math.abs(Orbital.t0FromTasc(60000.0, 1.0, 1.0, pbDays = 1.9) - expected) < 1e-12)
+  }
+
   test("FB0-Taylor mean anomaly matches the reference series (binary_tools.py:221)") {
     // FB-parameterized black-widow-style ephemeris: FB0 in Hz + two
     // higher-order terms. Reference: M = 2π·86400·Σ FBᵢ·dt^(i+1)/(i+1)!

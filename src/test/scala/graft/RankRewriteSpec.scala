@@ -31,7 +31,9 @@ class RankRewriteSpec extends SparkSpec {
       // the Window (and Spark's own WindowGroupLimit pruning) must be GONE:
       // TopKPerKey replaces them and emits the rank itself — exactly one
       // pruning mechanism, no per-key sort of the candidate set.
-      val sp = rewritten.queryExecution.executedPlan
+      // sparkPlan, not executedPlan: AQE wraps the unexecuted tree and
+      // collect() would pass vacuously
+      val sp = rewritten.queryExecution.sparkPlan
       assert(sp.collect { case e: org.apache.spark.sql.execution.window.WindowExec => e }.isEmpty,
         "Window must be replaced, not kept above TopKPerKey")
       assert(sp.collect { case e: org.apache.spark.sql.execution.window.WindowGroupLimitExec => e }.isEmpty,
