@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed batch-wise with
   * `mapPartitions`.
   *
-  * The actual media decode (JPEG/PNG/audio codecs) is STUBBED — the
-  * container has no media libraries — with a deterministic digest-based
-  * fake (`StubCodec.decode`). Everything Spark-side is real and tested:
-  * the schema contract, partition-batched execution, feature extraction
-  * signature, and frame sampling shape. Swapping in a real codec is a
-  * one-function change.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK (headless-safe,
+  * no container libraries needed) and decodes PNG/JPEG/GIF/BMP — so image
+  * feature extraction and resizing run on actual pixels. AUDIO/VIDEO
+  * decode remains STUBBED with a deterministic digest-based fake
+  * (`StubCodec.decode`) — those codecs are not in the JDK. Everything
+  * Spark-side is real and tested: the schema contract, partition-batched
+  * execution, feature extraction signature, and frame sampling shape.
   */
 object Multimodal {
 
@@ -116,7 +117,78 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for image/audio decoding. */
+  /** REAL image codec on `javax.imageio` (in the JDK; PNG/JPEG/GIF/BMP).
+    * Headless-safe — ImageIO never touches a display. One codec object
+    * per JVM; readers are created per call (ImageIO readers are not
+    * thread-safe to share across tasks). */
+  object ImageCodec {
+    // belt-and-braces: never let AWT try to connect to a display on an
+    // executor (ImageIO itself is headless, but downstream AWT calls
+    // like Graphics2D respect this flag)
+    System.setProperty("java.awt.headless", "true")
+
+    /** Decode a payload to a BufferedImage; None when no ImageIO reader
+      * recognizes the container (then callers fall back to the stub). */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** 8 pixel-derived features from a REAL decode:
+      * [width, height, meanR, meanG, meanB, meanLuma, stddevLuma,
+      * brightFrac] — channel means/stddev normalized to [0,1], brightFrac
+      * = fraction of pixels above mean luma. Deterministic for lossless
+      * formats (PNG/GIF/BMP); JPEG is deterministic per JDK decoder.
+      * Per-row cost is one raster pass. */
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = (w.toLong * h).toDouble
+      var sr, sg, sb, sl, sl2 = 0.0
+      val lumas = new Array[Double](w * h)
+      var idx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          lumas(idx) = l
+          idx += 1
+          x += 1
+        }
+        y += 1
+      }
+      val meanL = sl / n
+      val varL = math.max(0.0, sl2 / n - meanL * meanL)
+      var bright = 0
+      idx = 0
+      while (idx < lumas.length) { if (lumas(idx) > meanL) bright += 1; idx += 1 }
+      Array(w.toFloat, h.toFloat,
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+        (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+        (bright / n).toFloat)
+    }
+
+    /** Re-encode a decoded image at (w, h) as PNG bytes (lossless, no
+      * quality knob to vary across JVMs). Nearest-neighbor via
+      * Graphics2D default interpolation — deterministic. */
+    def resizePng(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for AUDIO/VIDEO decoding only
+    * (images decode for real via [[ImageCodec]]); also the fallback for
+    * image payloads no ImageIO reader recognizes. */
   object StubCodec {
     private def md5(bytes: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(bytes)
@@ -147,14 +219,40 @@ object Multimodal {
   }
 
   /** Batch feature extraction: one codec instance per partition (the
-    * pattern a real decoder needs — init once, stream items through). */
+    * pattern a real decoder needs — init once, stream items through).
+    * Images decode for REAL (javax.imageio → pixel statistics); payloads
+    * ImageIO can't read, and audio/video kinds, use the stub. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition init site (real impl: load codec/model here once)
       it.map { m =>
+        val feats =
+          if (m.kind == "image") {
+            Multimodal.ImageCodec.decode(m.payload)
+              .map(Multimodal.ImageCodec.features)
+              .getOrElse(Multimodal.StubCodec.decode(m.payload))
+          } else Multimodal.StubCodec.decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          Multimodal.StubCodec.digestHex(m.payload), Multimodal.StubCodec.decode(m.payload))
+          Multimodal.StubCodec.digestHex(m.payload), feats)
+      }
+    }
+  }
+
+  /** Distributed image resize: image payloads ImageIO can decode are
+    * re-encoded as `w`×`h` PNG (metadata updated); everything else passes
+    * through untouched. Pure map stage — no shuffle at any scale. */
+  def resizeImages(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else Multimodal.ImageCodec.decode(m.payload) match {
+          case Some(img) =>
+            m.copy(payload = Multimodal.ImageCodec.resizePng(img, w, h),
+              mime = "image/png", width = w, height = h)
+          case None => m
+        }
       }
     }
   }

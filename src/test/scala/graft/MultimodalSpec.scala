@@ -74,6 +74,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width == -1 && out(2L).mime == "audio/wav") // untouched fallback
   }
 
+  test("real PNG decode: pixel-derived features via javax.imageio, stub only for non-images") {
+    import spark.implicits._
+    // generate a REAL 4x2 PNG: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", png, "image/png", -1, -1, -1L),
+      Multimodal.MediaItem(2L, "audio", Array[Byte](1, 2, 3), "audio/wav", -1, -1, 99L),
+    ).toDS()
+    val out = Multimodal.extractFeatures(items).collect().map(f => f.media_id -> f).toMap
+
+    // image features come from ACTUAL pixels: [w, h, meanR, meanG, meanB, ...]
+    val f = out(1L).features
+    assert(f(0) == 4.0f && f(1) == 2.0f)
+    assert(math.abs(f(2) - 0.5) < 1e-6)   // mean R: half the pixels full red
+    assert(f(3) == 0.0f)                  // no green anywhere
+    assert(math.abs(f(4) - 0.5) < 1e-6)   // mean B: half the pixels full blue
+    // audio stays on the disclosed stub (digest-derived, 8 floats)
+    assert(out(2L).features.length == 8 && out(2L).features.sameElements(
+      Multimodal.StubCodec.decode(Array[Byte](1, 2, 3))))
+  }
+
+  test("resizeImages re-encodes decodable images at the target size, passes others through") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", bos.toByteArray, "image/png", 8, 8, -1L),
+      Multimodal.MediaItem(2L, "video", Array[Byte](7), "video/mp4", -1, -1, 500L),
+    ).toDS()
+    val out = Multimodal.resizeImages(items, 2, 2).collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).width == 2 && out(1L).height == 2)
+    // the resized payload is a REAL decodable PNG at the new size, still green
+    val back = Multimodal.ImageCodec.decode(out(1L).payload).get
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0x00ff00)
+    // non-image rows untouched
+    assert(out(2L).payload.sameElements(Array[Byte](7)) && out(2L).width == -1)
+  }
+
   test("queries() plumbing: features join back to items by id") {
     val items = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.extractFeatures(items)
