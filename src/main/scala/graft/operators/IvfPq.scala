@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ with residual quantization — the billion-vector ANN index
+  * layout (FAISS-style IndexIVFPQ): a coarse k-means quantizer routes each
+  * vector to one of `nlist` clusters, and product quantization compresses
+  * the RESIDUAL (vector − its coarse centroid) rather than the vector
+  * itself. Residuals concentrate near zero, so the same PQ bit budget
+  * spends its codewords on a much smaller volume — materially lower
+  * reconstruction error than PQ over raw vectors at equal m·k.
+  *
+  * Scale shape: training is a fixed number of Lloyd rounds over broadcast
+  * centroids (Quantize.trainCodebook); encode is one broadcast join + one
+  * per-row argmin per stage (no shuffle of the vector table beyond the
+  * final one-row-per-id aggregate); search probes `nprobe` clusters so
+  * candidate generation is a join keyed on cluster id — cluster-local,
+  * never an all-pairs scan — and the rank filter rides the
+  * TopKPerKey rewrite.
+  *
+  * Reference analog: none in meerpipe — this is the training-data-pipeline
+  * similarity-search stack (SURVEY.md §2.C) taken to its production form.
+  */
+object IvfPq {
+
+  /** Trained index parameters: coarse centroids (cluster, centroid) and
+    * per-subspace residual codebooks (subspace, code, centroid). */
+  final case class Model(coarse: DataFrame, pq: DataFrame, m: Int, dim: Int)
+
+  /** Train coarse quantizer (k-means, `nlist` centers, via
+    * Quantize.trainCodebook with one subspace spanning the full vector)
+    * then PQ codebooks over coarse residuals. Deterministic: Lloyd
+    * iterations with smallest-id init, exact decimal centroid means. */
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+            nlist: Int, m: Int, k: Int, iters: Int = 3): Model = {
+    val coarse = Quantize.trainCodebook(df, idCol, vecCol, m = 1, dim = dim,
+        k = nlist, iters = iters)
+      .select(col("code").as("cluster"), col("centroid").as("c_centroid"))
+    val resid = residuals(df, idCol, vecCol, coarse)
+    val pq = Quantize.trainCodebook(resid, "id", "resid", m = m, dim = dim,
+      k = k, iters = iters)
+    Model(coarse, pq, m, dim)
+  }
+
+  /** (id, cluster, resid): nearest coarse centroid per vector (argmin by
+    * squared L2, ties to smaller cluster) and the residual against it.
+    * One broadcast join; the argmin is a hash aggregate (max over negated
+    * distance struct — same shape as Quantize.assignCodes). */
+  private def residuals(df: DataFrame, idCol: String, vecCol: String,
+                        coarse: DataFrame): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    assignCluster(vecs, coarse)
+      .withColumn("resid", zip_with(col("vec"), col("c_centroid"), (a, b) => a - b))
+      .select("id", "cluster", "resid")
+  }
+
+  /** (id, vec, cluster, c_centroid) with cluster = argmin squared L2. */
+  private def assignCluster(vecs: DataFrame, coarse: DataFrame): DataFrame = {
+    val cb = broadcast(coarse)
+    vecs.join(cb)
+      .withColumn("nd2", Quantize.sqDist(col("vec"), col("c_centroid")))
+      .groupBy("id")
+      .agg(max(struct((-col("nd2")).as("neg"), (-col("cluster")).as("negc"))).as("best"),
+        first(col("vec")).as("vec"))
+      .withColumn("cluster", (-col("best.negc")).cast("int"))
+      .drop("best")
+      .join(cb, Seq("cluster"))
+  }
+
+  /** Encode the corpus: (id, cluster, codes array<int>) — the complete
+    * compressed index entry (4 + m bytes of information per vector). */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val resid = residuals(df, idCol, vecCol, model.coarse)
+    val codes = Quantize.encode(resid, "id", "resid", model.pq, model.m, model.dim)
+    resid.select("id", "cluster").join(codes, Seq("id"))
+  }
+
+  /** Probe search: per query, rank coarse centroids by squared L2 and keep
+    * the best `nprobe`; per probed cluster build the asymmetric-distance
+    * table over the RESIDUAL query (q − cluster centroid); candidates are
+    * the encoded rows of probed clusters (join on cluster id); each
+    * candidate's distance is the sum of its codes' table entries. Output:
+    * (q_id, t_id, adc_d2, rank ≤ k) per query. */
+  def search(queries: DataFrame, encoded: DataFrame, model: Model,
+             qIdCol: String, qVecCol: String, nprobe: Int, k: Int): DataFrame = {
+    graft.plans.RankFilterToTopK_Install(queries.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+    val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).cast("array<double>").as("q_vec"))
+
+    // nprobe best clusters per query (broadcast coarse; TopK rewrite)
+    val pw = w.partitionBy("q_id").orderBy(col("cd2").asc, col("cluster").asc)
+    val probes = qvecs.join(broadcast(model.coarse))
+      .withColumn("cd2", Quantize.sqDist(col("q_vec"), col("c_centroid")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cluster"), col("c_centroid"))
+
+    // residual query per probed cluster → per-subspace ADC lookup table:
+    // (q_id, cluster, subspace, code) → squared distance contribution
+    val qresid = probes.withColumn("q_resid",
+      zip_with(col("q_vec"), col("c_centroid"), (a, b) => a - b))
+    val qsubs = Quantize.subvectors(
+        qresid.select(concat_ws("#", col("q_id"), col("cluster")).as("qc"), col("q_resid")),
+        "qc", "q_resid", model.m, model.dim)
+      .select(col("id").as("qc"), col("subspace"), col("subvec"))
+    val table = qsubs.join(broadcast(model.pq), Seq("subspace"))
+      .select(col("qc"), col("subspace"), col("code"),
+        Quantize.sqDist(col("subvec"), col("centroid")).as("d2"))
+
+    // candidates: encoded rows of probed clusters — a join keyed on the
+    // cluster id, so the scan is cluster-local at any scale
+    val cand = probes.select(col("q_id"), col("cluster"))
+      .join(encoded.select(col("id").as("t_id"), col("cluster"), col("codes")), Seq("cluster"))
+      .select(col("q_id"), col("cluster"), col("t_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .withColumn("qc", concat_ws("#", col("q_id"), col("cluster")))
+
+    val rw = w.partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
+    cand.join(broadcast(table), Seq("qc", "subspace", "code"))
+      .groupBy("q_id", "t_id")
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "adc_d2", "rank")
+  }
+}

@@ -69,7 +69,7 @@ object Quantize {
     * joins the broadcast codebook per subspace and picks the minimum
     * squared-distance code via a max-struct aggregate (no window sort).
     * Ties go to the smaller code. */
-  private def assignCodes(rows: DataFrame, codebook: DataFrame, vecField: String): DataFrame = {
+  private[operators] def assignCodes(rows: DataFrame, codebook: DataFrame, vecField: String): DataFrame = {
     val cb = broadcast(codebook.select(
       col("subspace"), col("code").as("cb_code"), col("centroid")))
     val d2 = sqDist(col(vecField), col("centroid"))
@@ -82,7 +82,7 @@ object Quantize {
   }
 
   /** Squared L2 distance via dot products: |a|² − 2a·b + |b|². */
-  private def sqDist(a: Column, b: Column): Column =
+  private[operators] def sqDist(a: Column, b: Column): Column =
     DotProduct.of(a, a) - lit(2.0) * DotProduct.of(a, b) + DotProduct.of(b, b)
 
   /** Encode every vector as its `m` codes: (id, codes array<int>). */
