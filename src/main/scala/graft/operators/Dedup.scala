@@ -199,6 +199,29 @@ object Dedup {
       .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("long"))
   }
 
+  /** The WHOLE near-dup pipeline in one call — what a training-data user
+    * actually runs: LSH candidate pairs → Jaccard verification at
+    * `threshold` → connected components → min-id survivor per cluster →
+    * the corpus with duplicates DROPPED. Returns `df`'s rows (all
+    * columns) for surviving docs only.
+    *
+    * Stage shapes (each documented on its operator): one pass + band
+    * self-join (minhashLsh), candidate-local verify (jaccardVerify),
+    * O(log diameter) label-propagation rounds (resolveClusters), one
+    * broadcast-free semi-join to drop losers. */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                  threshold: Double = 0.8,
+                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    val candidates = minhashLshFast(df, textCol, idCol, numHashes, bands, shingleN)
+    val verified = jaccardVerify(candidates, df, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id")
+    val losers = resolveClusters(verified)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
     * cosine above `threshold` inside each bucket.
     *

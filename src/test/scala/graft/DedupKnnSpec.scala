@@ -82,6 +82,19 @@ class DedupKnnSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (9L, 9L, 1L)))
   }
 
+  test("Dedup.dedupCorpus drops transitive near-dups, keeps min-id survivor and unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (5L, base + " today"),     // near-dup chain: 5 ~ 7 ~ 9 → keep 5
+      (7L, base + " tomorrow"),
+      (9L, base + " yesterday"),
+      (2L, "completely different words describing some other topic entirely here now"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L))
+  }
+
   test("Dedup.simhash: identical word sets share a fingerprint") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("doc_id", "text")
