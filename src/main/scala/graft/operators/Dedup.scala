@@ -166,21 +166,24 @@ object Dedup {
         .groupBy("src").agg(min(col("dl")).as("nbr_min"))
         .select(col("src").as("node"), col("nbr_min"))
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // Pointer jump (path halving): label := label(label). Labels are
       // always node ids, so the self-join hits unless label is already a
       // cluster root that only appears as a label — coalesce keeps it.
+      // (A giant cluster makes its root label a hot join key late in the
+      // run; AQE's skew-join split handles that — rows per distinct key
+      // on the RIGHT side are always 1.)
       val jumped = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label"),
+          (coalesce(col("ll"), col("label")) =!= col("old")).as("chg"))
         .localCheckpoint()
-      converged = jumped
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = jumped
+      // convergence reads the just-checkpointed partitions — a cheap scan,
+      // not another shuffle join against the previous round
+      converged = jumped.filter(col("chg")).isEmpty
+      labels = jumped.select("node", "label")
       iter += 1
     }
     labels.select(col("node").as(outId), col("label").as(outCluster))

@@ -91,6 +91,27 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup drop: fingerprint each document with SimHash (the
+    * shuffle-free native SimHashBits fold over its distinct words) and
+    * drop any doc whose fingerprint collided inside the watermark horizon
+    * — the streaming form of `Dedup.simhash` blocking, with state bounded
+    * by the watermark. Collision at `bits` width means the same
+    * sign pattern of word-hash votes ≈ near-identical word set.
+    *
+    * Deliberate tradeoff vs the batch pipeline: per-event decisions must
+    * be O(1) with bounded state, so there is no candidate verification or
+    * cluster resolution here — run `Dedup.dedupCorpus` over the archived
+    * corpus for the exact drop set; this stage just keeps the stream's
+    * obvious repeats from fanning out downstream. `docs` needs (`ts`,
+    * `textCol`). */
+  def deduplicatedNear(docs: DataFrame, textCol: String, bits: Int = 16,
+                       watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("simhash", graft.expressions.SimHashBits.of(
+        array_distinct(graft.functions.TextFns.words(col(textCol))), bits))
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** File-source stream over the events layout (parquet dir → stream).
     * The layout carries TIMESTAMP(NANOS), which Spark can only read as
     * long — mirror Tables.events: declare BIGINT, convert to micros

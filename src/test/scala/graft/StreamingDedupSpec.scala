@@ -32,6 +32,27 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deduplicatedNear drops SimHash-colliding near-dup docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), "alpha beta gamma delta"),
+      (2L, t("2024-01-01 10:00:30"), "delta gamma beta alpha"), // same word set → same simhash
+      (3L, t("2024-01-01 10:01:00"), "totally different words entirely here"),
+    )
+    val q = EventStream.deduplicatedNear(
+        mem.toDF().toDF("doc_id", "ts", "text"), "text", bits = 16, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM neardedup_out").as[Long].collect().toSet
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size == 1, s"exactly one of the near-dup pair survives, got $ids")
+    } finally q.stop()
+  }
+
   test("deduplicated drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
