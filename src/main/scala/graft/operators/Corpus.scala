@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the sampling/sharding stage of a
+  * training-data pipeline (after cleaning + dedup, before tokenization):
+  * deterministic mixture sampling and token-budget shard packing.
+  */
+object Corpus {
+
+  /** Deterministic content-hash sampling: keep a row iff the first 16
+    * bits of md5(`textCol`) fall under `rate`·2¹⁶. Unlike rand()-based
+    * sampling this is reproducible across runs, engines, partitionings
+    * and cluster sizes — re-running the pipeline yields the SAME corpus,
+    * which is what makes training runs comparable. `rate` is a per-row
+    * Column in [0,1] (domain-mixture weights: different rates per
+    * source/language/quality tier). Resolution is 1/65536; the compare
+    * is on the lowercase hex prefix, so any engine with md5 reproduces
+    * the exact sample. Pure map stage — no shuffle, fully pushdown-able. */
+  def sampleByHash(df: DataFrame, textCol: String, rate: Column): DataFrame = {
+    // rate ≥ 1 keeps everything: "g" sorts above every hex digit, while
+    // format_string would emit the 5-char "10000", which string-compares
+    // BELOW "fabc…" and would wrongly drop ~15/16 of rows
+    val threshold = when(rate >= 1.0, lit("g"))
+      .otherwise(format_string("%04x", (rate * 65536).cast("int")))
+    df.filter(substring(md5(col(textCol)), 1, 4) < threshold)
+  }
+
+  /** Token-budget shard packing: within each `groupCol` (ordered by
+    * `idCol`), documents pack into consecutive shards of ~`budget`
+    * tokens: shard = floor(tokens-before-this-doc / budget) — the
+    * deterministic, single-window form of "pack the corpus into ~N-token
+    * training shards". A shard can exceed `budget` by at most one
+    * document (standard start-offset binning). Adds `n_tokens`, `shard`.
+    *
+    * One running window per group — O(n) per key, shuffle only on the
+    * group key. At 100 TB, group by (source, date-bucket) so no single
+    * partition holds the whole corpus. */
+  def packShards(df: DataFrame, groupCol: String, idCol: String,
+                 tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // doubles are exact here (token counts ≪ 2^53); floor-div matches
+      // any engine's FLOOR(x / b) on non-negative values
+      .withColumn("shard",
+        floor((col("__cum") - col("n_tokens")).cast("double") / lit(budget.toDouble)))
+      .drop("__cum")
+  }
+}

@@ -313,5 +313,53 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47)
+  /** C28: deterministic mixture sampling — per-source hash-threshold
+    * rates (even-numbered sources 50%, odd 12.5%). Reproducible across
+    * engines/runs/partitionings, unlike rand() sampling; the oracle
+    * applies the same lowercase-hex-prefix compare. */
+  private val q48 = Q(
+    "q48_sample_stratified",
+    (s, dir) => {
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val rate = when(srcNum % 2 === 0, lit(0.5)).otherwise(lit(0.125))
+      graft.operators.Corpus.sampleByHash(Tables.documents(s, dir), "text", rate)
+        .select("doc_id", "source")
+    },
+    Some("""
+      SELECT doc_id, source FROM documents
+      WHERE substr(md5(text), 1, 4) <
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8000' ELSE '2000' END
+    """),
+  )
+
+  /** C29: token-budget shard packing — docs pack into ~512-token shards
+    * per source (start-offset binning over one running window); rollup
+    * counts docs and tokens per shard. */
+  private val q49 = Q(
+    "q49_token_shards",
+    (s, dir) => {
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      graft.operators.Corpus.packShards(d, "source", "doc_id",
+          TextFns.tokenCount(col("text")), budget = 512L)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents),
+      c AS (
+        SELECT doc_id, source, ntok,
+          SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source,
+        CAST(FLOOR(CAST(cum - ntok AS DOUBLE) / 512) AS BIGINT) AS shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49)
 }

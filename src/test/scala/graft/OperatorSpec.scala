@@ -55,6 +55,27 @@ class OperatorSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("Corpus.packShards bins docs by start-offset token budget per group") {
+    import graft.operators.Corpus
+    val df = Seq(
+      ("g", 1L, 300), ("g", 2L, 300), ("g", 3L, 300), // cum-before 0/300/600
+      ("h", 1L, 600),                                 // oversize doc still shard 0
+    ).toDF("source", "doc_id", "ntok")
+    val out = Corpus.packShards(df, "source", "doc_id", col("ntok"), budget = 512L)
+      .select("source", "doc_id", "shard").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 1L), ("h", 1L, 0L)))
+  }
+
+  test("Corpus.sampleByHash is deterministic; rate 1 keeps all, rate 0 keeps none") {
+    import graft.operators.Corpus
+    val df = (1 to 200).map(i => (i.toLong, s"document number $i")).toDF("doc_id", "text")
+    val once = Corpus.sampleByHash(df, "text", lit(0.25)).select("doc_id").as[Long].collect().toSet
+    val again = Corpus.sampleByHash(df, "text", lit(0.25)).select("doc_id").as[Long].collect().toSet
+    assert(once == again && once.nonEmpty && once.size < 200)
+    assert(Corpus.sampleByHash(df, "text", lit(1.0)).count() == 200)
+    assert(Corpus.sampleByHash(df, "text", lit(0.0)).count() == 0)
+  }
+
   test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
     val df = Seq(
       (1L, t("2024-01-01 10:00:00"), 10.0, false),
