@@ -3,27 +3,35 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
-/** As-of join: for each left row, attach the most recent right row with
-  * `rightTime <= leftTime` for the same key.
+/** As-of join: for each left row, attach the right row for the same key
+  * that is nearest in time under a direction rule:
+  *   - `backward` (default): most recent right with rightTime ≤ leftTime
+  *   - `forward`: earliest right with rightTime ≥ leftTime
+  *   - `nearest`: whichever of the two is closer; exact ties prefer the
+  *     backward match (deterministic)
   *
   * Engine-level form of meerpipe's instrument-delay correction
   * (`dlyfix.getcorrection`, scripts/dlyfix.py:128), which matches each
-  * observation against the config record valid at its MJD.
+  * observation against the config record valid at its MJD; forward and
+  * nearest complete the standard merge-asof surface.
   *
   * Scale design: the classic union + last-non-null-window formulation —
   * ONE shuffle on the key, no broadcast requirement, works when both sides
-  * are 100 TB facts. Window frames are per-key, so cost tracks per-key
-  * cardinality. (A broadcast binary-search variant would avoid the shuffle
-  * for small right sides; AQE already handles the small-side case well
-  * enough that we keep one code path.)
+  * are 100 TB facts. Window frames are per-key RUNNING frames (O(n));
+  * `forward` uses the reverse-ordered traversal, `nearest` evaluates both
+  * and picks per row. (The custom sorted-merge AsOfJoinMergeExec covers
+  * the backward hot path with a single merge pass; these variants stay on
+  * the window form.)
   */
 object AsOfJoin {
 
   /** @param rightTiebreak column resolving equal-timestamp right rows
     *        deterministically (max wins, in the column's own ordering —
     *        the type is carried, not coerced, so string/long tiebreaks
-    *        keep their native order exactly like the merge exec). */
+    *        keep their native order exactly like the merge exec).
+    * @param direction "backward" | "forward" | "nearest" */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -33,14 +41,17 @@ object AsOfJoin {
       rightTime: String,
       rightCols: Seq[String],
       rightTiebreak: Option[String] = None,
+      direction: String = "backward",
   ): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
 
     def rtype(name: String) = rightSchema(name).dataType
 
     // The carried right columns travel as ONE struct so the window fill
-    // below picks the most recent right ROW atomically — per-column
+    // below picks the matched right ROW atomically — per-column
     // ignoreNulls fills would stitch values from different rows whenever
     // a carried column is null. The matched time rides in the struct too.
     val carryType = org.apache.spark.sql.types.StructType(
@@ -54,7 +65,7 @@ object AsOfJoin {
         rightTiebreak.map(c => lit(null).cast(rtype(c))).getOrElse(lit(null).cast("int")))
 
     val taggedRight = {
-      // null-time right rows can never satisfy rightTime <= leftTime;
+      // null-time right rows can never satisfy any direction's bound;
       // drop them (the merge exec filters identically)
       val base = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
         .select(
@@ -72,18 +83,43 @@ object AsOfJoin {
     val shape = leftCols.map(col) :+ col("__carry") :+ col("__tb") :+ col("__tag")
     val unioned = taggedLeft.select(shape: _*).unionByName(taggedRight.select(shape: _*))
 
-    // Right rows sort before left rows at equal time (tag 0 < 1) so a
-    // config taking effect exactly at the event time is visible to it.
-    val w = Window.partitionBy(leftKey)
-      .orderBy(col(leftTime), col("__tag"), col("__tb").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Right rows sort before left rows at equal time (tag 0 < 1) in BOTH
+    // traversals, so a config taking effect exactly at the event time is
+    // visible to it (≤ and ≥ are both inclusive); among equal-time right
+    // rows, last() lands on the max tiebreak either way.
+    def running(order: Seq[Column]) =
+      Window.partitionBy(leftKey).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val backWin = running(Seq(col(leftTime).asc, col("__tag").asc, col("__tb").asc_nulls_first))
+    val fwdWin  = running(Seq(col(leftTime).desc, col("__tag").asc, col("__tb").asc_nulls_first))
 
-    val filled = unioned
-      .withColumn("__f", last(col("__carry"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
+    val filled = direction match {
+      case "backward" =>
+        unioned.withColumn("__f", last(col("__carry"), ignoreNulls = true).over(backWin))
+      case "forward" =>
+        unioned.withColumn("__f", last(col("__carry"), ignoreNulls = true).over(fwdWin))
+      case "nearest" =>
+        // numeric time axis for the distance compare (timestamps → micros)
+        val t = left.schema(leftTime).dataType match {
+          case TimestampType => (c: Column) => unix_micros(c).cast("double")
+          case _ => (c: Column) => c.cast("double")
+        }
+        val b = last(col("__carry"), ignoreNulls = true).over(backWin)
+        val f = last(col("__carry"), ignoreNulls = true).over(fwdWin)
+        unioned
+          .withColumn("__b", b).withColumn("__fw", f)
+          .withColumn("__f",
+            when(col("__b").isNull, col("__fw"))
+              .when(col("__fw").isNull, col("__b"))
+              // strictly-closer forward wins; ties prefer backward
+              .when(t(col("__fw.__t")) - t(col(leftTime)) <
+                    t(col(leftTime)) - t(col("__b.__t")), col("__fw"))
+              .otherwise(col("__b")))
+          .drop("__b", "__fw")
+    }
 
     rightCols.foldLeft(
-      filled.withColumn("asof_time", col("__f.__t"))
+      filled.filter(col("__tag") === 1).withColumn("asof_time", col("__f.__t"))
     ) { (df, c) => df.withColumn(c, col(s"__f.$c")) }
       .drop("__tag", "__tb", "__carry", "__f")
   }

@@ -74,6 +74,26 @@ class DedupKnnSpec extends SparkSpec {
     assert(Dedup.resolveClusters(empty).isEmpty)
   }
 
+  test("Dedup.resolveClusters matches a union-find oracle on a random pair graph") {
+    val rng = new scala.util.Random(7)
+    val pairs = (1 to 800).map { _ =>
+      val a = rng.nextInt(300); val b = rng.nextInt(300); (a.toLong, b.toLong)
+    }.filter(p => p._1 != p._2).distinct
+    // union-find with attach-larger-under-smaller: every root is its
+    // component's minimum id — exactly resolveClusters' cluster_id
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n.toInt).toLong).toMap
+    val got = Dedup.resolveClusters(pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("Dedup.survivors keeps one min-id doc per cluster; singletons keep themselves") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")

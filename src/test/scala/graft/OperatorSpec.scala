@@ -35,6 +35,33 @@ class OperatorSpec extends SparkSpec {
     ))
   }
 
+  test("AsOfJoin forward/nearest directions complete the merge-asof surface") {
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")), // back cfgA@9:30, fwd cfgB@11:00 → nearest cfgA (30m < 60m)
+      (1L, t("2024-01-01 12:30:00")), // back cfgB@11:00, fwd cfgC@13:00 → nearest cfgC (30m < 90m)
+      (1L, t("2024-01-01 12:00:00")), // back@11 fwd@13 equidistant → tie prefers backward cfgB
+      (2L, t("2024-01-01 08:00:00")), // nothing before → nearest falls to forward cfgD
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), "cfgA", 1L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB", 2L),
+      (1L, t("2024-01-01 13:00:00"), "cfgC", 3L),
+      (2L, t("2024-01-01 09:00:00"), "cfgD", 4L),
+    ).toDF("rk", "rts", "cfg", "rid")
+
+    def run(dir: String) = AsOfJoin.join(left, right, "k", "rk", "ts", "rts",
+        rightCols = Seq("cfg"), rightTiebreak = Some("rid"), direction = dir)
+      .select("k", "ts", "cfg").as[(Long, Timestamp, String)].collect()
+      .map { case (k, ts, c) => (k, ts.toString.substring(11, 16), c) }.toSet
+
+    assert(run("forward") == Set(
+      (1L, "10:00", "cfgB"), (1L, "12:30", "cfgC"), (1L, "12:00", "cfgC"),
+      (2L, "08:00", "cfgD")))
+    assert(run("nearest") == Set(
+      (1L, "10:00", "cfgA"), (1L, "12:30", "cfgC"), (1L, "12:00", "cfgB"),
+      (2L, "08:00", "cfgD")))
+  }
+
   test("AsOfJoin leaves unmatched left rows with null match") {
     val left = Seq((9L, t("2024-01-01 08:00:00"))).toDF("k", "ts")
     val right = Seq((9L, t("2024-01-01 09:00:00"), "late", 1L)).toDF("rk", "rts", "cfg", "rid")
