@@ -35,7 +35,12 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       digest: String,
-      features: Array[Float],  // decoded feature vector (stubbed)
+      features: Array[Float],  // pixel-derived when decoded, digest-stub otherwise
+      decoded: Boolean,        // true = features come from a REAL decode;
+                               // false = stub fallback (audio/video, or an
+                               // image payload no ImageIO reader accepts) —
+                               // without this flag corrupt images would pass
+                               // downstream as plausible-looking pixel stats
   )
 
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, digest: String)
@@ -142,10 +147,11 @@ object Multimodal {
     def features(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth
       val h = img.getHeight
+      // long pixel count + two raster passes, NO per-pixel buffer: a
+      // gigapixel image would overflow an Int w*h index and an 8-byte-
+      // per-pixel luma array would OOM an executor long before that
       val n = (w.toLong * h).toDouble
       var sr, sg, sb, sl, sl2 = 0.0
-      val lumas = new Array[Double](w * h)
-      var idx = 0
       var y = 0
       while (y < h) {
         var x = 0
@@ -156,17 +162,24 @@ object Multimodal {
           val b = rgb & 0xff
           val l = 0.299 * r + 0.587 * g + 0.114 * b
           sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-          lumas(idx) = l
-          idx += 1
           x += 1
         }
         y += 1
       }
       val meanL = sl / n
       val varL = math.max(0.0, sl2 / n - meanL * meanL)
-      var bright = 0
-      idx = 0
-      while (idx < lumas.length) { if (lumas(idx) > meanL) bright += 1; idx += 1 }
+      var bright = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val l = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          if (l > meanL) bright += 1
+          x += 1
+        }
+        y += 1
+      }
       Array(w.toFloat, h.toFloat,
         (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
         (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
@@ -227,14 +240,13 @@ object Multimodal {
     items.mapPartitions { it =>
       // per-partition init site (real impl: load codec/model here once)
       it.map { m =>
-        val feats =
-          if (m.kind == "image") {
-            Multimodal.ImageCodec.decode(m.payload)
-              .map(Multimodal.ImageCodec.features)
-              .getOrElse(Multimodal.StubCodec.decode(m.payload))
-          } else Multimodal.StubCodec.decode(m.payload)
+        val real =
+          if (m.kind == "image") Multimodal.ImageCodec.decode(m.payload).map(Multimodal.ImageCodec.features)
+          else None
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          Multimodal.StubCodec.digestHex(m.payload), feats)
+          Multimodal.StubCodec.digestHex(m.payload),
+          real.getOrElse(Multimodal.StubCodec.decode(m.payload)),
+          decoded = real.isDefined)
       }
     }
   }

@@ -99,10 +99,19 @@ object AsOfJoin {
       case "forward" =>
         unioned.withColumn("__f", last(col("__carry"), ignoreNulls = true).over(fwdWin))
       case "nearest" =>
-        // numeric time axis for the distance compare (timestamps → micros)
+        // Numeric time axis for the distance compare. backward/forward
+        // need only ORDERING (any orderable type works); nearest needs
+        // SUBTRACTION, so reject types where cast-to-double would be
+        // null (strings) or fail analysis (dates would need unix_date) —
+        // a silent null distance would quietly return the backward match
+        // however far away it is.
         val t = left.schema(leftTime).dataType match {
           case TimestampType => (c: Column) => unix_micros(c).cast("double")
-          case _ => (c: Column) => c.cast("double")
+          case org.apache.spark.sql.types.DateType => (c: Column) => unix_date(c).cast("double")
+          case n: org.apache.spark.sql.types.NumericType => (c: Column) => c.cast("double")
+          case other => throw new IllegalArgumentException(
+            s"direction=nearest needs a numeric/timestamp/date time column, got $other " +
+              s"for '$leftTime' (backward/forward work on any orderable type)")
         }
         val b = last(col("__carry"), ignoreNulls = true).over(backWin)
         val f = last(col("__carry"), ignoreNulls = true).over(fwdWin)

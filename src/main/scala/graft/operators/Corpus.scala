@@ -20,10 +20,15 @@ object Corpus {
     * is on the lowercase hex prefix, so any engine with md5 reproduces
     * the exact sample. Pure map stage — no shuffle, fully pushdown-able. */
   def sampleByHash(df: DataFrame, textCol: String, rate: Column): DataFrame = {
-    // rate ≥ 1 keeps everything: "g" sorts above every hex digit, while
-    // format_string would emit the 5-char "10000", which string-compares
-    // BELOW "fabc…" and would wrongly drop ~15/16 of rows
+    // Clamp BOTH ends before hex-formatting: rate ≥ 1 must keep
+    // everything ("g" sorts above every hex digit — format_string would
+    // emit the 5-char "10000", which string-compares BELOW "fabc…"), and
+    // rate ≤ 0 must keep nothing (%04x on a negative int emits an 8-char
+    // two's-complement string like "ffffe667" that every md5 prefix
+    // sorts below — the maximal wrong answer for a slightly-negative
+    // computed mixture weight).
     val threshold = when(rate >= 1.0, lit("g"))
+      .when(rate <= 0.0, lit("0000"))
       .otherwise(format_string("%04x", (rate * 65536).cast("int")))
     df.filter(substring(md5(col(textCol)), 1, 4) < threshold)
   }

@@ -165,9 +165,14 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy("src").agg(min(col("dl")).as("nbr_min"))
         .select(col("src").as("node"), col("nbr_min"))
+      // materialized before the self-join below: its two sides are
+      // different projections shuffled on different keys, so without
+      // this the edges-join + neighbor-min aggregation (the expensive
+      // part of the round) would execute twice per round
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
       // Pointer jump (path halving): label := label(label). Labels are
       // always node ids, so the self-join hits unless label is already a
       // cluster root that only appears as a label — coalesce keeps it.

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Trained index parameters: coarse centroids (cluster, centroid) and
-    * per-subspace residual codebooks (subspace, code, centroid). */
-  final case class Model(coarse: DataFrame, pq: DataFrame, m: Int, dim: Int)
+    * per-subspace residual codebooks (subspace, code, centroid).
+    * `clusterBits` sizes the ArgMaxPack label field for the coarse
+    * assignment (ceil(log2(nlist))). */
+  final case class Model(coarse: DataFrame, pq: DataFrame, m: Int, dim: Int, clusterBits: Int)
 
   /** Train coarse quantizer (k-means, `nlist` centers, via
     * Quantize.trainCodebook with one subspace spanning the full vector)
@@ -34,44 +36,58 @@ object IvfPq {
     * iterations with smallest-id init, exact decimal centroid means. */
   def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
             nlist: Int, m: Int, k: Int, iters: Int = 3): Model = {
+    val bits = clusterBitsFor(nlist)
     val coarse = Quantize.trainCodebook(df, idCol, vecCol, m = 1, dim = dim,
         k = nlist, iters = iters)
       .select(col("code").as("cluster"), col("centroid").as("c_centroid"))
-    val resid = residuals(df, idCol, vecCol, coarse)
+    val resid = residuals(df, idCol, vecCol, coarse, bits)
     val pq = Quantize.trainCodebook(resid, "id", "resid", m = m, dim = dim,
       k = k, iters = iters)
-    Model(coarse, pq, m, dim)
+    Model(coarse, pq, m, dim, bits)
+  }
+
+  /** Smallest label width covering `nlist` clusters (ArgMaxPack field). */
+  def clusterBitsFor(nlist: Int): Int = {
+    require(nlist >= 1 && nlist <= (1 << 24), s"nlist must be in [1, 2^24], got $nlist")
+    math.max(1, 32 - Integer.numberOfLeadingZeros(nlist - 1))
   }
 
   /** (id, cluster, resid): nearest coarse centroid per vector (argmin by
     * squared L2, ties to smaller cluster) and the residual against it.
-    * One broadcast join; the argmin is a hash aggregate (max over negated
-    * distance struct — same shape as Quantize.assignCodes). */
+    * One broadcast join; the argmin is a packed-long HASH aggregate
+    * (ArgMaxPack over the negated distance — max(struct) would fall back
+    * to SortAggregate and per-partition-sort the full n×nlist candidate
+    * set, the largest intermediate in the operator). */
   private def residuals(df: DataFrame, idCol: String, vecCol: String,
-                        coarse: DataFrame): DataFrame = {
+                        coarse: DataFrame, bits: Int): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-    assignCluster(vecs, coarse)
+    assignCluster(vecs, coarse, bits)
       .withColumn("resid", zip_with(col("vec"), col("c_centroid"), (a, b) => a - b))
       .select("id", "cluster", "resid")
   }
 
-  /** (id, vec, cluster, c_centroid) with cluster = argmin squared L2. */
-  private def assignCluster(vecs: DataFrame, coarse: DataFrame): DataFrame = {
+  /** (id, vec, cluster, c_centroid) with cluster = argmin squared L2.
+    * The label is stored bit-flipped ((2^bits−1) − cluster) so max(packed)
+    * breaks exact-distance ties toward the SMALLER cluster id. */
+  private def assignCluster(vecs: DataFrame, coarse: DataFrame, bits: Int): DataFrame = {
     val cb = broadcast(coarse)
+    val inv = (1 << bits) - 1
     vecs.join(cb)
       .withColumn("nd2", Quantize.sqDist(col("vec"), col("c_centroid")))
       .groupBy("id")
-      .agg(max(struct((-col("nd2")).as("neg"), (-col("cluster")).as("negc"))).as("best"),
+      .agg(
+        max(graft.expressions.ArgMaxPack.of(-col("nd2"), lit(inv) - col("cluster"), bits)).as("packed"),
         first(col("vec")).as("vec"))
-      .withColumn("cluster", (-col("best.negc")).cast("int"))
-      .drop("best")
+      .withColumn("cluster",
+        lit(inv) - graft.expressions.ArgMaxPack.unpackLabel(col("packed"), bits))
+      .drop("packed")
       .join(cb, Seq("cluster"))
   }
 
   /** Encode the corpus: (id, cluster, codes array<int>) — the complete
     * compressed index entry (4 + m bytes of information per vector). */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val resid = residuals(df, idCol, vecCol, model.coarse)
+    val resid = residuals(df, idCol, vecCol, model.coarse, model.clusterBits)
     val codes = Quantize.encode(resid, "id", "resid", model.pq, model.m, model.dim)
     resid.select("id", "cluster").join(codes, Seq("id"))
   }

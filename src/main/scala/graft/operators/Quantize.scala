@@ -41,6 +41,8 @@ object Quantize {
     * map-side-combining aggregate keyed on (subspace, code). */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     m: Int, dim: Int, k: Int, iters: Int = 3): DataFrame = {
+    // byte codes by design; also the assignCodes ArgMaxPack label width
+    require(k >= 1 && k <= 256, s"PQ codebook size k must be in [1, 256], got $k")
     val subs = subvectors(df, idCol, vecCol, m, dim).cache()
     val init = subs
       .withColumn("rn", row_number().over(
@@ -67,8 +69,11 @@ object Quantize {
 
   /** Nearest-code assignment for rows of (…, subspace, `vecField`):
     * joins the broadcast codebook per subspace and picks the minimum
-    * squared-distance code via a max-struct aggregate (no window sort).
-    * Ties go to the smaller code. */
+    * squared-distance code via a packed-long HASH aggregate (ArgMaxPack
+    * over the negated distance; max(struct) buffers aren't UnsafeRow-
+    * mutable and fall back to SortAggregate — a per-partition sort of
+    * the n×k candidate rows). Codes ≤ 255 (enforced at train time); the
+    * label is stored as 255−code so ties go to the smaller code. */
   private[operators] def assignCodes(rows: DataFrame, codebook: DataFrame, vecField: String): DataFrame = {
     val cb = broadcast(codebook.select(
       col("subspace"), col("code").as("cb_code"), col("centroid")))
@@ -76,9 +81,11 @@ object Quantize {
     rows.join(cb, Seq("subspace"))
       .withColumn("nd2", d2)
       .groupBy(rows.columns.map(col): _*)
-      .agg(max(struct((-col("nd2")).as("neg"), (-col("cb_code")).as("negc"))).as("best"))
-      .withColumn("code", (-col("best.negc")).cast("int"))
-      .drop("best")
+      .agg(max(graft.expressions.ArgMaxPack.of(
+        -col("nd2"), lit(255) - col("cb_code"), 8)).as("packed"))
+      .withColumn("code",
+        lit(255) - graft.expressions.ArgMaxPack.unpackLabel(col("packed"), 8))
+      .drop("packed")
   }
 
   /** Squared L2 distance via dot products: |a|² − 2a·b + |b|². */

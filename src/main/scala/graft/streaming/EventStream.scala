@@ -95,8 +95,13 @@ object EventStream {
     * shuffle-free native SimHashBits fold over its distinct words) and
     * drop any doc whose fingerprint collided inside the watermark horizon
     * — the streaming form of `Dedup.simhash` blocking, with state bounded
-    * by the watermark. Collision at `bits` width means the same
-    * sign pattern of word-hash votes ≈ near-identical word set.
+    * by the watermark. Collision at `bits` width means the same sign
+    * pattern of word-hash votes ≈ near-identical word set. Default 32
+    * bits: at 16 the 65536-value space birthday-collides after a few
+    * hundred distinct docs in the watermark horizon and silently drops
+    * unrelated documents; 32 bits pushes ~50% collision odds past ~77k
+    * distinct docs per horizon. Size `bits` (and the watermark) to the
+    * stream's distinct-doc rate.
     *
     * Deliberate tradeoff vs the batch pipeline: per-event decisions must
     * be O(1) with bounded state, so there is no candidate verification or
@@ -104,13 +109,14 @@ object EventStream {
     * corpus for the exact drop set; this stage just keeps the stream's
     * obvious repeats from fanning out downstream. `docs` needs (`ts`,
     * `textCol`). */
-  def deduplicatedNear(docs: DataFrame, textCol: String, bits: Int = 16,
+  def deduplicatedNear(docs: DataFrame, textCol: String, bits: Int = 32,
                        watermark: String = "30 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .withColumn("simhash", graft.expressions.SimHashBits.of(
+      .withColumn("__simhash", graft.expressions.SimHashBits.of(
         array_distinct(graft.functions.TextFns.words(col(textCol))), bits))
-      .dropDuplicatesWithinWatermark("simhash")
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
 
   /** File-source stream over the events layout (parquet dir → stream).
     * The layout carries TIMESTAMP(NANOS), which Spark can only read as

@@ -96,7 +96,9 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(2) - 0.5) < 1e-6)   // mean R: half the pixels full red
     assert(f(3) == 0.0f)                  // no green anywhere
     assert(math.abs(f(4) - 0.5) < 1e-6)   // mean B: half the pixels full blue
-    // audio stays on the disclosed stub (digest-derived, 8 floats)
+    // real decode is flagged; audio stays on the disclosed stub
+    assert(out(1L).decoded)
+    assert(!out(2L).decoded)
     assert(out(2L).features.length == 8 && out(2L).features.sameElements(
       Multimodal.StubCodec.decode(Array[Byte](1, 2, 3))))
   }
@@ -124,7 +126,8 @@ class MultimodalSpec extends SparkSpec {
   test("queries() plumbing: features join back to items by id") {
     val items = Multimodal.syntheticMedia(spark, 12)
     val feats = Multimodal.extractFeatures(items)
-    val joined = items.join(feats.toDF("media_id", "kind2", "n_bytes", "digest", "features"), "media_id")
+    val joined = items.join(
+      feats.toDF("media_id", "kind2", "n_bytes", "digest", "features", "decoded"), "media_id")
     assert(joined.count() == 12)
   }
 }
