@@ -143,7 +143,8 @@ object Multimodal {
       * brightFrac] — channel means/stddev normalized to [0,1], brightFrac
       * = fraction of pixels above mean luma. Deterministic for lossless
       * formats (PNG/GIF/BMP); JPEG is deterministic per JDK decoder.
-      * Per-row cost is one raster pass. */
+      * Per-row cost is two raster passes (means, then bright-fraction —
+      * trading the second pass for not holding a per-pixel buffer). */
     def features(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth
       val h = img.getHeight

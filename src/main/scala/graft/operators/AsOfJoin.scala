@@ -86,12 +86,16 @@ object AsOfJoin {
     // Right rows sort before left rows at equal time (tag 0 < 1) in BOTH
     // traversals, so a config taking effect exactly at the event time is
     // visible to it (≤ and ≥ are both inclusive); among equal-time right
-    // rows, last() lands on the max tiebreak either way.
+    // rows, last() lands on the max tiebreak either way. The descending
+    // traversal pins nulls FIRST (plain .desc = nulls last, which would
+    // put null-time left rows at the end with every right row in frame —
+    // matching them to the minimum-time right row instead of nothing);
+    // nulls-first gives them an all-null frame, consistent with backward.
     def running(order: Seq[Column]) =
       Window.partitionBy(leftKey).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val backWin = running(Seq(col(leftTime).asc, col("__tag").asc, col("__tb").asc_nulls_first))
-    val fwdWin  = running(Seq(col(leftTime).desc, col("__tag").asc, col("__tb").asc_nulls_first))
+    val fwdWin  = running(Seq(col(leftTime).desc_nulls_first, col("__tag").asc, col("__tb").asc_nulls_first))
 
     val filled = direction match {
       case "backward" =>
@@ -99,16 +103,21 @@ object AsOfJoin {
       case "forward" =>
         unioned.withColumn("__f", last(col("__carry"), ignoreNulls = true).over(fwdWin))
       case "nearest" =>
-        // Numeric time axis for the distance compare. backward/forward
-        // need only ORDERING (any orderable type works); nearest needs
-        // SUBTRACTION, so reject types where cast-to-double would be
-        // null (strings) or fail analysis (dates would need unix_date) —
+        // Time axis for the distance compare. backward/forward need only
+        // ORDERING (any orderable type works); nearest needs SUBTRACTION,
+        // so reject types where cast-to-double would be null (strings) —
         // a silent null distance would quietly return the backward match
-        // however far away it is.
-        val t = left.schema(leftTime).dataType match {
-          case TimestampType => (c: Column) => unix_micros(c).cast("double")
-          case org.apache.spark.sql.types.DateType => (c: Column) => unix_date(c).cast("double")
-          case n: org.apache.spark.sql.types.NumericType => (c: Column) => c.cast("double")
+        // however far away it is. Integral axes (incl. nanosecond-epoch
+        // longs > 2^53, where a double would round 100ns and 300ns gaps
+        // together and pick the farther side) stay in LONG arithmetic;
+        // only genuinely fractional axes go through double.
+        import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, NumericType, ShortType, TimestampNTZType}
+        val t: Column => Column = left.schema(leftTime).dataType match {
+          case TimestampType => c => unix_micros(c)
+          case TimestampNTZType => c => unix_micros(c.cast("timestamp"))
+          case DateType => c => unix_date(c).cast("long")
+          case LongType | IntegerType | ShortType | ByteType => c => c.cast("long")
+          case _: NumericType => c => c.cast("double")
           case other => throw new IllegalArgumentException(
             s"direction=nearest needs a numeric/timestamp/date time column, got $other " +
               s"for '$leftTime' (backward/forward work on any orderable type)")

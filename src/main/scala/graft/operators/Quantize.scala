@@ -41,8 +41,11 @@ object Quantize {
     * map-side-combining aggregate keyed on (subspace, code). */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     m: Int, dim: Int, k: Int, iters: Int = 3): DataFrame = {
-    // byte codes by design; also the assignCodes ArgMaxPack label width
-    require(k >= 1 && k <= 256, s"PQ codebook size k must be in [1, 256], got $k")
+    // k ≤ 256 is the classic byte-code PQ; larger k is allowed because
+    // IvfPq reuses this trainer (m = 1, k = nlist) as its coarse k-means,
+    // and real IVF lists run to tens of thousands. 2^24 is ArgMaxPack's
+    // label-width ceiling.
+    require(k >= 1 && k <= (1 << 24), s"codebook size k must be in [1, 2^24], got $k")
     val subs = subvectors(df, idCol, vecCol, m, dim).cache()
     val init = subs
       .withColumn("rn", row_number().over(
@@ -72,19 +75,25 @@ object Quantize {
     * squared-distance code via a packed-long HASH aggregate (ArgMaxPack
     * over the negated distance; max(struct) buffers aren't UnsafeRow-
     * mutable and fall back to SortAggregate — a per-partition sort of
-    * the n×k candidate rows). Codes ≤ 255 (enforced at train time); the
-    * label is stored as 255−code so ties go to the smaller code. */
+    * the n×k candidate rows). The label width is sized from the
+    * codebook's actual max code (a one-row driver aggregate over the
+    * already-tiny broadcast table), so coarse codebooks beyond 256
+    * entries work; the label is stored bit-flipped so ties go to the
+    * smaller code. */
   private[operators] def assignCodes(rows: DataFrame, codebook: DataFrame, vecField: String): DataFrame = {
     val cb = broadcast(codebook.select(
       col("subspace"), col("code").as("cb_code"), col("centroid")))
+    val maxCode = codebook.agg(max(col("code"))).head().getInt(0)
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxCode)))
+    val inv = (1 << bits) - 1
     val d2 = sqDist(col(vecField), col("centroid"))
     rows.join(cb, Seq("subspace"))
       .withColumn("nd2", d2)
       .groupBy(rows.columns.map(col): _*)
       .agg(max(graft.expressions.ArgMaxPack.of(
-        -col("nd2"), lit(255) - col("cb_code"), 8)).as("packed"))
+        -col("nd2"), lit(inv) - col("cb_code"), bits)).as("packed"))
       .withColumn("code",
-        lit(255) - graft.expressions.ArgMaxPack.unpackLabel(col("packed"), 8))
+        lit(inv) - graft.expressions.ArgMaxPack.unpackLabel(col("packed"), bits))
       .drop("packed")
   }
 

@@ -60,6 +60,17 @@ class OperatorSpec extends SparkSpec {
     assert(run("nearest") == Set(
       (1L, "10:00", "cfgA"), (1L, "12:30", "cfgC"), (1L, "12:00", "cfgB"),
       (2L, "08:00", "cfgD")))
+
+    // null-time left rows must match NOTHING in every direction (plain
+    // .desc would sort them last in the forward traversal with every
+    // right row in frame, silently matching the earliest config)
+    val nullLeft = Seq((1L, Option.empty[Timestamp])).toDF("k", "ts")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val r = AsOfJoin.join(nullLeft, right, "k", "rk", "ts", "rts",
+          rightCols = Seq("cfg"), rightTiebreak = Some("rid"), direction = dir)
+        .select("cfg").collect()
+      assert(r.length == 1 && r.head.isNullAt(0), s"direction=$dir matched a null-time row")
+    }
   }
 
   test("AsOfJoin leaves unmatched left rows with null match") {

@@ -29,6 +29,19 @@ class QuantizeSpec extends SparkSpec {
     assert(cb1.values.forall(_.length == dim / m))
   }
 
+  test("trainCodebook supports k > 256 (IvfPq coarse-quantizer reuse sizes label bits from the codebook)") {
+    // 300 centers over 300 singleton vectors in 1-dim subspace: every
+    // vector is its own centroid; assignment must round-trip losslessly
+    // (this k would have been impossible with a fixed 8-bit label width)
+    val wide = (0L until 300L).map(i => (i, Array(i.toFloat))).toDF("vec_id", "embedding")
+    val cb = Quantize.trainCodebook(wide, "vec_id", "embedding", m = 1, dim = 1, k = 300, iters = 1)
+    assert(cb.count() == 300)
+    val codes = Quantize.encode(wide, "vec_id", "embedding", cb, m = 1, dim = 1)
+    assert(codes.count() == 300)
+    // distinct vectors → distinct nearest codes
+    assert(codes.select("codes").distinct().count() == 300)
+  }
+
   test("encode emits m in-range codes; clusters map to distinct code words") {
     // k=2 so each natural cluster owns exactly one code per subspace
     val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k = 2)
