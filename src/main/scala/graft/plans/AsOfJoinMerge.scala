@@ -4,22 +4,24 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
 
 /** Custom whole-operator: sorted-merge as-of join.
   *
-  * For each left row, attach the most recent right row with
-  * `rightTime <= leftTime` of the same key (ties on equal right time → the
-  * greatest tiebreak). The union + last-non-null-window formulation (see
-  * operators.AsOfJoin) is one shuffle but ships every row null-padded to
-  * the unified schema — double wire width — and pays a window sort over
-  * the union. This operator shuffles each side at its own width, sorts
-  * each side independently (EnsureRequirements inserts the exchanges and
-  * sorts), then streams both sorted partitions through a single merge
-  * pass: O(n log n) in the sort, O(n) merge, no per-key window buffers.
+  * For each left row, attach the matching right row of the same key:
+  * backward = most recent right with `rightTime <= leftTime` (ties on
+  * equal right time → the greatest tiebreak); forward = earliest right
+  * with `rightTime >= leftTime` (same tie policy). The union +
+  * last-non-null-window formulation (see operators.AsOfJoin) is one
+  * shuffle but ships every row null-padded to the unified schema — double
+  * wire width — and pays a window sort over the union. This operator
+  * shuffles each side at its own width, sorts each side independently
+  * (EnsureRequirements inserts the exchanges and sorts), then streams
+  * both sorted partitions through a single merge pass: O(n log n) in the
+  * sort, O(n) merge, no per-key window buffers.
   *
   * Engine analog: `dlyfix.getcorrection` (scripts/dlyfix.py:128) matching
   * each observation to the config valid at its MJD.
@@ -32,6 +34,7 @@ final case class AsOfJoinPlan(
     rightCarry: Seq[Expression],   // carried right columns (incl. time first)
     tiebreak: Option[Expression],
     carryAttrs: Seq[Attribute],    // output attributes for the carried cols
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan,
 ) extends BinaryNode {
@@ -46,8 +49,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, carry, tb, attrs, l, r) =>
-      AsOfJoinMergeExec(lk, rk, lt, rt, carry, tb, attrs, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, carry, tb, attrs, fwd, l, r) =>
+      AsOfJoinMergeExec(lk, rk, lt, rt, carry, tb, attrs, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -60,6 +63,7 @@ final case class AsOfJoinMergeExec(
     rightCarry: Seq[Expression],
     tiebreak: Option[Expression],
     carryAttrs: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan,
 ) extends BinaryExecNode {
@@ -74,11 +78,14 @@ final case class AsOfJoinMergeExec(
     org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(Seq(rightKey)) :: Nil
 
   /** Both sides sorted by (key, time[, tiebreak]) — EnsureRequirements
-    * inserts the SortExecs; the merge below is then a single pass. */
+    * inserts the SortExecs; the merge below is then a single pass. The
+    * tiebreak flips to DESCENDING in forward mode so the FIRST row of an
+    * equal-time run is the max-tiebreak row (the merge peeks at the run
+    * head without consuming it). */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-      tiebreak.map(t => SortOrder(t, Ascending)),
+      tiebreak.map(t => SortOrder(t, if (forward) Descending else Ascending)),
   )
 
   override def outputPartitioning = left.outputPartitioning
@@ -94,6 +101,7 @@ final case class AsOfJoinMergeExec(
     val keyType = lk.dataType
     val timeType = lt.dataType
     val nCarry = carryAttrs.size
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
@@ -109,32 +117,59 @@ final case class AsOfJoinMergeExec(
       val resultProj = UnsafeProjection.create(lOut ++ carryAttrs, lOut ++ carryAttrs)
 
       val rBuf = rIter.buffered
-      // state: the best (latest) right row seen for the current left key
+      // backward state: the best (latest) right row seen for the current key
       var matchedCarry: InternalRow = null
       var matchedKey: InternalRow = null
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTimeProj(lRow).copy()
-        // advance right while its key is before the left key, or same key
-        // with time <= left time; remember the last same-key advance
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rKey = rKeyProj(rBuf.head)
-          val kc = keyOrd.compare(rKey, lKey)
-          if (kc < 0) {
-            rBuf.next() // right key fully behind: discard
-          } else if (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0) {
-            val r = rBuf.next()
-            matchedCarry = carryProj(r).copy()
-            matchedKey = lKey.copy()
-          } else {
-            advancing = false
+        val lTimeRow = lTimeProj(lRow)
+        // null-time left rows match nothing in either direction (a null
+        // compares below every time, which would spuriously satisfy the
+        // forward bound for the whole key run)
+        if (lTimeRow.isNullAt(0)) {
+          resultProj(joined(lRow, nullCarry))
+        } else if (!fwd) {
+          val lTime = lTimeRow.copy()
+          // advance right while its key is before the left key, or same key
+          // with time <= left time; remember the last same-key advance
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc < 0) {
+              rBuf.next() // right key fully behind: discard
+            } else if (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) <= 0) {
+              val r = rBuf.next()
+              matchedCarry = carryProj(r).copy()
+              matchedKey = lKey.copy()
+            } else {
+              advancing = false
+            }
           }
+          val ok = matchedCarry != null && matchedKey != null &&
+            keyOrd.compare(matchedKey, lKey) == 0
+          resultProj(joined(lRow, if (ok) matchedCarry else nullCarry))
+        } else {
+          val lTime = lTimeRow.copy()
+          // discard right rows that can never match this or any later left
+          // row (left times ascend within a key): key fully behind, or
+          // same key with time strictly before the left time
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc < 0 || (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) < 0)) {
+              rBuf.next()
+            } else {
+              advancing = false
+            }
+          }
+          // the head (if same key) is the earliest right at-or-after the
+          // left time — PEEK, don't consume: later left rows may match it
+          val ok = rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+          resultProj(joined(lRow, if (ok) carryProj(rBuf.head) else nullCarry))
         }
-        val ok = matchedCarry != null && matchedKey != null &&
-          keyOrd.compare(matchedKey, lKey) == 0
-        resultProj(joined(lRow, if (ok) matchedCarry else nullCarry))
       }
     }
   }
@@ -153,7 +188,9 @@ object AsOfMerge {
   }
 
   /** Sorted-merge as-of join: left columns + `asof_time` (the matched
-    * right time; null when unmatched) + the carried `rightCols`. */
+    * right time; null when unmatched) + the carried `rightCols`.
+    * `direction`: "backward" (default) or "forward" ("nearest" lives on
+    * the window form, operators.AsOfJoin). */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -163,12 +200,15 @@ object AsOfMerge {
       rightTime: String,
       rightCols: Seq[String],
       rightTiebreak: Option[String] = None,
+      direction: String = "backward",
   ): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got '$direction' (nearest: use operators.AsOfJoin)")
     val spark = left.sparkSession
     install(spark)
     val lPlan = Bridge.logicalPlan(left)
     // null-key rows can't join and null-time rows can never satisfy
-    // rightTime <= leftTime; drop them so the natural-ordering merge
+    // either direction's bound; drop them so the natural-ordering merge
     // never compares against nulls (operators.AsOfJoin filters identically)
     val rPlan = Bridge.logicalPlan(
       right.filter(right(rightKey).isNotNull && right(rightTime).isNotNull))
@@ -197,7 +237,7 @@ object AsOfMerge {
     }
     val plan = AsOfJoinPlan(
       lAttr(leftKey), rAttr(rightKey), lAttr(leftTime), rAttr(rightTime),
-      carryExprs, rightTiebreak.map(rAttr), carryAttrs, lPlan, rPlan)
+      carryExprs, rightTiebreak.map(rAttr), carryAttrs, direction == "forward", lPlan, rPlan)
     Bridge.ofRows(spark, plan)
   }
 }

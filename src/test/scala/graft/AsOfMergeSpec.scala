@@ -53,6 +53,54 @@ class AsOfMergeSpec extends SparkSpec {
     ))
   }
 
+  test("forward merge: earliest >=, equal-time match, max tiebreak, peek keeps the row for later lefts") {
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")), // → cfgB2 (11:00, max rid of the equal-time run)
+      (1L, t("2024-01-01 10:30:00")), // → cfgB2 again (peek must not consume)
+      (1L, t("2024-01-01 11:00:00")), // equal-time right matches (>= inclusive)
+      (1L, t("2024-01-01 14:00:00")), // nothing at/after → null
+      (2L, t("2024-01-01 09:00:00")), // equal time exactly
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), "cfgA", 1L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB", 2L),
+      (1L, t("2024-01-01 11:00:00"), "cfgB2", 3L), // duplicate time: max rid wins
+      (1L, t("2024-01-01 13:00:00"), "cfgC", 4L),
+      (2L, t("2024-01-01 09:00:00"), "cfgD", 5L),
+    ).toDF("rk", "rts", "cfg", "rid")
+    val out = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"),
+        direction = "forward")
+      .select("k", "ts", "cfg").as[(Long, Timestamp, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, t("2024-01-01 10:00:00"), Some("cfgB2")),
+      (1L, t("2024-01-01 10:30:00"), Some("cfgB2")),
+      (1L, t("2024-01-01 11:00:00"), Some("cfgB2")),
+      (1L, t("2024-01-01 14:00:00"), None),
+      (2L, t("2024-01-01 09:00:00"), Some("cfgD")),
+    ))
+  }
+
+  test("forward merge agrees with the union+window forward formulation on randomized data") {
+    val rng = new scala.util.Random(13)
+    val base = t("2024-01-01 00:00:00").getTime
+    val left = (1 to 400).map { i =>
+      (rng.nextInt(8).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), i.toLong)
+    }.toDF("k", "ts", "lid")
+    val right = (1 to 300).map { i =>
+      val cfg = if (rng.nextInt(4) == 0) None else Some(s"c$i")
+      (rng.nextInt(10).toLong, new Timestamp(base + rng.nextInt(100000) * 1000L), cfg, i.toLong)
+    }.toDF("rk", "rts", "cfg", "rid")
+    val merge = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"),
+        direction = "forward")
+      .select("lid", "asof_time", "cfg")
+      .as[(Long, Option[Timestamp], Option[String])].collect().toSet
+    val window = AsOfJoin.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"),
+        direction = "forward")
+      .select(col("lid"), col("asof_time"), col("cfg"))
+      .as[(Long, Option[Timestamp], Option[String])].collect().toSet
+    assert(merge == window)
+  }
+
   test("agrees with the union+window formulation on randomized data (incl. null carries)") {
     val rng = new scala.util.Random(11)
     val base = t("2024-01-01 00:00:00").getTime
