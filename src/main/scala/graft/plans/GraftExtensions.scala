@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-filter → TopK pruning (strategy + optimizer rule)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankFilterToTopK)
+    // sorted-merge as-of join planning (AsOfMerge.join also self-installs)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
