@@ -22,8 +22,8 @@ import org.apache.spark.sql.types.TimestampType
   * are 100 TB facts. Window frames are per-key RUNNING frames (O(n));
   * `forward` uses the reverse-ordered traversal, `nearest` evaluates both
   * and picks per row. (The custom sorted-merge AsOfJoinMergeExec covers
-  * the backward hot path with a single merge pass; these variants stay on
-  * the window form.)
+  * the backward AND forward hot paths with a single merge pass; only
+  * `nearest` stays window-only.)
   */
 object AsOfJoin {
 

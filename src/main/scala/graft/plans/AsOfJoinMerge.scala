@@ -151,24 +151,28 @@ final case class AsOfJoinMergeExec(
             keyOrd.compare(matchedKey, lKey) == 0
           resultProj(joined(lRow, if (ok) matchedCarry else nullCarry))
         } else {
-          val lTime = lTimeRow.copy()
+          // no .copy(): lTimeRow is only read within this iteration and
+          // rTimeProj has its own buffer
+          val lTime = lTimeRow
           // discard right rows that can never match this or any later left
           // row (left times ascend within a key): key fully behind, or
           // same key with time strictly before the left time
           var advancing = true
+          var headSameKey = false
           while (advancing && rBuf.hasNext) {
             val rKey = rKeyProj(rBuf.head)
             val kc = keyOrd.compare(rKey, lKey)
             if (kc < 0 || (kc == 0 && timeOrd.compare(rTimeProj(rBuf.head), lTime) < 0)) {
               rBuf.next()
             } else {
+              // remember the head comparison instead of re-projecting it
               advancing = false
+              headSameKey = kc == 0
             }
           }
           // the head (if same key) is the earliest right at-or-after the
           // left time — PEEK, don't consume: later left rows may match it
-          val ok = rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
-          resultProj(joined(lRow, if (ok) carryProj(rBuf.head) else nullCarry))
+          resultProj(joined(lRow, if (headSameKey) carryProj(rBuf.head) else nullCarry))
         }
       }
     }

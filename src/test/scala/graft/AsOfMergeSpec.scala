@@ -80,6 +80,23 @@ class AsOfMergeSpec extends SparkSpec {
     ))
   }
 
+  test("null-time left rows match nothing in either merge direction") {
+    // forward without the explicit guard would let a null time (compares
+    // below everything) satisfy the >= bound for the whole key run and
+    // match the earliest right row
+    val left = Seq((1L, Option.empty[Timestamp]), (1L, Some(t("2024-01-01 10:00:00"))))
+      .toDF("k", "ts")
+    val right = Seq((1L, t("2024-01-01 09:00:00"), "cfgA", 1L)).toDF("rk", "rts", "cfg", "rid")
+    Seq("backward", "forward").foreach { dir =>
+      val out = AsOfMerge.join(left, right, "k", "rk", "ts", "rts", Seq("cfg"), Some("rid"),
+          direction = dir)
+        .select("ts", "cfg").as[(Option[Timestamp], Option[String])].collect().toMap
+      assert(out(None).isEmpty, s"direction=$dir matched a null-time left row")
+      val expected = if (dir == "backward") Some("cfgA") else None
+      assert(out(Some(t("2024-01-01 10:00:00"))) == expected)
+    }
+  }
+
   test("forward merge agrees with the union+window forward formulation on randomized data") {
     val rng = new scala.util.Random(13)
     val base = t("2024-01-01 00:00:00").getTime
