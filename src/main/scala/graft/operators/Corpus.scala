@@ -33,6 +33,24 @@ object Corpus {
     df.filter(substring(md5(col(textCol)), 1, 4) < threshold)
   }
 
+  /** Deterministic EXACT-size sample: `k` docs per group, chosen by
+    * md5-hash order (ties by `idCol`) — "give me exactly 1000 docs per
+    * domain, the same 1000 every run". Where [[sampleByHash]] keeps a
+    * deterministic FRACTION, this keeps a deterministic COUNT. Rides the
+    * custom TopKPerKey operator: bounded per-key heaps with a map-side
+    * partial phase, so at most k rows per (partition, group) reach the
+    * shuffle — never a full per-group sort. */
+  def samplePerGroup(df: DataFrame, groupCol: String, textCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(
+      df.withColumn("__h", md5(col(textCol))),
+      keys = Seq(groupCol),
+      order = Seq(TopK.asc("__h"), TopK.asc(idCol)),
+      k = k,
+    ).drop("__h")
+  }
+
   /** Token-budget shard packing: within each `groupCol` (ordered by
     * `idCol`), documents pack into consecutive shards of ~`budget`
     * tokens: shard = floor(tokens-before-this-doc / budget) — the

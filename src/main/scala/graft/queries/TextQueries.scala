@@ -361,5 +361,24 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49)
+  /** C30: deterministic exact-size per-group sample — exactly 5 docs per
+    * source by md5-hash order, the same 5 every run. Rides the custom
+    * TopKPerKey operator (bounded heaps, map-side partial); the oracle is
+    * the ROW_NUMBER formulation of the same total order. */
+  private val q50 = Q(
+    "q50_sample_per_group",
+    (s, dir) =>
+      graft.operators.Corpus.samplePerGroup(
+          Tables.documents(s, dir).select("doc_id", "source", "text"), "source", "text", "doc_id", k = 5)
+        .select("doc_id", "source"),
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 5
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50)
 }

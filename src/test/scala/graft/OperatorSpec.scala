@@ -104,6 +104,18 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 1L), ("h", 1L, 0L)))
   }
 
+  test("Corpus.samplePerGroup keeps exactly k docs per group, stable across runs and partitionings") {
+    import graft.operators.Corpus
+    val df = (1 to 120).map(i => (i.toLong, s"g${i % 3}", s"text number $i")).toDF("doc_id", "source", "text")
+    val a = Corpus.samplePerGroup(df, "source", "text", "doc_id", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.samplePerGroup(df.repartition(7), "source", "text", "doc_id", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 12) // 3 groups × 4
+    assert(Corpus.samplePerGroup(df, "source", "text", "doc_id", k = 4)
+      .groupBy("source").count().as[(String, Long)].collect().forall(_._2 == 4))
+  }
+
   test("Corpus.sampleByHash is deterministic; rate 1 keeps all, rate 0 keeps none") {
     import graft.operators.Corpus
     val df = (1 to 200).map(i => (i.toLong, s"document number $i")).toDF("doc_id", "text")
