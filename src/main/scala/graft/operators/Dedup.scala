@@ -230,6 +230,20 @@ object Dedup {
     df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** [[dedupCorpus]] for embeddings: sign-LSH candidates above `threshold`
+    * cosine → connected components → min-id survivor per cluster → the
+    * corpus with near-duplicate vectors dropped. Same cluster semantics
+    * as the text path (transitive dups collapse). */
+  def dedupCorpusByEmbedding(df: DataFrame, vecCol: String, idCol: String,
+                             threshold: Double, bits: Int = 4, tables: Int = 1): DataFrame = {
+    val verified = byEmbedding(df, vecCol, idCol, threshold, bits, tables)
+      .select("a_id", "b_id")
+    val losers = resolveClusters(verified)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
     * cosine above `threshold` inside each bucket.
     *

@@ -115,6 +115,17 @@ class DedupKnnSpec extends SparkSpec {
     assert(kept == Set(2L, 5L))
   }
 
+  test("Dedup.dedupCorpusByEmbedding drops same-direction vectors, keeps min id and distinct ones") {
+    val df = Seq(
+      (3L, Array(1.0f, 0.2f, 0.1f, 0.3f)),
+      (5L, Array(2.0f, 0.4f, 0.2f, 0.6f)),   // same direction as 3 → dropped (3 survives)
+      (8L, Array(-1.0f, 0.5f, -0.2f, 0.1f)), // different direction → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.dedupCorpusByEmbedding(df, "embedding", "vec_id", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 8L))
+  }
+
   test("Dedup.simhash: identical word sets share a fingerprint") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta eps zeta"))
       .toDF("doc_id", "text")
