@@ -43,8 +43,12 @@ object Corpus {
   def samplePerGroup(df: DataFrame, groupCol: String, textCol: String,
                      idCol: String, k: Int): DataFrame = {
     import graft.plans.TopK
+    // null texts hash to "g", which sorts AFTER every hex digit — the
+    // same position DuckDB's default NULLS LAST gives them (Spark's asc
+    // default is nulls FIRST, which would preferentially sample them and
+    // break cross-engine reproducibility)
     TopK.perKey(
-      df.withColumn("__h", md5(col(textCol))),
+      df.withColumn("__h", coalesce(md5(col(textCol)), lit("g"))),
       keys = Seq(groupCol),
       order = Seq(TopK.asc("__h"), TopK.asc(idCol)),
       k = k,

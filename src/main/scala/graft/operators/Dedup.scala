@@ -224,7 +224,14 @@ object Dedup {
     val verified = jaccardVerify(candidates, df, textCol, idCol)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
-    val losers = resolveClusters(verified)
+    dropLosers(df, verified, idCol)
+  }
+
+  /** Shared survivor tail of the one-call dedup pipelines: resolve the
+    * verified pair graph to clusters, drop every doc that is not its
+    * cluster's min-id survivor. */
+  private def dropLosers(df: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
+    val losers = resolveClusters(verifiedPairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
@@ -238,10 +245,7 @@ object Dedup {
                              threshold: Double, bits: Int = 4, tables: Int = 1): DataFrame = {
     val verified = byEmbedding(df, vecCol, idCol, threshold, bits, tables)
       .select("a_id", "b_id")
-    val losers = resolveClusters(verified)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select("doc_id")
-    df.join(losers, df(idCol) === losers("doc_id"), "left_anti")
+    dropLosers(df, verified, idCol)
   }
 
   /** Embedding near-duplicate candidate pairs: sign-LSH bucket blocking +
