@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK (headless-safe,
   * no container libraries needed) and decodes PNG/JPEG/GIF/BMP — so image
-  * feature extraction and resizing run on actual pixels. AUDIO/VIDEO
-  * decode remains STUBBED with a deterministic digest-based fake
-  * (`StubCodec.decode`) — those codecs are not in the JDK. Everything
-  * Spark-side is real and tested: the schema contract, partition-batched
-  * execution, feature extraction signature, and frame sampling shape.
+  * feature extraction and resizing run on actual pixels. AUDIO decode is
+  * REAL too: `javax.sound.sampled` (also in the JDK) parses WAV/AIFF/AU
+  * containers and streams PCM samples, so audio features are computed
+  * from actual waveforms. Only VIDEO decode remains STUBBED with a
+  * deterministic digest-based fake (`StubCodec.decode`) — no video codec
+  * ships in the JDK. Everything Spark-side is real and tested: the schema
+  * contract, partition-batched execution, feature extraction signature,
+  * and frame sampling shape.
   */
 object Multimodal {
 
@@ -35,12 +38,12 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       digest: String,
-      features: Array[Float],  // pixel-derived when decoded, digest-stub otherwise
+      features: Array[Float],  // pixel/waveform-derived when decoded, digest-stub otherwise
       decoded: Boolean,        // true = features come from a REAL decode;
-                               // false = stub fallback (audio/video, or an
-                               // image payload no ImageIO reader accepts) —
-                               // without this flag corrupt images would pass
-                               // downstream as plausible-looking pixel stats
+                               // false = stub fallback (video, or an image/
+                               // audio payload no JDK reader accepts) —
+                               // without this flag corrupt media would pass
+                               // downstream as plausible-looking stats
   )
 
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, digest: String)
@@ -105,10 +108,12 @@ object Multimodal {
     }
   }
 
-  /** Fill width/height (and normalize mime) from the REAL payload headers
-    * when the container is recognized; declared metadata is kept as the
-    * fallback. Pure map stage — the shape of a metadata-extraction pass
-    * over a media lake. */
+  /** Fill width/height/duration (and normalize mime) from the REAL
+    * payload headers when the container is recognized — image dimensions
+    * via [[ImageHeader]], audio duration/rate via [[AudioHeader]] (both
+    * header-only, no sample/pixel decode); declared metadata is kept as
+    * the fallback. Pure map stage — the shape of a metadata-extraction
+    * pass over a media lake. */
   def annotateDims(items: Dataset[MediaItem]): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
@@ -116,7 +121,11 @@ object Multimodal {
         ImageHeader.parse(m.payload) match {
           case Some((fmt, w, h)) =>
             m.copy(width = w, height = h, mime = s"image/$fmt")
-          case None => m
+          case None => AudioHeader.parse(m.payload) match {
+            case Some((fmt, _, _, durMs)) =>
+              m.copy(mime = s"audio/$fmt", duration_ms = durMs)
+            case None => m
+          }
         }
       }
     }
@@ -200,9 +209,105 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for AUDIO/VIDEO decoding only
-    * (images decode for real via [[ImageCodec]]); also the fallback for
-    * image payloads no ImageIO reader recognizes. */
+  /** Header-only audio metadata — container type, sample rate, channels,
+    * duration — via `AudioSystem.getAudioFileFormat`, which parses the
+    * header WITHOUT reading sample data. The audio analog of
+    * [[ImageHeader]]: the cheap metadata pass a media lake runs before
+    * any full decode. */
+  object AudioHeader {
+    /** (format, sampleRate, channels, durationMs) when the payload is a
+      * recognized audio container (WAV/AIFF/AU in a stock JDK); None
+      * otherwise. durationMs is -1 when the header doesn't carry a frame
+      * count. */
+    def parse(b: Array[Byte]): Option[(String, Float, Int, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val durMs =
+          if (frames > 0 && fmt.getFrameRate > 0) (frames * 1000.0 / fmt.getFrameRate).round
+          else -1L
+        Some((aff.getType.toString.toLowerCase, fmt.getSampleRate, fmt.getChannels, durMs))
+      } catch { case _: Exception => None }
+  }
+
+  /** REAL audio codec on `javax.sound.sampled` (in the JDK; WAV/AIFF/AU
+    * containers, PCM + µ-law/a-law encodings via the JDK's built-in
+    * converters). Samples stream through a fixed-size buffer — a
+    * multi-hour recording never materializes in memory. */
+  object AudioCodec {
+
+    /** Waveform statistics from one streaming pass. Amplitudes are
+      * full-scale normalized to [-1, 1]; zeroCrossRate and dcOffset are
+      * computed over channel 0 only (interleaved-channel crossings are
+      * meaningless for stereo). */
+    case class AudioStats(
+        sampleRate: Float, channels: Int, bits: Int, durationMs: Long,
+        rms: Double, peak: Double, zeroCrossRate: Double, dcOffset: Double)
+
+    /** Decode a payload and stream its samples; None when no audio reader
+      * recognizes the container (then callers fall back to the stub).
+      * Non-PCM-16 encodings are converted by the JDK to signed 16-bit
+      * little-endian at the source rate/channels before analysis. */
+    def decode(payload: Array[Byte]): Option[AudioStats] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = ais.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+            src.getSampleRate, false)
+          val pcm =
+            if (src.matches(target)) ais
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          val ch = src.getChannels
+          val buf = new Array[Byte](8192 - (8192 % (2 * ch))) // whole frames per read
+          var n = 0L            // channel-0 samples seen
+          var sum, sum2 = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          var prevSign = 0      // sign of previous channel-0 sample (0 = none yet)
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              // little-endian int16; only channel 0 (first frame slot)
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+              sum += s; sum2 += s * s
+              val a = math.abs(s); if (a > peak) peak = a
+              val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+              if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+              if (sign != 0) prevSign = sign
+              n += 1
+              i += 2 * ch       // skip the other channels' slots
+            }
+            read = pcm.read(buf)
+          }
+          if (n == 0) None
+          else {
+            val durMs = (n * 1000.0 / src.getSampleRate).round
+            Some(AudioStats(src.getSampleRate, ch, src.getSampleSizeInBits, durMs,
+              rms = math.sqrt(sum2 / n), peak = peak,
+              zeroCrossRate = if (n > 1) crossings.toDouble / (n - 1) else 0.0,
+              dcOffset = sum / n))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+    /** 8 waveform-derived features mirroring [[ImageCodec.features]]'s
+      * shape: [sampleRate, channels, bitDepth, durationMs, rms, peak,
+      * zeroCrossRate, dcOffset]. */
+    def features(s: AudioStats): Array[Float] = Array(
+      s.sampleRate, s.channels.toFloat, s.bits.toFloat, s.durationMs.toFloat,
+      s.rms.toFloat, s.peak.toFloat, s.zeroCrossRate.toFloat, s.dcOffset.toFloat)
+  }
+
+  /** STUB codec — deterministic stand-in for VIDEO decoding only (images
+    * and audio decode for real via [[ImageCodec]]/[[AudioCodec]]); also
+    * the fallback for image/audio payloads no JDK reader recognizes. */
   object StubCodec {
     private def md5(bytes: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(bytes)
@@ -234,16 +339,19 @@ object Multimodal {
 
   /** Batch feature extraction: one codec instance per partition (the
     * pattern a real decoder needs — init once, stream items through).
-    * Images decode for REAL (javax.imageio → pixel statistics); payloads
-    * ImageIO can't read, and audio/video kinds, use the stub. */
+    * Images decode for REAL (javax.imageio → pixel statistics) and so
+    * does audio (javax.sound → waveform statistics); payloads no JDK
+    * reader accepts, and video kinds, use the stub. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // per-partition init site (real impl: load codec/model here once)
       it.map { m =>
-        val real =
-          if (m.kind == "image") Multimodal.ImageCodec.decode(m.payload).map(Multimodal.ImageCodec.features)
-          else None
+        val real = m.kind match {
+          case "image" => Multimodal.ImageCodec.decode(m.payload).map(Multimodal.ImageCodec.features)
+          case "audio" => Multimodal.AudioCodec.decode(m.payload).map(Multimodal.AudioCodec.features)
+          case _ => None
+        }
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
           Multimodal.StubCodec.digestHex(m.payload),
           real.getOrElse(Multimodal.StubCodec.decode(m.payload)),

@@ -103,6 +103,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubCodec.decode(Array[Byte](1, 2, 3))))
   }
 
+  /** A REAL in-memory WAV: `nSamples` of a `hz` sine at `sr`, mono
+    * 16-bit PCM little-endian, peak amplitude `amp`. */
+  private def sineWav(sr: Float, hz: Double, nSamples: Int, amp: Double): Array[Byte] = {
+    val bytes = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = (amp * math.sin(2 * math.Pi * hz * i / sr) * 32767).round.toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: waveform statistics via javax.sound match the generated sine") {
+    // 440 Hz sine, 0.5 s at 8 kHz, peak 0.5
+    val wav = sineWav(sr = 8000f, hz = 440.0, nSamples = 4000, amp = 0.5)
+
+    val s = Multimodal.AudioCodec.decode(wav).get
+    assert(s.sampleRate == 8000f && s.channels == 1 && s.bits == 16)
+    assert(s.durationMs == 500L)
+    assert(math.abs(s.peak - 0.5) < 0.01)
+    assert(math.abs(s.rms - 0.5 / math.sqrt(2)) < 0.01)  // sine RMS = peak/√2
+    assert(math.abs(s.zeroCrossRate - 2 * 440.0 / 8000) < 0.01) // 880 crossings/s
+    assert(math.abs(s.dcOffset) < 0.001)
+
+    // header-only pass agrees without touching samples
+    val hdr = Multimodal.AudioHeader.parse(wav)
+    assert(hdr == Some(("wave", 8000f, 1, 500L)))
+
+    // non-audio bytes stay unparsed
+    assert(Multimodal.AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.AudioHeader.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("extractFeatures decodes real audio payloads; annotateDims fills audio duration") {
+    import spark.implicits._
+    val wav = sineWav(sr = 16000f, hz = 1000.0, nSamples = 8000, amp = 0.25)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "audio", wav, "application/octet-stream", -1, -1, -1L),
+      Multimodal.MediaItem(2L, "audio", Array[Byte](1, 2, 3), "audio/wav", -1, -1, 99L),
+    ).toDS()
+
+    val out = Multimodal.extractFeatures(items).collect().map(f => f.media_id -> f).toMap
+    val f = out(1L).features
+    assert(out(1L).decoded)
+    assert(f(0) == 16000f && f(1) == 1f && f(2) == 16f && f(3) == 500f)
+    assert(math.abs(f(4) - 0.25 / math.sqrt(2)) < 0.01)
+    // undecodable audio payload stays on the disclosed stub, flagged
+    assert(!out(2L).decoded)
+
+    val dims = Multimodal.annotateDims(items).collect().map(m => m.media_id -> m).toMap
+    assert(dims(1L).mime == "audio/wave" && dims(1L).duration_ms == 500L)
+    assert(dims(2L).duration_ms == 99L) // unparsed: declared metadata kept
+  }
+
   test("resizeImages re-encodes decodable images at the target size, passes others through") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
