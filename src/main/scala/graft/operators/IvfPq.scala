@@ -140,4 +140,35 @@ object IvfPq {
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "adc_d2", "rank")
   }
+
+  /** Refined probe search (the FAISS-style refine stage): [[search]]
+    * produces an ADC shortlist of `shortlist` ≥ `k` candidates per query,
+    * then the shortlist's RAW vectors are fetched and re-ranked by exact
+    * squared L2; output is the exact-distance top `k`. ADC compression
+    * error then only costs recall when a true neighbor misses the
+    * shortlist entirely — re-ranking within it is exact.
+    *
+    * Scale shape: the raw-vector table `corpus` is touched only for
+    * shortlist hits — a hash join keyed on vector id moving
+    * queries × `shortlist` rows, never the corpus — which is exactly how
+    * a billion-vector deployment keeps full-precision vectors out of the
+    * index: codes in the index table, raw vectors fetched per-finalist.
+    * The final rank filter rides the TopKPerKey rewrite. */
+  def searchRefined(queries: DataFrame, corpus: DataFrame, encoded: DataFrame, model: Model,
+                    qIdCol: String, qVecCol: String, tIdCol: String, tVecCol: String,
+                    nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = search(queries, encoded, model, qIdCol, qVecCol, nprobe, shortlist)
+    val qv = queries.select(col(qIdCol).as("q_id"), col(qVecCol).cast("array<double>").as("q_vec"))
+    val tv = corpus.select(col(tIdCol).as("t_id"), col(tVecCol).cast("array<double>").as("t_vec"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("t_id"))
+    short.select("q_id", "t_id")
+      .join(tv, Seq("t_id"))
+      .join(qv, Seq("q_id"))
+      .withColumn("d2", Quantize.sqDist(col("q_vec"), col("t_vec")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "d2", "rank")
+  }
 }

@@ -50,6 +50,85 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  // test-local exact squared L2 (Quantize.sqDist is package-private; an
+  // interpreted HOF fold is fine at spec scale)
+  private def sqD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  }
+
+  test("real embeddings table: probe search recalls true neighbors scanning a corpus fraction") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val nlist = 16
+    val nprobe = 4
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val n = emb.count()
+    val model = IvfPq.train(emb, "vec_id", "embedding", dim = 64, nlist = nlist, m = 8, k = 16, iters = 3)
+    val encoded = IvfPq.encode(emb, "vec_id", "embedding", model).cache()
+    val queries = emb.filter($"vec_id" % 10 === 0) // 50 of the 500 vectors
+    val nq = queries.count()
+
+    val approx = IvfPq.search(queries, encoded, model, "vec_id", "embedding", nprobe = nprobe, k = k)
+
+    // exact ground truth: brute-force squared-L2 top-k (small here; the
+    // thing IVF+PQ exists to avoid at scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("t_id").asc)
+    val truth = queries.select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("q_vec"))
+      .crossJoin(emb.select($"vec_id".as("t_id"), $"embedding".cast("array<double>").as("t_vec")))
+      .withColumn("d2", sqD2($"q_vec", $"t_vec"))
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("q_id", "t_id")
+
+    // the scan bound that makes it ANN: candidates actually scored =
+    // encoded rows of probed clusters only, a fraction of nq × n
+    val probes = queries.select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("q_vec"))
+      .crossJoin(model.coarse)
+      .withColumn("cd2", sqD2($"q_vec", $"c_centroid"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cd2").asc, col("cluster").asc)))
+      .filter($"pr" <= nprobe).select("q_id", "cluster")
+    val clusterSizes = encoded.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val scanned = probes.join(clusterSizes, Seq("cluster")).agg(sum("sz")).as[Long].head()
+    val frac = scanned.toDouble / (nq * n)
+
+    // NOTE on this table: these embeddings are nearly UNSTRUCTURED
+    // (unit-norm; same-label mean d² 1.957 vs cross-label 1.999, true
+    // top-10 sharing the query's label only 19%), so recall at a ~25%
+    // scan is bounded near the scan fraction for ANY index. The honest
+    // claims on such data are RELATIVE: (a) probing beats a random
+    // same-size scan, (b) exact re-rank of the ADC shortlist never loses
+    // to ADC ranking, (c) full-probe + re-rank recovers ~everything
+    // (shortlist-inclusion is then the only loss).
+    val adcHits = approx.select("q_id", "t_id").intersect(truth).count()
+    val adcRecall = adcHits.toDouble / (nq * k)
+    info(f"ADC recall@$k = $adcRecall%.3f at scanned fraction $frac%.3f (nprobe=$nprobe/$nlist, $n vectors)")
+    assert(frac <= 0.5, f"probe search scanned $frac%.3f of the corpus — not sublinear")
+    assert(adcRecall >= 1.2 * frac,
+      f"ADC recall $adcRecall%.3f does not beat a random scan of the same fraction $frac%.3f")
+
+    val refined = IvfPq.searchRefined(queries, emb, encoded, model,
+      "vec_id", "embedding", "vec_id", "embedding", nprobe = nprobe, k = k, shortlist = 5 * k)
+    val refRecall = refined.select("q_id", "t_id").intersect(truth).count().toDouble / (nq * k)
+    info(f"refined recall@$k = $refRecall%.3f (same probes, exact re-rank of ADC top-${5 * k})")
+    // guaranteed: ADC top-k ⊆ shortlist and re-rank is exact, so every
+    // ADC hit survives refinement
+    assert(refRecall >= adcRecall)
+
+    // full probe + a wider shortlist: probing loss is gone and shortlist
+    // inclusion is the only remaining loss. On unstructured data the
+    // 32-bit ADC codes rank noisily, so the shortlist must be generous
+    // (10k here) for refinement to recover most true neighbors.
+    val full = IvfPq.searchRefined(queries, emb, encoded, model,
+      "vec_id", "embedding", "vec_id", "embedding", nprobe = nlist, k = k, shortlist = 10 * k)
+    val fullRecall = full.select("q_id", "t_id").intersect(truth).count().toDouble / (nq * k)
+    info(f"full-probe refined recall@$k = $fullRecall%.3f (probing loss removed, shortlist ${10 * k})")
+    assert(fullRecall >= 0.8,
+      f"full-probe refined recall $fullRecall%.3f < 0.8 — ADC shortlist at 10k is dropping true neighbors")
+  }
+
   test("residual PQ reconstructs tighter than raw PQ at the same bit budget") {
     // ADC self-distance is the PQ reconstruction error of the (residual)
     // vector; compare against raw-vector PQ (Quantize.adcTopK) self-match.
