@@ -55,6 +55,37 @@ object Corpus {
     ).drop("__h")
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ANY word
+    * `n`-gram with a benchmark/eval set (the standard n-gram-overlap
+    * decontamination rule; n = 13 in most published pipelines, smaller
+    * here because the synthetic docs are short). Adds `contaminated`
+    * (0/1 long); `filter(col("contaminated") === 0)` is the clean corpus.
+    *
+    * Scale shape: the benchmark side is structurally small (eval sets are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * set is broadcast — the corpus is never shuffled. The corpus-side
+    * explode is a pure map stage; only shingle HITS (corpus rows matching
+    * a benchmark shingle) reach the distinct-ids shuffle, and the flag
+    * join back is left to AQE (hit set is usually tiny → runtime
+    * broadcast; a pathologically contaminated corpus still works as a
+    * shuffle join). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    import graft.functions.TextFns
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "leftsemi")
+      .select(idCol).distinct()
+      .withColumn("__c", lit(1L))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__c"), lit(0L)))
+      .drop("__c")
+  }
+
   /** Token-budget shard packing: within each `groupCol` (ordered by
     * `idCol`), documents pack into consecutive shards of ~`budget`
     * tokens: shard = floor(tokens-before-this-doc / budget) — the

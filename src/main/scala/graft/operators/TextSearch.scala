@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num
+import graft.functions.TextFns
+
+/** Keyword retrieval over the corpus — BM25-scored top-k, the "search the
+  * training data" capability (quality audits, targeted subset extraction,
+  * contamination forensics). Relational formulation of an inverted index:
+  * posting lists are (term, doc) rows, so the index IS a DataFrame and
+  * Catalyst plans the retrieval.
+  */
+object TextSearch {
+
+  /** BM25 top-`k` docs per query. `queries` is a (queryIdCol, termCol)
+    * table — one row per query term, duplicates ignored. Standard
+    * Robertson/Sparck-Jones BM25:
+    *
+    *   score(q, D) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    *                      · tf · (k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *
+    * Output: (query_id, doc_id, score, rank), rank 1..k by score desc
+    * (ties by doc_id). The per-(query,doc) term sum goes through
+    * DECIMAL(38,6) (Num.dsum) so summation order cannot perturb the
+    * ranking — near-equal scores collapse to exact decimal ties broken
+    * deterministically by doc_id.
+    *
+    * Scale shape: the distinct query-term set is structurally small →
+    * broadcast; the corpus-side explode is a map stage whose output is
+    * immediately filtered to query terms, so only posting-list hits reach
+    * the (doc, term) partial aggregation. Document-frequency and corpus
+    * stats (N, avgdl) are term-count-sized aggregates → broadcast back.
+    * The final per-query top-k is the custom TopKPerKey operator (bounded
+    * heaps, map-side partial) — never a full sort of the posting lists.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           queries: DataFrame, queryIdCol: String, termCol: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = docs.select(
+      col(idCol).as("doc_id"),
+      TextFns.words(col(textCol)).as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast("long"))
+
+    // corpus stats: one row (N, total tokens). avgdl = exact-long ratio,
+    // so both engines derive the identical double.
+    val stats = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+
+    val terms = queries.select(col(termCol).as("__t")).distinct()
+
+    // posting-list hits only: explode → broadcast-semi-filter → per-(doc,
+    // term) tf. dl is functionally dependent on doc_id; grouping by it
+    // avoids a join back to the doc table.
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("__ws")).as("__t"))
+      .join(broadcast(terms), Seq("__t"), "inner")
+      .groupBy("doc_id", "dl", "__t")
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("df"))
+
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(termCol).as("__t")).distinct()
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val norm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(q), Seq("__t"))
+      .withColumn("__contrib", idf * norm)
+      .groupBy("query_id", "doc_id")
+      .agg(Num.dsum(col("__contrib")).as("score"))
+
+    // declarative rank-filter: the RankFilterToTopK rule replaces this
+    // Window+Filter with the heap-based TopKPerKey operator (map-side
+    // partial, k rows per key per partition over the shuffle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "rank")
+  }
+}

@@ -380,5 +380,101 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50)
+  /** C31: benchmark decontamination — flag corpus docs sharing any word
+    * 8-gram with the benchmark split (doc_id % 10 == 0 stands in for the
+    * eval set). The standard published rule is 13-grams; 8 here because
+    * the synthetic docs are 30–100 words. Benchmark shingles broadcast;
+    * the corpus is never shuffled (see `Corpus.decontaminate`). */
+  private val q51 = Q(
+    "q51_decontaminate",
+    (s, dir) => {
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
+        .select("doc_id", "contaminated")
+    },
+    Some {
+      val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      sh AS (
+        SELECT DISTINCT doc_id, $gram8 AS s
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      hits AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM bench))
+      SELECT d.doc_id,
+        CAST(h.doc_id IS NOT NULL AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0
+      """
+    },
+  )
+
+  /** C32: BM25 keyword retrieval — top-5 docs per query for three fixed
+    * term queries (relational inverted index; see `TextSearch.bm25`).
+    * Scores decimal-summed per term so ranking ties break exactly. */
+  private val q52 = {
+    val queryTerms = Seq(
+      "qa" -> Seq("spark", "join", "filter"),
+      "qb" -> Seq("vector", "window", "scan"),
+      "qc" -> Seq("customer", "merge"),
+    )
+    Q(
+      "q52_bm25_search",
+      (s, dir) => {
+        import s.implicits._
+        val queries = queryTerms
+          .flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("query_id", "term")
+        graft.operators.TextSearch.bm25(
+          Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+          "text", "doc_id", queries, "query_id", "term", k = 5)
+      },
+      Some {
+        val values = queryTerms
+          .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
+          .mkString(", ")
+        s"""
+        WITH q(query_id, term) AS (VALUES $values),
+        d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+        wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tf AS (
+          SELECT wd.doc_id, wd.t, COUNT(*) AS tf
+          FROM wd JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = wd.t
+          GROUP BY 1, 2),
+        dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT q.query_id, tf.doc_id,
+            CAST(SUM(CAST(
+              ln(1 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+              * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+            AS DECIMAL(38,6))) AS DOUBLE) AS score
+          FROM q
+          JOIN tf ON tf.t = q.term
+          JOIN d ON d.doc_id = tf.doc_id
+          JOIN dfq ON dfq.t = tf.t
+          CROSS JOIN st
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rank
+          FROM sc) r
+        WHERE rank <= 5
+        """
+      },
+    )
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50, q51, q52)
 }

@@ -126,6 +126,59 @@ class OperatorSpec extends SparkSpec {
     assert(Corpus.sampleByHash(df, "text", lit(0.0)).count() == 0)
   }
 
+  test("Corpus.decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import graft.operators.Corpus
+    val benchmark = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8"), // one 8-gram
+      (101L, "x1 x2"),                   // too short — contributes nothing
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "pre w1 w2 w3 w4 w5 w6 w7 w8 post"), // contains the benchmark 8-gram
+      (2L, "w1 w2 w3 w4 w5 w6 w7 other"),       // 7-gram prefix only → clean
+      (3L, "x1 x2"),                            // short doc, no 8-grams → clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
+      .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+
+    // benchmark with no n-grams at all → everything clean
+    val clean = Corpus.decontaminate(corpus, benchmark.filter($"doc_id" === 101L),
+        "text", "doc_id", n = 8)
+      .agg(sum($"contaminated")).as[Long].head()
+    assert(clean == 0L)
+  }
+
+  test("TextSearch.bm25 matches hand-computed scores and ranks") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry date"),
+      (4L, "date egg fig"),
+    ).toDF("doc_id", "text")
+    val queries = Seq(("qx", "apple"), ("qy", "banana"), ("qy", "date"))
+      .toDF("query_id", "term")
+    val out = TextSearch.bm25(docs, "text", "doc_id", queries, "query_id", "term", k = 5)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(String, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._4).toSeq }
+
+    // qx = {apple}: N=4, avgdl=2.75, df=2 → idf=ln 2. Hand-computed:
+    //   d1 (tf=2, dl=3): ln2 · 4.4/(2+1.2·(0.25+0.75·3/2.75))  = 0.929316
+    //   d2 (tf=1, dl=2): ln2 · 2.2/(1+1.2·(0.25+0.75·2/2.75))  = 0.780194
+    val qx = out("qx")
+    assert(qx.map(r => (r._2, r._4)) == Seq((1L, 1), (2L, 2)))
+    assert(math.abs(qx(0)._3 - 0.929316) < 1e-5 && math.abs(qx(1)._3 - 0.780194) < 1e-5)
+
+    // qy = {banana, date}: only d3 matches both terms → rank 1
+    val qy = out("qy")
+    assert(qy.head._2 == 3L && qy.size == 3)
+    // d1 (banana only) and d4 (date only): equal tf=1, dl=3, equal df
+    // → exactly tied scores, tie broken by doc_id
+    val tied = qy.filter(r => r._2 == 1L || r._2 == 4L)
+    assert(tied.map(_._3).distinct.size == 1 && tied.map(_._2) == Seq(1L, 4L))
+  }
+
   test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
     val df = Seq(
       (1L, t("2024-01-01 10:00:00"), 10.0, false),
