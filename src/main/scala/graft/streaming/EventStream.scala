@@ -118,6 +118,91 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
 
+  case class NearDupDoc(doc_id: Long, ts: Timestamp, text: String)
+  // not `private`: encoder-generated (Janino) projections live outside this
+  // class and cannot touch private members
+  case class NearDupKeyed(doc_id: Long, ts: Timestamp, text: String,
+                          sig: scala.collection.Seq[String], bucket: String)
+  case class NearDupSeen(sigs: scala.collection.Seq[scala.collection.Seq[String]],
+                         maxTsMs: Long)
+
+  /** Streaming near-dup drop with MinHash state-store verification — the
+    * threshold-based sibling of [[deduplicatedNear]]: where the SimHash
+    * variant drops only exact fingerprint collisions, this one estimates
+    * Jaccard similarity from an 8-component MinHash signature and drops a
+    * doc when it agrees with a recently-seen signature on ≥ `threshold`
+    * of components (granularity 1/`numHashes`).
+    *
+    * Design: docs key by their FIRST minhash component (their LSH bucket),
+    * so a true near-dup pair lands on the same state-store key with
+    * probability ≈ its Jaccard similarity — recall ≈ J for J-similar docs,
+    * and one shuffle by bucket. Within a bucket the full signature is
+    * verified against up to `maxStored` stored signatures (FIFO cap, so a
+    * hot bucket has bounded state and O(maxStored) work per doc), which is
+    * what keeps UNRELATED docs that happen to share the bucket from being
+    * dropped. State expires via EventTimeTimeout one `horizonMs` past the
+    * bucket's newest doc. Docs too short to fingerprint (< `shingleN`
+    * words) bypass the stateful stage and are always kept.
+    *
+    * Same disclosed tradeoff as [[deduplicatedNear]]: per-event O(1)-ish
+    * decisions with bounded state, no cluster resolution — the archived
+    * corpus's exact drop set still comes from `Dedup.dedupCorpus`.
+    * `docs` needs (`doc_id`, `ts`, `textCol`). */
+  def deduplicatedNearMinHash(docs: DataFrame, textCol: String,
+                              numHashes: Int = 8, threshold: Double = 0.5,
+                              maxStored: Int = 64, shingleN: Int = 3,
+                              watermark: String = "30 minutes",
+                              horizonMs: Long = 30L * 60 * 1000): Dataset[NearDupDoc] = {
+    import docs.sparkSession.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val base = docs
+      .withWatermark("ts", watermark)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("ts"),
+        col(textCol).cast("string").as("text"))
+      .withColumn("sig", graft.expressions.MinHashSig.of(
+        graft.functions.TextFns.shingles(col("text"), shingleN), numHashes))
+    // un-fingerprintable docs (no shingles) skip the stateful stage: they
+    // cannot match anything, and routing them through one sentinel key
+    // would funnel every short doc onto a single hot state partition
+    val bypass = base.filter(col("sig").isNull)
+      .select("doc_id", "ts", "text").as[NearDupDoc]
+    val survivors = base.filter(col("sig").isNotNull)
+      .withColumn("bucket", element_at(col("sig"), 1))
+      .as[NearDupKeyed]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[NearDupSeen, NearDupDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[NearDupKeyed], state: GroupState[NearDupSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within-batch order (micro-batches are small)
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var seen = state.getOption.map(_.sigs.toVector).getOrElse(Vector.empty)
+            var maxTs = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[NearDupDoc]
+            sorted.foreach { r =>
+              val dup = seen.exists { s =>
+                s.iterator.zip(r.sig.iterator).count { case (a, b) => a == b } >=
+                  math.ceil(threshold * numHashes)
+              }
+              if (!dup) {
+                out += NearDupDoc(r.doc_id, r.ts, r.text)
+                seen = (seen :+ r.sig).takeRight(maxStored)
+              }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update(NearDupSeen(seen, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+    survivors.union(bypass)
+  }
+
   /** File-source stream over the events layout (parquet dir → stream).
     * The layout carries TIMESTAMP(NANOS), which Spark can only read as
     * long — mirror Tables.events: declare BIGINT, convert to micros

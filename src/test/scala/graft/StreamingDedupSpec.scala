@@ -53,6 +53,53 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deduplicatedNearMinHash verifies signatures: drops near-dups, keeps bucket-colliding strangers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Texts chosen against the MinHash math (verified via batch
+    // signatures below): B is A plus one word → same bucket, est J = 1;
+    // D shares A's bucket (minhash[0]) but agrees on only 1/8 components;
+    // C is unrelated; S is too short to fingerprint.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = a + " w11"
+    val c = "completely different words over here nothing shared at all"
+    val d = "v90 v1299 zz"
+    val sigOf = graft.expressions.MinHashSig.of(
+      graft.functions.TextFns.shingles(org.apache.spark.sql.functions.col("t"), 3), 8)
+    val sigs = Seq(a, b, c, d).toDF("t").select(sigOf).as[Seq[String]].collect()
+    assert(sigs(0).head == sigs(1).head && sigs(0) == sigs(1), "A/B must share bucket and full signature")
+    assert(sigs(0).head == sigs(3).head, "D must share A's bucket")
+    assert(sigs(0).iterator.zip(sigs(3).iterator).count { case (x, y) => x == y } < 4,
+      "D must fail the 0.5 signature-agreement verification")
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), a),
+      (2L, t("2024-01-01 10:00:30"), b), // near-dup of A → dropped
+      (3L, t("2024-01-01 10:01:00"), c), // unrelated → kept
+      (4L, t("2024-01-01 10:01:30"), d), // A's bucket, verification fails → kept
+      (5L, t("2024-01-01 10:02:00"), "so sh"), // < 3 words: bypass → kept
+    )
+    val q = EventStream.deduplicatedNearMinHash(
+        mem.toDF().toDF("doc_id", "ts", "text"), "text",
+        threshold = 0.5, watermark = "10 minutes", horizonMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("mh_neardedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM mh_neardedup_out").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 4L, 5L), s"expected near-dup 2 dropped only, got $ids")
+
+      // past the state horizon, the same text is fresh again (state purged
+      // by EventTimeTimeout — the watermark must first pass the horizon)
+      mem.addData((6L, t("2024-01-01 11:00:00"), "advance watermark far beyond the horizon now"))
+      q.processAllAvailable()
+      mem.addData((7L, t("2024-01-01 11:00:30"), a))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT doc_id FROM mh_neardedup_out").as[Long].collect().toSet
+      assert(after.contains(7L), s"state should have expired, got $after")
+    } finally q.stop()
+  }
+
   test("deduplicated drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
