@@ -37,7 +37,8 @@ object TextSearch {
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
            queries: DataFrame, queryIdCol: String, termCol: String,
-           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k: Int, k1: Double = 1.2, b: Double = 0.75,
+           requireAll: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val d = docs.select(
       col(idCol).as("doc_id"),
@@ -73,13 +74,26 @@ object TextSearch {
     val norm = tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
 
-    val scored = tf
+    val scoredAny = tf
       .join(broadcast(dfreq), Seq("__t"))
       .crossJoin(broadcast(stats))
       .join(broadcast(q), Seq("__t"))
       .withColumn("__contrib", idf * norm)
       .groupBy("query_id", "doc_id")
-      .agg(Num.dsum(col("__contrib")).as("score"))
+      .agg(Num.dsum(col("__contrib")).as("score"),
+        count(lit(1)).as("__nmatched"))
+
+    // AND semantics: a doc must contain EVERY query term. Matched-term
+    // count comes free from the score aggregation; the per-query term
+    // count is a broadcast dim.
+    val scored =
+      if (!requireAll) scoredAny.drop("__nmatched")
+      else {
+        val qSizes = q.groupBy("query_id").agg(count(lit(1)).as("__nterms"))
+        scoredAny.join(broadcast(qSizes), Seq("query_id"))
+          .filter(col("__nmatched") === col("__nterms"))
+          .drop("__nmatched", "__nterms")
+      }
 
     // declarative rank-filter: the RankFilterToTopK rule replaces this
     // Window+Filter with the heap-based TopKPerKey operator (map-side
@@ -89,5 +103,33 @@ object TextSearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
+  }
+
+  /** Exact-phrase retrieval: top-`k` docs by occurrence count of the
+    * space-separated word `phrase`, matched on whole-word boundaries.
+    * Occurrences are counted non-overlapping left-to-right (replace
+    * semantics — a self-overlapping phrase like "a a" in "a a a" counts
+    * once); identical in any engine with string replace.
+    *
+    * Pure map stage (one padded replace per row, codegen'd) + the
+    * TopKPerKey global top-k — no shuffle of non-matching docs, no sort.
+    * Output: (doc_id, n_hits, rank). */
+  def phrase(docs: DataFrame, textCol: String, idCol: String,
+             phrase: String, k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val hits = docs
+      .withColumn("doc_id", col(idCol))
+      .withColumn("n_hits", TextFns.occurrences(padded, " " + phrase + " "))
+      .filter(col("n_hits") > 0)
+    // global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // bounded heaps, k rows to the driver stage); the rank window then
+    // runs over ≤ k rows, so its single-partition shape is free
+    val top = hits.orderBy(col("n_hits").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("doc_id", "n_hits", "rank")
   }
 }

@@ -476,5 +476,27 @@ object TextQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50, q51, q52)
+  /** C33: exact-phrase retrieval — top-10 docs by occurrence count of a
+    * fixed two-word phrase (whole-word boundaries, non-overlapping
+    * counting; see `TextSearch.phrase`). Map stage + global bounded-heap
+    * top-k, no shuffle of non-matching docs. */
+  private val q53 = Q(
+    "q53_phrase_search",
+    (s, dir) =>
+      graft.operators.TextSearch.phrase(
+        Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+        "text", "doc_id", "spark join", k = 10),
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+          CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' spark join ', ''))) / 12 AS BIGINT) AS n_hits
+        FROM documents)
+      SELECT doc_id, n_hits,
+        ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS rank
+      FROM h WHERE n_hits > 0
+      ORDER BY rank LIMIT 10
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50, q51, q52, q53)
 }

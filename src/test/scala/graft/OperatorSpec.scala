@@ -179,6 +179,28 @@ class OperatorSpec extends SparkSpec {
     assert(tied.map(_._3).distinct.size == 1 && tied.map(_._2) == Seq(1L, 4L))
   }
 
+  test("TextSearch.bm25 requireAll keeps only docs matching every query term; phrase counts whole-word hits") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry date"),
+      (4L, "date egg fig date egg"),
+    ).toDF("doc_id", "text")
+    val queries = Seq(("qy", "banana"), ("qy", "date")).toDF("query_id", "term")
+
+    val andHits = TextSearch.bm25(docs, "text", "doc_id", queries, "query_id", "term",
+        k = 5, requireAll = true)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(andHits == Seq(3L), s"only d3 has both banana AND date, got $andHits")
+
+    val ph = TextSearch.phrase(docs, "text", "doc_id", "date egg", k = 5)
+      .select("doc_id", "n_hits", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(ph == Seq((4L, 2L, 1)), s"d4 contains 'date egg' twice, got $ph")
+    // substring-inside-a-word must NOT match: "ate egg" is not a token match
+    assert(TextSearch.phrase(docs, "text", "doc_id", "ate egg", k = 5).count() == 0)
+  }
+
   test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
     val df = Seq(
       (1L, t("2024-01-01 10:00:00"), 10.0, false),
