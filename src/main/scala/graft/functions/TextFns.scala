@@ -24,9 +24,13 @@ object TextFns {
     graft.expressions.WordShingles.of(text, n)
 
   /** Number of non-overlapping occurrences of `marker` in `padded`
-    * (left-to-right replace semantics, identical in both engines). */
+    * (left-to-right replace semantics, identical in both engines).
+    * The divisor is the marker's CODE-POINT count — Spark `length()`
+    * counts code points, so dividing by Java's UTF-16 `String.length`
+    * would truncate to 0 for markers with astral-plane characters. */
   def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length)).cast("long")
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      lit(marker.codePointCount(0, marker.length))).cast("long")
 
   /** Content fingerprint: md5 of the text with spaces squeezed out
     * (rolling-hash analog; exact, normalization-insensitive). */

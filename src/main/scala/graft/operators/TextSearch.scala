@@ -40,6 +40,9 @@ object TextSearch {
            k: Int, k1: Double = 1.2, b: Double = 0.75,
            requireAll: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // self-install so the rank-filter below becomes TopKPerKey on
+    // externally-created sessions too (same as the ANN operators)
+    graft.plans.RankFilterToTopK_Install(docs.sparkSession)
     val d = docs.select(
       col(idCol).as("doc_id"),
       TextFns.words(col(textCol)).as("__ws"))
@@ -107,21 +110,26 @@ object TextSearch {
 
   /** Exact-phrase retrieval: top-`k` docs by occurrence count of the
     * space-separated word `phrase`, matched on whole-word boundaries.
-    * Occurrences are counted non-overlapping left-to-right (replace
-    * semantics — a self-overlapping phrase like "a a" in "a a a" counts
-    * once); identical in any engine with string replace.
+    * Word gaps are expanded to double spaces before counting, so each
+    * token carries its own boundary spaces and back-to-back phrase
+    * repeats ("spark join spark join") each count — a single-space
+    * marker would consume the shared separator and count ceil(n/2).
+    * SELF-overlapping matches ("a a" in "a a a") still count
+    * non-overlapping left-to-right (replace semantics, identical in any
+    * engine with string replace).
     *
     * Pure map stage (one padded replace per row, codegen'd) + the
-    * TopKPerKey global top-k — no shuffle of non-matching docs, no sort.
-    * Output: (doc_id, n_hits, rank). */
+    * bounded-heap global top-k — no shuffle of non-matching docs, no
+    * sort. Output: (doc_id, n_hits, rank). */
   def phrase(docs: DataFrame, textCol: String, idCol: String,
              phrase: String, k: Int): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
-    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val padded = concat(lit(" "), replace(col(textCol), lit(" "), lit("  ")), lit(" "))
+    val marker = " " + phrase.split(" ").mkString("  ") + " "
     val hits = docs
       .withColumn("doc_id", col(idCol))
-      .withColumn("n_hits", TextFns.occurrences(padded, " " + phrase + " "))
+      .withColumn("n_hits", TextFns.occurrences(padded, marker))
       .filter(col("n_hits") > 0)
     // global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
     // bounded heaps, k rows to the driver stage); the rank window then

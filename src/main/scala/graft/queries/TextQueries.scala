@@ -477,9 +477,11 @@ object TextQueries {
   }
 
   /** C33: exact-phrase retrieval — top-10 docs by occurrence count of a
-    * fixed two-word phrase (whole-word boundaries, non-overlapping
-    * counting; see `TextSearch.phrase`). Map stage + global bounded-heap
-    * top-k, no shuffle of non-matching docs. */
+    * fixed two-word phrase (whole-word boundaries; word gaps doubled so
+    * back-to-back repeats each count; see `TextSearch.phrase`). Map stage
+    * + global bounded-heap top-k, no shuffle of non-matching docs. The
+    * oracle mirrors the double-space expansion: marker ' spark  join '
+    * is 13 chars. */
   private val q53 = Q(
     "q53_phrase_search",
     (s, dir) =>
@@ -487,10 +489,12 @@ object TextQueries {
         Tables.parallelized(Tables.documents(s, dir), "doc_id"),
         "text", "doc_id", "spark join", k = 10),
     Some("""
-      WITH h AS (
+      WITH e AS (
+        SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p FROM documents),
+      h AS (
         SELECT doc_id,
-          CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' spark join ', ''))) / 12 AS BIGINT) AS n_hits
-        FROM documents)
+          CAST((length(p) - length(replace(p, ' spark  join ', ''))) / 13 AS BIGINT) AS n_hits
+        FROM e)
       SELECT doc_id, n_hits,
         ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS rank
       FROM h WHERE n_hits > 0

@@ -199,6 +199,16 @@ class OperatorSpec extends SparkSpec {
     assert(ph == Seq((4L, 2L, 1)), s"d4 contains 'date egg' twice, got $ph")
     // substring-inside-a-word must NOT match: "ate egg" is not a token match
     assert(TextSearch.phrase(docs, "text", "doc_id", "ate egg", k = 5).count() == 0)
+
+    // back-to-back repeats each count (double-space expansion); a
+    // self-overlapping phrase still counts non-overlapping left-to-right
+    val adj = Seq((1L, "spark join spark join spark join"), (2L, "a a a")).toDF("doc_id", "text")
+    val adjHits = TextSearch.phrase(adj, "text", "doc_id", "spark join", k = 5)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSeq
+    assert(adjHits == Seq((1L, 3L)), s"3 adjacent repeats must count 3, got $adjHits")
+    val selfOv = TextSearch.phrase(adj, "text", "doc_id", "a a", k = 5)
+      .select("n_hits").as[Long].collect().toSeq
+    assert(selfOv == Seq(1L), s"'a a' in 'a a a' counts once non-overlapping, got $selfOv")
   }
 
   test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
