@@ -36,11 +36,12 @@ object GraftSession {
   }
 
   /** Install graft's native function + optimizer surface on any session
-    * (idempotent): the kepler_solve SQL function and the rank-filter →
-    * TopKPerKey rewrite. Queries also self-install so the driver contract
-    * works on externally-created sessions. */
+    * (idempotent): every native SQL function (kepler_solve, word_shingles,
+    * minhash_sig, simhash_bits, dot_product, argmax_pack) and the
+    * rank-filter → TopKPerKey rewrite. Queries also self-install so the
+    * driver contract works on externally-created sessions. */
   def install(spark: SparkSession): Unit = {
-    graft.expressions.KeplerSolve.register(spark)
+    graft.expressions.Functions.registerAll(spark)
     graft.plans.RankFilterToTopK_Install(spark)
     graft.plans.AsOfMerge.install(spark)
   }

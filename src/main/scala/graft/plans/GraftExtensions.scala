@@ -4,8 +4,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.KeplerSolve
-
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions so SQL users get them on session start:
   *
@@ -19,12 +17,14 @@ import graft.expressions.KeplerSolve
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("kepler_solve"),
-      new ExpressionInfo(classOf[KeplerSolve].getName, "kepler_solve"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KeplerSolve.coerced(exprs.head, exprs(1)),
-    ))
+    // the full native SQL function surface (shared with GraftSession.install)
+    graft.expressions.Functions.all.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder,
+      ))
+    }
     // rank-filter → TopK pruning (strategy + optimizer rule)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankFilterToTopK)

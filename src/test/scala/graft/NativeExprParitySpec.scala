@@ -97,4 +97,38 @@ class NativeExprParitySpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("the full native SQL function surface is registered by GraftSession.install") {
+    GraftSession.install(spark)
+    val row = Seq(("alpha beta gamma delta", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("text", "va", "vb")
+      .selectExpr(
+        "word_shingles(text, 3) AS sh",
+        "minhash_sig(word_shingles(text, 3), 8) AS sig",
+        "simhash_bits(split(text, ' '), 16) AS sim",
+        "dot_product(va, vb) AS dp",
+        "argmax_pack(0.5D, 3, 4) AS packed",
+        "kepler_solve(1.5D, 0.3D) AS e")
+      .head()
+    assert(row.getAs[scala.collection.Seq[String]]("sh") ==
+      Seq("alpha beta gamma", "beta gamma delta"))
+    assert(row.getAs[scala.collection.Seq[String]]("sig").length == 8)
+    assert(row.getAs[Double]("dp") == 11.0)
+    // parity with the Column-API builders
+    val viaCols = Seq(("alpha beta gamma delta", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("text", "va", "vb")
+      .select(
+        MinHashSig.of(TextFns.shingles(col("text"), 3), 8).as("sig"),
+        graft.expressions.DotProduct.of(col("va"), col("vb")).as("dp"))
+      .head()
+    assert(row.getAs[scala.collection.Seq[String]]("sig") ==
+      viaCols.getAs[scala.collection.Seq[String]]("sig"))
+    assert(row.getAs[Double]("dp") == viaCols.getAs[Double]("dp"))
+
+    // width args must be literals — a column reference is a loud error
+    val err2 = intercept[Exception] {
+      Seq((3, "a b c d")).toDF("n", "text").selectExpr("word_shingles(text, n)").collect()
+    }
+    assert(err2.getMessage.contains("integer literal"))
+  }
 }
