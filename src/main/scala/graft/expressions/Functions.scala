@@ -36,6 +36,8 @@ object Functions {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
     ("argmax_pack", classOf[ArgMaxPack],
       (exprs: Seq[Expression]) => ArgMaxPack(exprs.head, exprs(1), litInt(exprs(2), "argmax_pack", "labelBits"))),
+    ("normalize_text", classOf[NormalizeText],
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)),
   )
 
   /** Register every native function on an existing session (idempotent,
