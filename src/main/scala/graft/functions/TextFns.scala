@@ -15,6 +15,16 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the coarse shape of a
+    * byte-pair tokenizer's pre-tokenization split, without lookahead so
+    * the same pattern runs identically on Java regex and RE2). A better
+    * estimate of LLM token cost than whitespace words — "don't!!" is 1
+    * whitespace token but 4 BPE-ish tokens (don, ', t, !!→!,!). */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeTokenPattern), lit(0))).cast("long")
+
   /** Sliding word n-gram shingles, e.g. n=3 → "w1 w2 w3" strings: the
     * native codegen'd WordShingles expression (one split + one linear
     * pass; a slice/zip_with composition runs its lambdas interpreted and

@@ -55,6 +55,36 @@ object Corpus {
     ).drop("__h")
   }
 
+  /** Deterministic train/val/test split assignment: each doc's md5-hash
+    * prefix places it in exactly one named split, with fractions given by
+    * `splits` (name → weight; weights need not sum to 1 — the remainder
+    * falls to `defaultSplit`). Same reproducibility story as
+    * [[sampleByHash]]: the assignment is a pure function of content, so
+    * it survives reruns, repartitioning, engine changes, and corpus
+    * growth (a doc never migrates between splits when OTHER docs are
+    * added — the property rand()-splits lack, and the reason eval
+    * contamination creeps into retrained models). Pure map stage. */
+  def assignSplits(df: DataFrame, textCol: String,
+                   splits: Seq[(String, Double)],
+                   defaultSplit: String = "rest"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._2).forall(w => w >= 0 && w <= 1), "weights must be in [0,1]")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split weights sum to $total > 1")
+    val h = substring(md5(col(textCol)), 1, 4)
+    // cumulative 16-bit thresholds, same hex-prefix compare as sampleByHash
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val thresholds = splits.map(_._1).zip(cum).map { case (name, c) =>
+      val t = if (c >= 1.0) lit("g") else lit(f"${(c * 65536).toInt}%04x")
+      (name, t)
+    }
+    val assigned = thresholds.foldLeft(Option.empty[Column]) { case (acc, (name, t)) =>
+      val cond = h < t
+      Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.get.otherwise(defaultSplit)
+    df.withColumn("split", assigned)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ANY word
     * `n`-gram with a benchmark/eval set (the standard n-gram-overlap
     * decontamination rule; n = 13 in most published pipelines, smaller

@@ -502,5 +502,52 @@ object TextQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47, q48, q49, q50, q51, q52, q53)
+  /** C36: BPE-ish subword token accounting per language — the LLM-cost
+    * estimate next to q34's whitespace count (`TextFns.bpeTokenCount`:
+    * letter runs / digit runs / single punctuation, lookahead-free so
+    * Java regex and RE2 tokenize identically). */
+  private val q54 = Q(
+    "q54_bpe_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("nb", TextFns.bpeTokenCount(col("text")))
+        .withColumn("nw", TextFns.tokenCount(col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(
+          sum(col("nb")).cast("long").as("sum_bpe_tokens"),
+          sum(col("nw")).cast("long").as("sum_ws_tokens"),
+          count(lit(1)).as("n_docs"),
+        ),
+    Some(s"""
+      SELECT lang,
+        CAST(SUM(len(regexp_extract_all(lower(text), '${TextFns.bpeTokenPattern}'))) AS BIGINT) AS sum_bpe_tokens,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    """),
+  )
+
+  /** C37: deterministic train/val/test split assignment
+    * (`Corpus.assignSplits`): 80/10/10 by content-hash prefix —
+    * reproducible across engines/runs/growth, the anti-contamination
+    * split policy. Rollup counts per (split, source). */
+  private val q55 = Q(
+    "q55_split_assign",
+    (s, dir) =>
+      graft.operators.Corpus.assignSplits(
+          Tables.documents(s, dir), "text",
+          Seq("train" -> 0.8, "val" -> 0.1), defaultSplit = "test")
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs")),
+    Some("""
+      SELECT CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split,
+        source, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
+    q48, q49, q50, q51, q52, q53, q54, q55)
 }

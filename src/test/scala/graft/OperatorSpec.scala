@@ -211,6 +211,31 @@ class OperatorSpec extends SparkSpec {
     assert(selfOv == Seq(1L), s"'a a' in 'a a a' counts once non-overlapping, got $selfOv")
   }
 
+  test("Corpus.assignSplits is deterministic, exhaustive, and stable under corpus growth") {
+    import graft.operators.Corpus
+    val df = (1 to 400).map(i => (i.toLong, s"document body number $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1)
+    val out = Corpus.assignSplits(df, "text", splits, defaultSplit = "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 400 && out.values.toSet.subsetOf(Set("train", "val", "test")))
+    val frac = out.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train fraction off: $frac")
+    // growth stability: assignments never change when other docs arrive
+    val grown = Corpus.assignSplits(
+        df.union(Seq((9999L, "a brand new doc")).toDF("doc_id", "text")),
+        "text", splits, defaultSplit = "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (id, sp) => grown(id) == sp })
+  }
+
+  test("TextFns.bpeTokenCount counts subword-ish tokens") {
+    import graft.functions.TextFns
+    val out = Seq("don't!! stop", "abc123", "", "   ").toDF("t")
+      .select(TextFns.bpeTokenCount($"t")).as[Long].collect().toSeq
+    // don / ' / t / ! / ! / stop = 6; abc / 123 = 2; empties = 0
+    assert(out == Seq(6L, 2L, 0L, 0L), out.toString)
+  }
+
   test("Interpolate.refillLinear fills interior gaps with neighbor mean and edges with nearest") {
     val df = Seq(
       (1L, t("2024-01-01 10:00:00"), 10.0, false),
