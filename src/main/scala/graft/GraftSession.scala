@@ -36,8 +36,10 @@ object GraftSession {
   }
 
   /** Install graft's native function + optimizer surface on any session
-    * (idempotent): every native SQL function (kepler_solve, word_shingles,
-    * minhash_sig, simhash_bits, dot_product, argmax_pack) and the
+    * (idempotent): every native SQL function in
+    * `graft.expressions.Functions.all` (kepler_solve, word_shingles,
+    * minhash_sig, simhash_bits, dot_product, argmax_pack, normalize_text —
+    * that registry is the source of truth, not this list) and the
     * rank-filter → TopKPerKey rewrite. Queries also self-install so the
     * driver contract works on externally-created sessions. */
   def install(spark: SparkSession): Unit = {

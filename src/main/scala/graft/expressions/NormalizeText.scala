@@ -40,9 +40,13 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeMath {
-  /** NFC → lowercase → strip controls/collapse whitespace → trim. */
+  /** NFC → lowercase → strip controls/collapse whitespace → trim.
+    * Locale.ROOT lowercasing: the default-locale overload would make the
+    * canonical form depend on each executor JVM's locale (tr/TR turns
+    * "TITLE" into dotless-ı "tıtle"), breaking cross-cluster determinism. */
   def normalize(s: UTF8String): UTF8String = {
-    val composed = Normalizer.normalize(s.toString, Normalizer.Form.NFC).toLowerCase
+    val composed = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(composed.length)
     var pendingSpace = false
     var i = 0

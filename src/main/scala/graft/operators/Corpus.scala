@@ -19,19 +19,22 @@ object Corpus {
     * source/language/quality tier). Resolution is 1/65536; the compare
     * is on the lowercase hex prefix, so any engine with md5 reproduces
     * the exact sample. Pure map stage — no shuffle, fully pushdown-able. */
-  def sampleByHash(df: DataFrame, textCol: String, rate: Column): DataFrame = {
-    // Clamp BOTH ends before hex-formatting: rate ≥ 1 must keep
-    // everything ("g" sorts above every hex digit — format_string would
-    // emit the 5-char "10000", which string-compares BELOW "fabc…"), and
-    // rate ≤ 0 must keep nothing (%04x on a negative int emits an 8-char
-    // two's-complement string like "ffffe667" that every md5 prefix
-    // sorts below — the maximal wrong answer for a slightly-negative
-    // computed mixture weight).
-    val threshold = when(rate >= 1.0, lit("g"))
+  /** rate∈[0,1] → 4-hex-char threshold for `md5-prefix < threshold`
+    * keep-decisions — the ONE encoding shared by [[sampleByHash]] and
+    * [[assignSplits]]. Clamps BOTH ends before hex-formatting: rate ≥ 1
+    * must keep everything ("g" sorts above every hex digit —
+    * format_string would emit the 5-char "10000", which string-compares
+    * BELOW "fabc…"), and rate ≤ 0 must keep nothing (%04x on a negative
+    * int emits an 8-char two's-complement string like "ffffe667" that
+    * every md5 prefix sorts below — the maximal wrong answer for a
+    * slightly-negative computed mixture weight). */
+  private def hexThreshold(rate: Column): Column =
+    when(rate >= 1.0, lit("g"))
       .when(rate <= 0.0, lit("0000"))
       .otherwise(format_string("%04x", (rate * 65536).cast("int")))
-    df.filter(substring(md5(col(textCol)), 1, 4) < threshold)
-  }
+
+  def sampleByHash(df: DataFrame, textCol: String, rate: Column): DataFrame =
+    df.filter(substring(md5(col(textCol)), 1, 4) < hexThreshold(rate))
 
   /** Deterministic EXACT-size sample: `k` docs per group, chosen by
     * md5-hash order (ties by `idCol`) — "give me exactly 1000 docs per
@@ -72,11 +75,15 @@ object Corpus {
     val total = splits.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"split weights sum to $total > 1")
     val h = substring(md5(col(textCol)), 1, 4)
-    // cumulative 16-bit thresholds, same hex-prefix compare as sampleByHash
+    // cumulative thresholds through the same encoding as sampleByHash;
+    // snap near-1 sums to 1 first — weights like 0.7+0.2+0.1 cumulate to
+    // 0.9999999999999999 in doubles, and without the snap the last
+    // threshold would be "ffff" instead of "g", silently leaking the
+    // ~1/65536 of docs whose hash prefix IS "ffff" into defaultSplit
     val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => if (c >= 1.0 - 1e-9) 1.0 else c)
     val thresholds = splits.map(_._1).zip(cum).map { case (name, c) =>
-      val t = if (c >= 1.0) lit("g") else lit(f"${(c * 65536).toInt}%04x")
-      (name, t)
+      (name, hexThreshold(lit(c)))
     }
     val assigned = thresholds.foldLeft(Option.empty[Column]) { case (acc, (name, t)) =>
       val cond = h < t

@@ -27,21 +27,26 @@ object TextClean {
     ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
     ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
     ("""\b\d(?:[ -]?\d){12,18}\b""", "<CARD>"),
-    ("""(?<!\w)\+?\d{1,3}[ -.]\d{2,4}[ -.]\d{2,4}(?:[ -.]\d{2,4})?(?!\w)""", "<PHONE>"),
+    // NOTE: `-` sits LAST in the separator class so it's a literal dash,
+    // not a range (a [ -.] range spans 0x20–0x2E and would accept , + * (
+    // etc. as phone separators, eating '1,234,567'-style numbers)
+    ("""(?<!\w)\+?\d{1,3}[ .-]\d{2,4}[ .-]\d{2,4}(?:[ .-]\d{2,4})?(?!\w)""", "<PHONE>"),
   )
 
   /** Redacted copy of `textCol` in a new `redacted` column, plus
-    * `n_redactions` (count of placeholders inserted). A chain of
-    * codegen'd `regexp_replace`s — one linear scan per pattern, no UDF,
+    * `n_redactions` (the number of replacements actually performed: each
+    * pattern's matches are counted on the text AS THAT STAGE SEES IT,
+    * before its replacement — so pre-existing literal placeholder strings
+    * in a document never inflate the count, and a match consumed by an
+    * earlier stage is never re-counted). A chain of codegen'd
+    * `regexp_replace`/`regexp_count`s — linear scans per pattern, no UDF,
     * no shuffle; at 100 TB this is embarrassingly parallel map work. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
-      case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
+    val (redacted, counts) = piiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((acc, cs), (pat, tag)) =>
+        (regexp_replace(acc, pat, tag), cs :+ regexp_count(acc, lit(pat)))
     }
-    val placeholders = Seq("<EMAIL>", "<IP>", "<CARD>", "<PHONE>")
-    val counts = placeholders.map(t =>
-      graft.functions.TextFns.occurrences(col("redacted"), t))
     df.withColumn("redacted", redacted)
-      .withColumn("n_redactions", counts.reduce(_ + _))
+      .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
 }
