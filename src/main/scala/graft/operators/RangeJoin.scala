@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Range joins that scale: point-in-interval and interval-overlap joins
+  * expressed as bin-equi-joins instead of inequality joins.
+  *
+  * Spark plans a bare `ON p BETWEEN s AND e` as BroadcastNestedLoopJoin
+  * (or a cartesian product when neither side fits in memory) — O(n·m)
+  * comparisons and a single-threaded broadcast build, which is unusable
+  * when both sides are large facts. The standard scale shape is binning:
+  * each interval is exploded to every fixed-width bin it touches, each
+  * point maps to exactly one bin, and the join becomes an equi-join on
+  * the bin id (+ any extra keys) followed by an exact residual filter.
+  * Cost: one hash shuffle per side and an interval blow-up factor of
+  * ~(avg_len / binWidth + 1) — both bounded and partition-parallel.
+  *
+  * Engine-level form of meerpipe's "observation inside a chopped band
+  * range" membership test (`chop_edges` config windows, archive_utils.py)
+  * generalized to arbitrary interval tables.
+  *
+  * Bin width is the caller's lever: set it near the TYPICAL interval
+  * length so most intervals copy into 1-2 bins. Too small explodes the
+  * interval side; too large packs many intervals per bin and the
+  * residual filter does the work. Both are correct.
+  *
+  * Time columns may be TimestampType/TimestampNTZType (binned on
+  * unix_micros, so binWidth is in MICROSECONDS) or any integral type
+  * (binWidth in the column's own units). Column names must be disjoint
+  * across the two sides (standard graft operator contract).
+  */
+object RangeJoin {
+
+  /** Exact floor-division bin id in pure long arithmetic. The naive
+    * `floor(c / w)` goes through doubles and mis-bins longs past 2^53;
+    * `(c - pmod(c, w)) div w` is exact for the full long range and
+    * floors (not truncates) for negative values, so pre-epoch
+    * timestamps bin correctly. */
+  private def binId(c: Column, w: Long): Column =
+    call_function("div", c - pmod(c, lit(w)), lit(w))
+
+  /** Column as a long on the binning axis. */
+  private def axis(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
+      case _ => col(name).cast("long")
+    }
+
+  /** For each point row, every interval row (same `extraKeys`, if given)
+    * whose [start, end] CLOSED interval contains the point. Output =
+    * matched pairs with both sides' columns; points with no containing
+    * interval are dropped (inner semantics — wrap with a left join on a
+    * key column for left semantics).
+    *
+    * Duplicate-free by construction: a point lives in exactly one bin
+    * and an interval copies into each touched bin once, so each
+    * qualifying (point, interval) pair meets exactly once.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil,
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = axis(points, pointCol)
+    val s = axis(intervals, startCol)
+    val e = axis(intervals, endCol)
+
+    val pts = points.withColumn("__bin", binId(p, binWidth))
+    // end < start would make sequence() DESCEND (Spark quirk) and emit
+    // phantom bins — empty intervals can never match, drop them up front
+    val ivs = intervals
+      .filter(s <= e)
+      .withColumn("__bin", explode(sequence(binId(s, binWidth), binId(e, binWidth))))
+
+    val keyCond = extraKeys
+      .map { case (pk, ik) => pts(pk) === ivs(ik) }
+      .foldLeft(pts("__bin") === ivs("__bin"))(_ && _)
+    pts
+      .join(ivs, keyCond)
+      .filter(axis(points, pointCol).between(axis(intervals, startCol), axis(intervals, endCol)))
+      .drop("__bin")
+  }
+
+  /** All pairs of left/right rows whose closed intervals overlap
+    * (lStart ≤ rEnd AND rStart ≤ lEnd), same bin-equi-join shape with
+    * both sides exploded. A pair sharing k bins would meet k times; the
+    * first-shared-bin guard (`bin == max(floor(lStart), floor(rStart))`)
+    * keeps exactly one copy WITHOUT a distinct shuffle. */
+  def overlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      binWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil,
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val ls = axis(left, lStartCol)
+    val le = axis(left, lEndCol)
+    val rs = axis(right, rStartCol)
+    val re = axis(right, rEndCol)
+
+    val l = left
+      .filter(ls <= le)
+      .withColumn("__lbin", explode(sequence(binId(ls, binWidth), binId(le, binWidth))))
+    val r = right
+      .filter(rs <= re)
+      .withColumn("__rbin", explode(sequence(binId(rs, binWidth), binId(re, binWidth))))
+
+    val keyCond = extraKeys
+      .map { case (lk, rk) => l(lk) === r(rk) }
+      .foldLeft(l("__lbin") === r("__rbin"))(_ && _)
+    val lsA = axis(left, lStartCol)
+    val leA = axis(left, lEndCol)
+    val rsA = axis(right, rStartCol)
+    val reA = axis(right, rEndCol)
+    l.join(r, keyCond)
+      .filter(lsA <= reA && rsA <= leA)
+      .filter(col("__lbin") === binId(greatest(lsA, rsA), binWidth))
+      .drop("__lbin", "__rbin")
+  }
+}

@@ -520,6 +520,46 @@ object SignalQueries {
     """),
   )
 
+  /** B35: binned range join (`RangeJoin.pointInInterval`) — every event
+    * inside a 2-day order-validity window, as an equi-join on 2-day time
+    * bins + exact residual filter instead of the BroadcastNestedLoopJoin
+    * Spark would plan for the raw BETWEEN predicate. Same epoch mapping
+    * as q22 so events land inside the orders date range. Rollup per
+    * priority is pair-exact (count + user-id sum). */
+  private val q56 = Q(
+    "q56_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        expr("timestamp_micros(788918400000000 + (unix_micros(ts) - 1704067200000000) * 80)").as("mts"),
+      )
+      val iv = Tables.orders(s, dir).select(
+        col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp").as("valid_from"),
+        expr("timestamp_micros(unix_micros(cast(o_orderdate as timestamp)) + 172800000000)").as("valid_to"),
+      )
+      graft.operators.RangeJoin
+        .pointInInterval(ev, iv, "mts", "valid_from", "valid_to",
+          binWidth = 2L * 86400L * 1000000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"), sum("user_id").as("sum_user"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id,
+          make_timestamp(788918400000000 + (epoch_us(ts) - 1704067200000000) * 80) AS mts
+        FROM events),
+      iv AS (
+        SELECT o_orderpriority, o_orderdate AS valid_from,
+          o_orderdate + INTERVAL 2 DAY AS valid_to
+        FROM orders)
+      SELECT o_orderpriority, COUNT(*) AS n_pairs,
+        CAST(SUM(user_id) AS BIGINT) AS sum_user
+      FROM ev JOIN iv ON ev.mts BETWEEN iv.valid_from AND iv.valid_to
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic pseudo-random data spanning negative values and
+  // intervals from sub-bin to many-bin widths.
+  private def points: DataFrame = (0 until 400).map { i =>
+    (i.toLong, (i * 7919 % 2003) - 1000L, s"k${i % 3}")
+  }.toDF("p_id", "p", "pk")
+
+  private def intervals: DataFrame = (0 until 120).map { i =>
+    val s = (i * 6101 % 1997) - 990L
+    (i.toLong, s, s + (i * 131 % 400), s"k${i % 3}")
+  }.toDF("i_id", "s", "e", "ik")
+
+  private def naivePairs(extraKey: Boolean): Set[(Long, Long)] = {
+    val cond = if (extraKey) col("p").between(col("s"), col("e")) && col("pk") === col("ik")
+    else col("p").between(col("s"), col("e"))
+    points.crossJoin(intervals).filter(cond)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("pointInInterval matches the naive cross-join across bin widths") {
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = w)
+        .select("p_id", "i_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet == naivePairs(extraKey = false), s"binWidth=$w")
+    }
+  }
+
+  test("pointInInterval honors extra equi-keys") {
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+        binWidth = 50, extraKeys = Seq("pk" -> "ik"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == naivePairs(extraKey = true))
+  }
+
+  test("pointInInterval drops empty (end < start) intervals instead of mis-binning") {
+    val iv = Seq((1L, 10L, 5L), (2L, 0L, 20L)).toDF("i_id", "s", "e")
+    val pts = Seq((1L, 7L)).toDF("p_id", "p")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "s", "e", binWidth = 4)
+      .select("i_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("overlap matches the naive cross-join and dedupes multi-bin meetings") {
+    val l = (0 until 80).map { i =>
+      val s = (i * 977 % 499) - 250L
+      (i.toLong, s, s + (i * 37 % 120))
+    }.toDF("l_id", "ls", "le")
+    val r = (0 until 80).map { i =>
+      val s = (i * 733 % 503) - 240L
+      (i.toLong, s, s + (i * 53 % 90))
+    }.toDF("r_id", "rs", "re")
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(3L, 32L, 1000L)) {
+      val got = RangeJoin.overlap(l, r, "ls", "le", "rs", "re", binWidth = w)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet == naive, s"binWidth=$w")
+    }
+  }
+
+  test("pointInInterval bins timestamp columns on unix_micros") {
+    val pts = Seq((1L, "2024-01-05 12:00:00"), (2L, "2024-02-01 00:00:00"))
+      .toDF("p_id", "t").withColumn("t", col("t").cast("timestamp"))
+    val iv = Seq((10L, "2024-01-01 00:00:00", "2024-01-10 00:00:00"))
+      .toDF("i_id", "s", "e")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val got = RangeJoin.pointInInterval(pts, iv, "t", "s", "e",
+        binWidth = 86400L * 1000000L) // 1-day bins, micros
+      .select("p_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("range join plans an equi-join, not BroadcastNestedLoopJoin") {
+    val df = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = 100)
+    val bnl = df.queryExecution.sparkPlan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.isEmpty, "bin-equi-join must not degrade to a nested-loop join")
+  }
+}
