@@ -10,15 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Deterministic content-hash sampling: keep a row iff the first 16
-    * bits of md5(`textCol`) fall under `rate`·2¹⁶. Unlike rand()-based
-    * sampling this is reproducible across runs, engines, partitionings
-    * and cluster sizes — re-running the pipeline yields the SAME corpus,
-    * which is what makes training runs comparable. `rate` is a per-row
-    * Column in [0,1] (domain-mixture weights: different rates per
-    * source/language/quality tier). Resolution is 1/65536; the compare
-    * is on the lowercase hex prefix, so any engine with md5 reproduces
-    * the exact sample. Pure map stage — no shuffle, fully pushdown-able. */
   /** rate∈[0,1] → 4-hex-char threshold for `md5-prefix < threshold`
     * keep-decisions — the ONE encoding shared by [[sampleByHash]] and
     * [[assignSplits]]. Clamps BOTH ends before hex-formatting: rate ≥ 1
@@ -33,8 +24,69 @@ object Corpus {
       .when(rate <= 0.0, lit("0000"))
       .otherwise(format_string("%04x", (rate * 65536).cast("int")))
 
+  /** Deterministic content-hash sampling: keep a row iff the first 16
+    * bits of md5(`textCol`) fall under `rate`·2¹⁶. Unlike rand()-based
+    * sampling this is reproducible across runs, engines, partitionings
+    * and cluster sizes — re-running the pipeline yields the SAME corpus,
+    * which is what makes training runs comparable. `rate` is a per-row
+    * Column in [0,1] (domain-mixture weights: different rates per
+    * source/language/quality tier). Resolution is 1/65536; the compare
+    * is on the lowercase hex prefix, so any engine with md5 reproduces
+    * the exact sample. Pure map stage — no shuffle, fully pushdown-able. */
   def sampleByHash(df: DataFrame, textCol: String, rate: Column): DataFrame =
     df.filter(substring(md5(col(textCol)), 1, 4) < hexThreshold(rate))
+
+  /** Per-source sampling rates that realize a target token mixture, the
+    * standard corpus-assembly computation ("50% web / 30% wiki / 20%
+    * books"): the largest corpus honoring `targets` exactly is capped by
+    * the binding source, capacity C = min over targeted sources of
+    * T_s / p_s (T_s = source token count, p_s = target share), and each
+    * source samples at rate_s = C·p_s / T_s — 1.0 for the binding
+    * source, < 1 elsewhere. Sources absent from `targets` get no row
+    * (rate 0: they are not part of the mixture).
+    *
+    * Output: (source, tokens, target_share, rate). Scale shape: one
+    * groupBy on source (tiny result — sources number in the hundreds),
+    * a broadcast of the target list, and a single-row capacity aggregate
+    * broadcast back; the corpus itself is scanned once. */
+  def mixtureRates(df: DataFrame, sourceCol: String, budget: Column,
+                   targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "at least one target share required")
+    require(targets.map(_._2).forall(_ > 0), "target shares must be positive")
+    val total = targets.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"target shares must sum to 1, got $total")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("__src", "target_share")
+    val perSource = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(budget.cast("long")).as("tokens"))
+      .join(broadcast(tgt), col("source") === col("__src"))
+      .drop("__src")
+    val capacity = perSource
+      .agg(min(col("tokens").cast("double") / col("target_share")).as("__cap"))
+    perSource
+      .crossJoin(broadcast(capacity))
+      .withColumn("rate",
+        least(lit(1.0), col("__cap") * col("target_share") / col("tokens").cast("double")))
+      .drop("__cap")
+  }
+
+  /** Apply [[mixtureRates]]: the largest deterministic sub-corpus with
+    * token shares matching `targets`. Untargeted sources drop out; each
+    * kept doc carries its source's `mixture_rate`. Reproducibility is
+    * [[sampleByHash]]'s: the keep-decision is a pure function of content
+    * and the (deterministic) rate, so the same corpus emerges on every
+    * engine/run/partitioning. Two corpus scans (one aggregate, one
+    * filter) and a broadcast join — nothing large shuffles. */
+  def sampleToMixture(df: DataFrame, textCol: String, sourceCol: String,
+                      budget: Column, targets: Seq[(String, Double)]): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, budget, targets)
+      .select(col("source").as("__msrc"), col("rate").as("mixture_rate"))
+    val joined = df.join(broadcast(rates), col(sourceCol) === col("__msrc")).drop("__msrc")
+    sampleByHash(joined, textCol, col("mixture_rate"))
+  }
 
   /** Deterministic EXACT-size sample: `k` docs per group, chosen by
     * md5-hash order (ties by `idCol`) — "give me exactly 1000 docs per

@@ -548,6 +548,45 @@ object TextQueries {
     """),
   )
 
+  /** C38: mixture reweighting (`Corpus.mixtureRates` / `sampleToMixture`):
+    * per-source sampling rates that realize a target token mixture
+    * (capacity = min Tₛ/pₛ over targeted sources, rate = C·pₛ/Tₛ), then
+    * the deterministic md5-threshold sample applied at those rates. The
+    * rollup reports per-source rate + kept docs/tokens; both engines
+    * compute rates through identical IEEE double ops, so even the rate
+    * column hash-matches. */
+  private val q57 = Q(
+    "q57_mixture_sample",
+    (s, dir) =>
+      graft.operators.Corpus.sampleToMixture(
+          Tables.documents(s, dir), "text", "source", col("n_chars"),
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy("source", "mixture_rate")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("tokens_kept")),
+    Some("""
+      WITH tgt AS (
+        SELECT * FROM (VALUES
+          ('src0', CAST(0.5 AS DOUBLE)),
+          ('src1', CAST(0.3 AS DOUBLE)),
+          ('src2', CAST(0.2 AS DOUBLE))) AS t(src, p)),
+      per AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens, MAX(p) AS p
+        FROM documents JOIN tgt ON source = src GROUP BY source),
+      cap AS (SELECT MIN(CAST(tokens AS DOUBLE) / p) AS c FROM per),
+      rates AS (
+        SELECT source, LEAST(CAST(1.0 AS DOUBLE), c * p / CAST(tokens AS DOUBLE)) AS mixture_rate
+        FROM per, cap)
+      SELECT d.source, r.mixture_rate, COUNT(*) AS n_kept,
+        CAST(SUM(d.n_chars) AS BIGINT) AS tokens_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE substr(md5(d.text), 1, 4) <
+        CASE WHEN r.mixture_rate >= 1.0 THEN 'g'
+             WHEN r.mixture_rate <= 0.0 THEN '0000'
+             ELSE printf('%04x', CAST(floor(r.mixture_rate * 65536) AS INT)) END
+      GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57)
 }

@@ -126,6 +126,51 @@ class OperatorSpec extends SparkSpec {
     assert(Corpus.sampleByHash(df, "text", lit(0.0)).count() == 0)
   }
 
+  test("Corpus.mixtureRates caps at the binding source and realizes target shares") {
+    import graft.operators.Corpus
+    // tokens: a=1000, b=600, c=400, d=9999 (untargeted)
+    val df = Seq(
+      ("a", 1000L), ("b", 600L), ("c", 400L), ("d", 9999L),
+    ).toDF("source", "n_tok")
+    val rates = Corpus.mixtureRates(df, "source", col("n_tok"),
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .select("source", "tokens", "rate").as[(String, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // capacities: a 1000/.5=2000, b 600/.3=2000, c 400/.2=2000 → all binding
+    assert(rates.keySet == Set("a", "b", "c"), "untargeted sources get no rate")
+    rates.values.foreach { case (_, r) => assert(math.abs(r - 1.0) < 1e-12) }
+    // skew it: c shrinks to 100 tokens → c binds at C=500
+    val df2 = Seq(("a", 1000L), ("b", 600L), ("c", 100L)).toDF("source", "n_tok")
+    val r2 = Corpus.mixtureRates(df2, "source", col("n_tok"),
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(math.abs(r2("c") - 1.0) < 1e-12, "binding source samples at 1")
+    assert(math.abs(r2("a") - 0.25) < 1e-12)   // 500*0.5/1000
+    assert(math.abs(r2("b") - 0.25) < 1e-12)   // 500*0.3/600
+  }
+
+  test("Corpus.sampleToMixture yields a deterministic sub-corpus near the target mix") {
+    import graft.operators.Corpus
+    val df = (1 to 3000).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "wiki" else "books"
+      (i.toLong, src, s"doc body number $i with some words", 10L)
+    }.toDF("doc_id", "source", "text", "n_tok")
+    val targets = Seq("web" -> 0.6, "wiki" -> 0.3, "books" -> 0.1)
+    val out = Corpus.sampleToMixture(df, "text", "source", col("n_tok"), targets)
+    val again = Corpus.sampleToMixture(df, "text", "source", col("n_tok"), targets)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    val kept = out.groupBy("source").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    val total = kept.values.sum.toDouble
+    // web binds (1000 docs / 0.6 share is the smallest capacity) → rate 1
+    assert(kept("web") == 10000L)
+    // hash sampling is binomial around the target share: ±5 points at n=1000
+    targets.foreach { case (s, p) =>
+      assert(math.abs(kept(s) / total - p) < 0.05, s"$s share ${kept(s) / total} vs $p")
+    }
+  }
+
   test("Corpus.decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import graft.operators.Corpus
     val benchmark = Seq(
