@@ -296,7 +296,38 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42)
+  /** A13: one-scan numeric column profiling (`operators.Profile`) — row/
+    * present/exact-distinct counts + min/max per column, the QA intake
+    * pass (PSRDB metadata summaries). Spark computes ALL columns in one
+    * scan (multi-distinct Expand + stack unpivot); the oracle takes the
+    * per-column UNION ALL form. */
+  private val q58 = Q(
+    "q58_profile_columns",
+    (s, dir) =>
+      graft.operators.Profile.numeric(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")),
+    Some("""
+      SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_present,
+        COUNT(DISTINCT l_orderkey) AS n_distinct,
+        CAST(MIN(l_orderkey) AS DOUBLE) AS min_val, CAST(MAX(l_orderkey) AS DOUBLE) AS max_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*), COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+        CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+        CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+        CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+      FROM lineitem
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

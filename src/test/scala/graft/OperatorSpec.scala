@@ -126,6 +126,21 @@ class OperatorSpec extends SparkSpec {
     assert(Corpus.sampleByHash(df, "text", lit(0.0)).count() == 0)
   }
 
+  test("Profile.numeric emits one row per column from a single scan") {
+    import graft.operators.Profile
+    val df = Seq((Option(1.0), 10L), (None, 10L), (Option(3.5), 20L)).toDF("x", "y")
+    val rows = Profile.numeric(df, Seq("x", "y")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows("x").getAs[Long]("n_rows") == 3 && rows("x").getAs[Long]("n_present") == 2)
+    assert(rows("x").getAs[Long]("n_distinct") == 2)
+    assert(rows("x").getAs[Double]("min_val") == 1.0 && rows("x").getAs[Double]("max_val") == 3.5)
+    assert(rows("y").getAs[Long]("n_present") == 3 && rows("y").getAs[Long]("n_distinct") == 2)
+    assert(rows("y").getAs[Double]("min_val") == 10.0 && rows("y").getAs[Double]("max_val") == 20.0)
+    // single scan: exactly one leaf (LocalRelation here; FileScan on parquet)
+    val leaves = Profile.numeric(df, Seq("x", "y")).queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 1, s"profiler must not re-scan per column: $leaves")
+  }
+
   test("Corpus.mixtureRates caps at the binding source and realizes target shares") {
     import graft.operators.Corpus
     // tokens: a=1000, b=600, c=400, d=9999 (untargeted)
