@@ -111,6 +111,39 @@ object Quantize {
         f => f.getField("code")).as("codes"))
   }
 
+  /** Scalar int8 quantization (SQ8): per-vector affine map of each
+    * component onto the 256 signed-byte levels — `code = round((x −
+    * min) / scale) − 128`, `scale = (max − min)/255`. A 4× memory cut
+    * over float32 with near-lossless recall (reconstruction error ≤
+    * scale/2 per component), the standard first rung of the ANN
+    * compression ladder below PQ; FAISS's SQ8 uses the same affine
+    * form. Adds `sq8_offset`, `sq8_scale`, `sq8_codes` (array<tinyint>:
+    * one byte per component in Tungsten rows, vs 8 for the double).
+    * Pure map stage — no shuffle, embarrassingly parallel.
+    *
+    * Constant vectors (max == min) get scale 0 and all-zero codes;
+    * [[sq8Decode]] reproduces the constant exactly. */
+  def sq8Encode(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val mn = array_min(v)
+    val mx = array_max(v)
+    df.withColumn("sq8_offset", mn)
+      .withColumn("sq8_scale", (mx - mn) / lit(255.0))
+      .withColumn("sq8_codes",
+        transform(v, x =>
+          (when(col("sq8_scale") === 0.0, lit(0.0))
+            .otherwise(round((x - col("sq8_offset")) / col("sq8_scale")))
+            .cast("int") - 128).cast("byte")))
+  }
+
+  /** Reconstruct the quantized vector: `offset + (code + 128) · scale`.
+    * Feed the result to the codegen'd DotProduct / cosine ops — at this
+    * codebook-free tier the decode is two fused arithmetic ops per
+    * component, cheap enough that a dedicated integer kernel only pays
+    * on SIMD hardware. */
+  def sq8Decode(codes: Column, scale: Column, offset: Column): Column =
+    transform(codes, c => offset + (c.cast("double") + lit(128.0)) * scale)
+
   /** Asymmetric-distance top-k: queries stay full precision; each encoded
     * vector's distance is the sum over subspaces of the query-to-centroid
     * distance of its code. The per-query distance table (m·k doubles)

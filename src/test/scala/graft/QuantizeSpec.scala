@@ -80,4 +80,58 @@ class QuantizeSpec extends SparkSpec {
     // top-ranked neighbors come from the query's own cluster
     assert(out.take(3).forall(_._1 % 2 == 1))
   }
+
+  test("sq8Encode round-trips within scale/2 per component; constants exactly") {
+    val df = Seq(
+      (1L, Array(-2.0f, 0.0f, 3.5f, 7.25f)),
+      (2L, Array(4.0f, 4.0f, 4.0f, 4.0f)), // constant → scale 0
+    ).toDF("vec_id", "embedding")
+    val enc = Quantize.sq8Encode(df, "embedding")
+    val dec = enc.select(col("vec_id"), col("embedding").cast("array<double>").as("orig"),
+        col("sq8_scale"),
+        Quantize.sq8Decode(col("sq8_codes"), col("sq8_scale"), col("sq8_offset")).as("rt"))
+      .collect()
+    dec.foreach { r =>
+      val orig = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      val rt = r.getSeq[Double](3)
+      orig.zip(rt).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-12, s"vec ${r.getLong(0)}: $o vs $b")
+      }
+    }
+    // codes really are bytes (1/8th the row width of the double array)
+    val codeType = enc.schema("sq8_codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(codeType == org.apache.spark.sql.types.ByteType)
+  }
+
+  test("sq8 top-k on real embeddings recalls the exact float top-k") {
+    import graft.expressions.DotProduct
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") <= 2L)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    def topk(targets: org.apache.spark.sql.DataFrame,
+             tv: org.apache.spark.sql.Column): Map[Long, Set[Long]] = {
+      val scored = q.crossJoin(targets)
+        .filter(col("q_id") =!= col("t_id"))
+        .withColumn("cos", DotProduct.of(col("qv"), tv) /
+          (sqrt(DotProduct.of(col("qv"), col("qv"))) * sqrt(DotProduct.of(tv, tv))))
+      graft.plans.TopK.perKey(scored.select("q_id", "t_id", "cos"),
+          Seq("q_id"), Seq(graft.plans.TopK.desc("cos"), graft.plans.TopK.asc("t_id")), 10)
+        .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+    val exact = topk(
+      emb.select(col("vec_id").as("t_id"), col("embedding").cast("array<double>").as("tv")),
+      col("tv"))
+    val sq8 = topk(
+      Quantize.sq8Encode(emb, "embedding")
+        .select(col("vec_id").as("t_id"),
+          Quantize.sq8Decode(col("sq8_codes"), col("sq8_scale"), col("sq8_offset")).as("tv")),
+      col("tv"))
+    // keys.toSeq: mapping over the key SET would dedupe equal per-query
+    // recall values and silently skew the mean
+    val recall = exact.keys.toSeq.map(k => (sq8(k) & exact(k)).size / 10.0).sum / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+  }
 }
