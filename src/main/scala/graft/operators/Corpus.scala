@@ -175,6 +175,40 @@ object Corpus {
       .drop("__c")
   }
 
+  /** Fuzzy decontamination: [[decontaminate]]'s any-match rule flags a
+    * doc for ONE shared n-gram; this variant scores each corpus doc by
+    * the FRACTION of its distinct n-grams that appear in the benchmark
+    * set (the n-gram-containment rule used when eval sets quote common
+    * boilerplate — a single shared gram is noise, 60% containment is a
+    * leaked eval doc). Adds `overlap_frac` and `contaminated`
+    * (overlap_frac ≥ minOverlap). Docs too short for any n-gram score 0.
+    *
+    * Same scale shape as [[decontaminate]]: benchmark shingles broadcast,
+    * per-doc distinct grams computed map-side (array_distinct), only
+    * benchmark HITS reach the count shuffle, flags join back by id. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                         idCol: String, n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
+    import graft.functions.TextFns
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minOverlap > 0 && minOverlap <= 1, s"minOverlap must be in (0,1], got $minOverlap")
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(array_distinct(TextFns.shingles(col(textCol), n))).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "leftsemi")
+      .groupBy(idCol).agg(count(lit(1)).as("__hits"))
+    corpus
+      .withColumn("__total", size(array_distinct(TextFns.shingles(col(textCol), n))).cast("long"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("overlap_frac",
+        when(col("__total") > 0,
+          coalesce(col("__hits"), lit(0L)).cast("double") / col("__total").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", (col("overlap_frac") >= minOverlap).cast("long"))
+      .drop("__hits", "__total")
+  }
+
   /** Token-budget shard packing: within each `groupCol` (ordered by
     * `idCol`), documents pack into consecutive shards of ~`budget`
     * tokens: shard = floor(tokens-before-this-doc / budget) — the

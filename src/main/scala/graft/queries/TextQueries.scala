@@ -587,6 +587,48 @@ object TextQueries {
     """),
   )
 
+  /** C40: fuzzy decontamination (`Corpus.decontaminateFuzzy`) — n-gram
+    * CONTAINMENT fraction per corpus doc against the benchmark shingle
+    * set, flag at ≥ 0.5 (q51's any-match rule, graduated: one shared
+    * gram is noise, high containment is a leaked eval doc). */
+  private val q59 = Q(
+    "q59_decontaminate_fuzzy",
+    (s, dir) => {
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Corpus
+        .decontaminateFuzzy(corpus, benchmark, "text", "doc_id", n = 8, minOverlap = 0.5)
+        .select("doc_id", "overlap_frac", "contaminated")
+    },
+    Some {
+      val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      sh AS (
+        SELECT DISTINCT doc_id, $gram8 AS s
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      tot AS (
+        SELECT doc_id, COUNT(*) AS total FROM sh
+        WHERE doc_id % 10 <> 0 GROUP BY 1),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS hits FROM sh
+        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM bench) GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(CAST(h.hits AS DOUBLE) / CAST(t.total AS DOUBLE), 0.0) AS overlap_frac,
+        CAST(COALESCE(CAST(h.hits AS DOUBLE) / CAST(t.total AS DOUBLE), 0.0) >= 0.5 AS BIGINT)
+          AS contaminated
+      FROM documents d
+      LEFT JOIN tot t ON t.doc_id = d.doc_id
+      LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0
+      """
+    },
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59)
 }

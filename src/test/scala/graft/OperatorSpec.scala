@@ -186,6 +186,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Corpus.decontaminateFuzzy scores n-gram containment and flags at the threshold") {
+    import graft.operators.Corpus
+    val benchmark = Seq((100L, "a b c d e f")).toDF("doc_id", "text") // 3 4-grams
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // identical: frac 1.0
+      (2L, "a b c d x y z w"),      // 1 of 5 distinct 4-grams shared: 0.2
+      (3L, "p q r s t"),            // disjoint: 0.0
+      (4L, "a b"),                  // too short: 0.0
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminateFuzzy(corpus, benchmark, "text", "doc_id",
+        n = 4, minOverlap = 0.5)
+      .select("doc_id", "overlap_frac", "contaminated")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((1.0, 1L)))
+    assert(math.abs(got(2L)._1 - 0.2) < 1e-12 && got(2L)._2 == 0L)
+    assert(got(3L) == ((0.0, 0L)) && got(4L) == ((0.0, 0L)))
+  }
+
   test("Corpus.decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import graft.operators.Corpus
     val benchmark = Seq(
