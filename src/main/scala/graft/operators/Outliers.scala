@@ -26,4 +26,46 @@ object Outliers {
       .withColumn("grp_std", std)
       .withColumn("is_outlier", abs(v - col("grp_mean")) > lit(k) * col("grp_std"))
   }
+
+  /** Exact-element per-group median of `v` (rank = ceil(n/2) under
+    * (v, tiebreak) ordering — the cross-engine-exact convention, no
+    * interpolation), attached to every row as `alias`. One ranked
+    * window + one broadcast-back join on the group key. */
+  private def withMedian(df: DataFrame, groupCols: Seq[String], v: Column,
+                         tiebreak: Column, alias: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(v, tiebreak)
+    val cw = Window.partitionBy(groupCols.map(col): _*)
+    val med = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("__rn") === ceil(col("__cnt") * 0.5), v)).as(alias))
+    df.join(med, groupCols)
+  }
+
+  /** MAD clipping — the robust twin of [[sigmaClip]]: flag rows where
+    * |v − median| > k · MAD, MAD = median(|v − median|). Median/MAD
+    * resist the exact failure mode μ/σ clipping has on RFI-like data: a
+    * handful of huge spikes inflate σ until nothing is "3σ out", while
+    * the MAD of the same data barely moves (spec-demonstrated).
+    * k ≈ 1.4826·3 corresponds to 3σ under normality. Adds `grp_median`,
+    * `grp_mad`, `is_outlier`.
+    *
+    * Two ranked per-group windows (median, then MAD) + two group-key
+    * joins — heavier than sigmaClip's single unordered window, the
+    * price of exact rank statistics; both shuffles are on the group key,
+    * so skew/scale behavior matches every other per-key window here.
+    * `tiebreakCol`: any per-row unique column (row identity) making the
+    * rank — and therefore flags on even-sized groups — deterministic. */
+  def madClip(df: DataFrame, groupCols: Seq[String], valueCol: String,
+              tiebreakCol: String, k: Double): DataFrame = {
+    val v = col(valueCol)
+    val withMed = withMedian(df, groupCols, v, col(tiebreakCol), "grp_median")
+    val withMad = withMedian(
+      withMed.withColumn("__absdev", abs(v - col("grp_median"))),
+      groupCols, col("__absdev"), col(tiebreakCol), "grp_mad")
+    withMad
+      .withColumn("is_outlier", abs(v - col("grp_median")) > lit(k) * col("grp_mad"))
+      .drop("__absdev")
+  }
 }

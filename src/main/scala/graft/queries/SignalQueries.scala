@@ -560,6 +560,52 @@ object SignalQueries {
     """),
   )
 
+  /** B36: MAD clipping (`Outliers.madClip`) — robust median/MAD outlier
+    * flags per event type, the estimator MeerGuard-style RFI excision
+    * wants when spikes inflate σ (q20's sigma-clip is the parametric
+    * twin). Exact-element medians (ceil-rank convention) keep both
+    * engines bit-identical. */
+  private val q60 = Q(
+    "q60_mad_clip",
+    (s, dir) =>
+      graft.operators.Outliers.madClip(
+          Tables.events(s, dir).select("event_type", "event_id", "value"),
+          Seq("event_type"), "value", "event_id", k = 3.5)
+        .groupBy("event_type")
+        .agg(
+          max("grp_median").as("grp_median"),
+          max("grp_mad").as("grp_mad"),
+          sum(when(col("is_outlier"), lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+          count(lit(1)).as("n"),
+        ),
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events),
+      med AS (
+        SELECT event_type, MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN value END) AS grp_median
+        FROM r GROUP BY 1),
+      a AS (
+        SELECT e.event_type, e.event_id, e.value, m.grp_median,
+          ABS(e.value - m.grp_median) AS absdev
+        FROM events e JOIN med m ON e.event_type = m.event_type),
+      r2 AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY absdev, event_id) AS rn2,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt2
+        FROM a),
+      mad AS (
+        SELECT event_type, MAX(CASE WHEN rn2 = CEIL(cnt2 * 0.5) THEN absdev END) AS grp_mad
+        FROM r2 GROUP BY 1)
+      SELECT a.event_type, MAX(a.grp_median) AS grp_median, MAX(d.grp_mad) AS grp_mad,
+        CAST(SUM(CASE WHEN ABS(a.value - a.grp_median) > 3.5 * d.grp_mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        COUNT(*) AS n
+      FROM a JOIN mad d ON a.event_type = d.event_type
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60)
 }

@@ -326,6 +326,23 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(10.0, 10.0, 15.0, 20.0))
   }
 
+  test("Outliers.madClip flags spikes that inflate sigma past sigmaClip's reach") {
+    import graft.operators.Outliers
+    // 20 quiet points + 3 enormous spikes: the spikes drag σ up so far
+    // that sigma-clip at 3σ misses them, while median/MAD barely move
+    val rows = ((1 to 20).map(i => (i.toLong, "g", 100.0 + (i % 5))) ++
+      Seq((21L, "g", 1e7), (22L, "g", 1.1e7), (23L, "g", 0.9e7))).toDF("id", "g", "v")
+    val sig = Outliers.sigmaClip(rows, Seq("g"), "v", k = 3.0)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    val mad = Outliers.madClip(rows, Seq("g"), "v", "id", k = 3.5 * 1.4826)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(sig.isEmpty, s"3 spikes in 23 points inflate sigma past the 3-sigma clip: $sig")
+    assert(mad == Set(21L, 22L, 23L), s"MAD stays robust: $mad")
+    // median/MAD values are the exact mid elements
+    val r = Outliers.madClip(rows, Seq("g"), "v", "id", k = 3.5).select("grp_median", "grp_mad").head()
+    assert(r.getDouble(0) == 102.0 && r.getDouble(1) == 1.0)
+  }
+
   test("Outliers.sigmaClip flags only far points") {
     val vals = Seq.fill(20)(10.0) :+ 1000.0
     val df = vals.map(("g", _)).toDF("g", "v")
