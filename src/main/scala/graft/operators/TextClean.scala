@@ -49,4 +49,67 @@ object TextClean {
     df.withColumn("redacted", redacted)
       .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
+
+  /** Order-preserving reassembly of (id, pos, line) rows back into one
+    * text per id: collect (pos, line) structs, array_sort (struct order
+    * = pos order), project the line, join with `sep`. */
+  private def reassemble(lines: DataFrame, idCol: String, sep: String): DataFrame =
+    lines
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            f => f.getField("__line")), sep).as("cleaned"),
+        count(lit(1)).as("__kept"),
+      )
+
+  /** Cross-corpus boilerplate line removal (the C4-pipeline rule): drop
+    * every line that occurs in more than `maxDocs` distinct documents —
+    * nav bars, cookie banners, license footers repeat across a crawl;
+    * prose doesn't. Returns `idCol`, `cleaned` (surviving lines joined
+    * in original order; "" when everything was boilerplate), and
+    * `n_dropped`. Blank lines count like any other line — trim first if
+    * they should survive.
+    *
+    * Scale shape: one explode (map), one line-keyed count-distinct
+    * aggregate, one anti join against the (small — only lines crossing
+    * `maxDocs`) boilerplate set, one group-key reassembly. Nothing is
+    * quadratic; the line-frequency shuffle is the cost, and it's the
+    * irreducible one (frequency IS a corpus-global fact). */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                           maxDocs: Long, sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .groupBy("__line")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select("__line")
+    val kept = lines.join(boiler, Seq("__line"), "leftanti")
+    df.select(col(idCol), size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .cast("long").as("__orig"))
+      .join(reassemble(kept, idCol, sep), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Within-doc duplicate line removal: keep the FIRST occurrence of
+    * each line, preserving order (repeated paragraphs from templated
+    * generation or scrape glitches). Returns `idCol`, `cleaned`,
+    * `n_dropped`. One explode + one (id, line)-keyed min-pos aggregate +
+    * reassembly — all shuffles on the doc/group key. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val first = lines
+      .groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__pos"))
+    df.select(col(idCol), size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .cast("long").as("__orig"))
+      .join(reassemble(first, idCol, sep), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
 }

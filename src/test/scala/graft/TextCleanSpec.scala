@@ -50,4 +50,30 @@ class TextCleanSpec extends SparkSpec {
     assert(out(2)._2 == "perfectly clean text with numbers like 42 and 7")
     assert(out(2)._3 == 0L)
   }
+
+  test("dropBoilerplateLines removes lines crossing the doc-frequency cap, keeps order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal prose one\nmore prose\nFOOTER"),
+      (2L, "COOKIE BANNER\ndifferent words\nFOOTER"),
+      (3L, "COOKIE BANNER\nunique thought\nFOOTER"),
+      (4L, "COOKIE BANNER\nFOOTER"), // all boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextClean.dropBoilerplateLines(docs, "text", "doc_id", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("real prose one\nmore prose", 2L)))
+    assert(out(2L) == (("different words", 2L)))
+    assert(out(3L) == (("unique thought", 2L)))
+    assert(out(4L) == (("", 2L)))
+  }
+
+  test("dedupLines keeps the first occurrence of each line in order") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "solo"),
+    ).toDF("doc_id", "text")
+    val out = TextClean.dedupLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha\nbeta\ngamma", 2L)))
+    assert(out(2L) == (("solo", 0L)))
+  }
 }
