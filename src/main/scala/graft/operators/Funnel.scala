@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis: how many users performed step 1, then
+  * step 2 strictly after it, then step 3 after that… — the
+  * session-progression rollup (PSRDB's obs → processed → TOA-accepted
+  * status ladder; signup→activation funnels in event analytics).
+  *
+  * Semantics: a user completes a prefix of `steps` if the FIRST
+  * occurrence times of the steps are strictly increasing
+  * (first(s₁) < first(s₂) < …). Strictly-first semantics, not
+  * any-subsequence matching: deterministic, one aggregate per user,
+  * and the form every funnel dashboard actually computes.
+  *
+  * Scale shape: one user-keyed aggregate (min-when per step, map-side
+  * combining), then a single global roll-up row stack-unpivoted to one
+  * row per step. Nothing holds per-event state; at 100 TB the only
+  * shuffle is the per-user partial-aggregate merge.
+  */
+object Funnel {
+
+  /** @return one row per step: (step, step_idx starting at 1, n_users
+    *         that completed the prefix ending at this step). */
+  def steps(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+            steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"__t$i")
+    }
+    val perUser = df.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // prefix-completion predicate for step i: every earlier first-time
+    // exists and the chain strictly increases
+    val prefixDone = steps.indices.map { i =>
+      (0 to i).map { j =>
+        if (j == 0) col("__t0").isNotNull
+        else col(s"__t$j").isNotNull && col(s"__t${j - 1}") < col(s"__t$j")
+      }.reduce(_ && _)
+    }
+    val counts = perUser.agg(
+      sum(when(prefixDone.head, 1L).otherwise(0L)).as("__n0"),
+      prefixDone.tail.zipWithIndex.map { case (p, i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }: _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"'$s', ${i + 1}, `__n$i`" }
+      .mkString(", ")
+    counts.select(expr(s"stack(${steps.length}, $stackArgs)")
+      .as(Seq("step", "step_idx", "n_users")))
+  }
+}

@@ -327,7 +327,48 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58)
+  /** A14: exact Pearson correlation per group from decimal moments —
+    * corr(l_quantity, l_extendedprice) computed from exact decimal sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) with the closed-form formula written
+    * identically in both engines, so even the double result
+    * hash-matches. One map-side-combining aggregate; the built-in
+    * `corr()` is the approximate-at-scale drop-in. */
+  private val q62 = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Q(
+      "q62_correlation",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+            dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+          )
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price")),
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+            AS corr_qty_price
+        FROM m
+      """),
+    )
+  }
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

@@ -606,6 +606,55 @@ object SignalQueries {
     """),
   )
 
+  /** B37: fixed-width histogram (`operators.Histogram`) — value
+    * distribution per event type in 10 clamped 50-unit buckets with
+    * exact decimal sums; map-stage bucketing + map-side-combining
+    * count, so at most groups×bins rows shuffle at any scale. */
+  private val q61 = Q(
+    "q61_histogram",
+    (s, dir) =>
+      graft.operators.Histogram.fixedWidth(
+        Tables.events(s, dir).select("event_type", "value"),
+        Seq("event_type"), "value", lo = 0.0, width = 50.0, nBins = 10),
+    Some("""
+      SELECT event_type,
+        GREATEST(0, LEAST(9, CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT))) AS bucket,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    """),
+  )
+
+  /** B38: ordered-step funnel (`operators.Funnel`) — users whose FIRST
+    * view/click/purchase times strictly increase, rolled up to
+    * completion counts per prefix (the obs → processed → TOA-accepted
+    * status ladder). One user-keyed aggregate + a stack-unpivoted
+    * global row. */
+  private val q63 = Q(
+    "q63_funnel",
+    (s, dir) =>
+      graft.operators.Funnel.steps(
+        Tables.events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+          MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        FROM events GROUP BY 1)
+      SELECT 'view' AS step, 1 AS step_idx,
+        CAST(COUNT(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS n_users FROM u
+      UNION ALL
+      SELECT 'click', 2,
+        CAST(COUNT(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 END) AS BIGINT) FROM u
+      UNION ALL
+      SELECT 'purchase', 3,
+        CAST(COUNT(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+                         AND t2 IS NOT NULL AND t1 < t2 THEN 1 END) AS BIGINT) FROM u
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63)
 }

@@ -326,6 +326,32 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(10.0, 10.0, 15.0, 20.0))
   }
 
+  test("Histogram.fixedWidth clamps out-of-range values into edge buckets") {
+    import graft.operators.Histogram
+    val df = Seq(("a", -5.0), ("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 975.0))
+      .toDF("g", "v")
+    val got = Histogram.fixedWidth(df, Seq("g"), "v", lo = 0.0, width = 50.0, nBins = 10)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 9L -> 1L)) // -5 and 975 clamp to the edges
+  }
+
+  test("Funnel.steps counts strictly-ordered first-occurrence prefixes") {
+    import graft.operators.Funnel
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "buy", t(3)),   // full funnel
+      (2L, "view", t(1)), (2L, "buy", t(2)), (2L, "click", t(3)),   // buy precedes click → view+click only? no: click at 3 > view... prefix view,click needs t(click)>t(view): 3>1 ✓ but buy must be > click: first buy=2 < 3 → stops at click
+      (3L, "click", t(1)), (3L, "buy", t(2)),                       // never viewed → nothing
+      (4L, "view", t(5)), (4L, "click", t(5)),                      // tie is not strictly after
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.steps(ev, "user_id", "event_type", "ts", Seq("view", "click", "buy"))
+      .select("step", "step_idx", "n_users").as[(String, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("view") == ((1, 3L)))   // users 1, 2, 4
+    assert(got("click") == ((2, 2L)))  // users 1, 2 (4 ties out)
+    assert(got("buy") == ((3, 1L)))    // user 1 only
+  }
+
   test("Outliers.madClip flags spikes that inflate sigma past sigmaClip's reach") {
     import graft.operators.Outliers
     // 20 quiet points + 3 enormous spikes: the spikes drag σ up so far
