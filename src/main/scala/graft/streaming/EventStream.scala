@@ -264,4 +264,73 @@ object EventStream {
       .groupBy(window(col("ts"), windowDur), col("phase_bin"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
   }
+
+  /** Per-user funnel result: how deep into the ordered step list the
+    * user's strictly-increasing first-occurrence chain reaches. */
+  case class FunnelOut(user_id: Long, depth: Int)
+
+  /** Per-step first-occurrence millis (Long.MaxValue = unseen) + the
+    * latest event time, which anchors the idle-timeout horizon. */
+  case class FunnelState(firstMs: Seq[Long], lastMs: Long)
+
+  /** Streaming form of [[graft.operators.Funnel]]: tracks each user's
+    * FIRST occurrence time per step and emits the user's final funnel
+    * depth once the watermark passes their idle horizon (quiet for
+    * `idleSeconds`). Late events inside the watermark can still lower a
+    * first-occurrence time — depth is only computed at flush, so the
+    * emitted chain is the same one the batch operator would find.
+    * State is a fixed `steps.length + 1` longs per active user, purged
+    * on flush: bounded by the active-user population, never by stream
+    * length. */
+  def funnel(events: Dataset[Event], steps: Seq[String], idleSeconds: Long,
+             watermark: String = "30 minutes"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    val idleMs = idleSeconds * 1000L
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def depthOf(firstMs: Seq[Long]): Int = {
+      var depth = 0
+      var prev = Long.MinValue
+      var i = 0
+      var chained = true
+      while (chained && i < firstMs.length) {
+        if (firstMs(i) != Long.MaxValue && firstMs(i) > prev) {
+          depth += 1; prev = firstMs(i)
+        } else chained = false
+        i += 1
+      }
+      depth
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => FunnelOut(userId, depthOf(st.firstMs))).iterator
+            state.remove()
+            out
+          } else {
+            val st0 = state.getOption
+              .getOrElse(FunnelState(Seq.fill(steps.length)(Long.MaxValue), Long.MinValue))
+            val first = st0.firstMs.toArray
+            var last = st0.lastMs
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              if (t > last) last = t
+              stepIdx.get(e.event_type).foreach { i =>
+                if (t < first(i)) first(i) = t
+              }
+            }
+            val st = FunnelState(first.toSeq, last)
+            state.update(st)
+            state.setTimeoutTimestamp(last + idleMs)
+            Iterator.empty
+          }
+      }
+  }
 }

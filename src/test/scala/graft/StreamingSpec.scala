@@ -119,4 +119,42 @@ class StreamingSpec extends SparkSpec {
       assert(flushed.contains((7L, 1L, 4.0)), s"final session not flushed: $flushed")
     } finally q.stop()
   }
+
+  test("streaming funnel emits batch-identical depths at the idle horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnel(mem.toDS(), Seq("view", "click", "buy"),
+        idleSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // u1 completes the chain; the LATE view (second batch, within
+        // watermark) must still count as the first occurrence
+        Event(1, t("2024-01-01 10:05:00"), 1, "click", 0.0),
+        Event(2, t("2024-01-01 10:06:00"), 1, "buy", 0.0),
+        // u2: buy precedes click → depth stops after view+click? no:
+        // first-click 10:02 > first-view 10:01 (depth 2), first-buy
+        // 10:00 < first-click → chain breaks at buy → depth 2
+        Event(3, t("2024-01-01 10:00:00"), 2, "buy", 0.0),
+        Event(4, t("2024-01-01 10:01:00"), 2, "view", 0.0),
+        Event(5, t("2024-01-01 10:02:00"), 2, "click", 0.0),
+        // u3 never views → depth 0
+        Event(6, t("2024-01-01 10:03:00"), 3, "click", 0.0),
+      )
+      q.processAllAvailable()
+      mem.addData(Event(7, t("2024-01-01 10:04:00"), 1, "view", 0.0)) // u1's late view
+      q.processAllAvailable()
+      // push the watermark past every idle horizon, then fire timeouts
+      mem.addData(Event(8, t("2024-01-01 12:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, t("2024-01-01 12:01:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, depth FROM funnel_out")
+        .as[(Long, Int)].collect().toMap
+      assert(got.get(1L).contains(3), s"u1 full chain via late view: $got")
+      assert(got.get(2L).contains(2), s"u2 chain breaks at buy: $got")
+      assert(got.get(3L).contains(0), s"u3 never viewed: $got")
+    } finally q.stop()
+  }
 }
