@@ -52,6 +52,8 @@ object Corpus {
   def mixtureRates(df: DataFrame, sourceCol: String, budget: Column,
                    targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty, "at least one target share required")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in targets (the rate join would fan out and duplicate docs)")
     require(targets.map(_._2).forall(_ > 0), "target shares must be positive")
     val total = targets.map(_._2).sum
     require(math.abs(total - 1.0) <= 1e-9,
@@ -59,17 +61,32 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val tgt = targets.toDF("__src", "target_share")
+    // RIGHT join from the targets: a targeted source missing from the
+    // corpus (or with an all-null budget) gets tokens = 0, which makes
+    // the capacity — and therefore EVERY rate — 0: the largest corpus
+    // honoring a mixture that includes an empty source is empty. An
+    // inner join would silently drop the target and ship a corpus with
+    // the wrong mixture.
     val perSource = df
       .groupBy(col(sourceCol).as("source"))
-      .agg(sum(budget.cast("long")).as("tokens"))
-      .join(broadcast(tgt), col("source") === col("__src"))
-      .drop("__src")
+      .agg(sum(budget.cast("long")).as("__toks"))
+      .join(broadcast(tgt), col("source") === col("__src"), "right")
+      .select(coalesce(col("source"), col("__src")).as("source"),
+        coalesce(col("__toks"), lit(0L)).as("tokens"), col("target_share"))
     val capacity = perSource
       .agg(min(col("tokens").cast("double") / col("target_share")).as("__cap"))
+    // Snap rates within 1 ulp-ish of 1 up to exactly 1.0: the binding
+    // source's (T/p)·p/T round-trip can land at 0.9999999999999999,
+    // and hexThreshold would then emit "ffff" instead of "g" — silently
+    // dropping the ~1/65536 of binding-source docs whose hash prefix IS
+    // "ffff" (same rounding class as assignSplits' cumulative-sum snap).
+    val raw = col("__cap") * col("target_share") / col("tokens").cast("double")
     perSource
       .crossJoin(broadcast(capacity))
       .withColumn("rate",
-        least(lit(1.0), col("__cap") * col("target_share") / col("tokens").cast("double")))
+        when(col("tokens") === 0L, lit(0.0))
+          .when(raw >= 1.0 - 1e-9, lit(1.0))
+          .otherwise(raw))
       .drop("__cap")
   }
 

@@ -44,10 +44,13 @@ object Funnel {
       prefixDone.tail.zipWithIndex.map { case (p, i) =>
         sum(when(p, 1L).otherwise(0L)).as(s"__n${i + 1}")
       }: _*)
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"'$s', ${i + 1}, `__n$i`" }
-      .mkString(", ")
-    counts.select(expr(s"stack(${steps.length}, $stackArgs)")
-      .as(Seq("step", "step_idx", "n_users")))
+    // Column-built unpivot (not a stack() SQL string): step names are
+    // caller data and must never reach the SQL parser — a quote in a
+    // step name would break parsing (or worse, inject)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("step"), lit(i + 1).as("step_idx"), col(s"__n$i").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.step_idx"), col("__r.n_users"))
   }
 }

@@ -35,12 +35,16 @@ object Outliers {
                          tiebreak: Column, alias: String): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(v, tiebreak)
     val cw = Window.partitionBy(groupCols.map(col): _*)
+    // median over NON-NULL values only: ranking nulls (Spark sorts them
+    // FIRST, DuckDB LAST) while counting them in n would both break
+    // cross-engine parity and shift the rank off the true median
     val med = df
+      .filter(v.isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cnt", count(lit(1)).over(cw))
       .groupBy(groupCols.map(col): _*)
       .agg(max(when(col("__rn") === ceil(col("__cnt") * 0.5), v)).as(alias))
-    df.join(med, groupCols)
+    df.join(med, groupCols, "left")
   }
 
   /** MAD clipping — the robust twin of [[sigmaClip]]: flag rows where
@@ -56,7 +60,9 @@ object Outliers {
     * price of exact rank statistics; both shuffles are on the group key,
     * so skew/scale behavior matches every other per-key window here.
     * `tiebreakCol`: any per-row unique column (row identity) making the
-    * rank — and therefore flags on even-sized groups — deterministic. */
+    * rank — and therefore flags on even-sized groups — deterministic.
+    * Null values take no part in the medians and get null
+    * `is_outlier` (three-valued logic: neither flagged nor clean). */
   def madClip(df: DataFrame, groupCols: Seq[String], valueCol: String,
               tiebreakCol: String, k: Double): DataFrame = {
     val v = col(valueCol)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * count, exact distinct count, and min/max cast to double. Everything
   * computes in a SINGLE scan: one aggregate row holding every metric
   * (Spark plans the multi-distinct via one Expand — rows × #columns map
-  * work, no extra scans), then `stack` unpivots it to per-column rows.
+  * work, no extra scans), unpivoted to per-column rows.
   * At 100 TB swap `countDistinct` for `approx_count_distinct` (same
   * shape, sketch-mergeable, no Expand); the exact form is kept because
   * it is oracle-checkable.
@@ -30,13 +30,16 @@ object Profile {
       )
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `__cnt_$c`, `__nd_$c`, `__min_$c`, `__max_$c`")
-      .mkString(", ")
-    one.select(
-      col("__rows").as("n_rows"),
-      expr(s"stack(${cols.length}, $stackArgs)")
-        .as(Seq("col_name", "n_present", "n_distinct", "min_val", "max_val")),
-    ).select("col_name", "n_rows", "n_present", "n_distinct", "min_val", "max_val")
+    // Column-built unpivot (not a stack() SQL string): column names are
+    // caller data — a backtick/quote in one must not reach the parser
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__cnt_$c").as("n_present"),
+        col(s"__nd_$c").as("n_distinct"), col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    one.select(col("__rows").as("n_rows"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.col_name").as("col_name"), col("n_rows"),
+        col("__r.n_present").as("n_present"), col("__r.n_distinct").as("n_distinct"),
+        col("__r.min_val").as("min_val"), col("__r.max_val").as("max_val"))
   }
 }

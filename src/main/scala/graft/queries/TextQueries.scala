@@ -574,7 +574,9 @@ object TextQueries {
         FROM documents JOIN tgt ON source = src GROUP BY source),
       cap AS (SELECT MIN(CAST(tokens AS DOUBLE) / p) AS c FROM per),
       rates AS (
-        SELECT source, LEAST(CAST(1.0 AS DOUBLE), c * p / CAST(tokens AS DOUBLE)) AS mixture_rate
+        SELECT source,
+          CASE WHEN c * p / CAST(tokens AS DOUBLE) >= 1.0 - 1e-9 THEN CAST(1.0 AS DOUBLE)
+               ELSE c * p / CAST(tokens AS DOUBLE) END AS mixture_rate
         FROM per, cap)
       SELECT d.source, r.mixture_rate, COUNT(*) AS n_kept,
         CAST(SUM(d.n_chars) AS BIGINT) AS tokens_kept

@@ -273,19 +273,25 @@ object EventStream {
     * latest event time, which anchors the idle-timeout horizon. */
   case class FunnelState(firstMs: Seq[Long], lastMs: Long)
 
-  /** Streaming form of [[graft.operators.Funnel]]: tracks each user's
-    * FIRST occurrence time per step and emits the user's final funnel
-    * depth once the watermark passes their idle horizon (quiet for
-    * `idleSeconds`). Late events inside the watermark can still lower a
-    * first-occurrence time — depth is only computed at flush, so the
-    * emitted chain is the same one the batch operator would find.
-    * State is a fixed `steps.length + 1` longs per active user, purged
-    * on flush: bounded by the active-user population, never by stream
-    * length. */
+  /** Streaming form of [[graft.operators.Funnel]], with EPISODE
+    * semantics: tracks each user's FIRST occurrence time per step and
+    * emits the funnel depth once the watermark passes their idle
+    * horizon (quiet for `idleSeconds`) — one row per activity episode,
+    * exactly like [[sessionized]] emits one row per session. Within an
+    * episode, late events inside the watermark can still lower a
+    * first-occurrence time (depth is only computed at flush), so an
+    * episode's chain matches the batch operator run on that episode's
+    * events. A user who resumes AFTER flushing starts a fresh episode —
+    * the price of purging state; batch `Funnel.steps` is the
+    * whole-history form. State is a fixed `steps.length + 1` longs per
+    * active user, purged on flush: bounded by the active-user
+    * population, never by stream length. */
   def funnel(events: Dataset[Event], steps: Seq[String], idleSeconds: Long,
              watermark: String = "30 minutes"): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "at least one funnel step required")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(idleSeconds > 0,
+      s"idleSeconds must be positive (a non-positive horizon lands below the watermark and kills the query), got $idleSeconds")
     import events.sparkSession.implicits._
     val idleMs = idleSeconds * 1000L
     val stepIdx = steps.zipWithIndex.toMap

@@ -164,6 +164,25 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(r2("b") - 0.25) < 1e-12)   // 500*0.3/600
   }
 
+  test("Corpus.mixtureRates handles rounding, missing sources, and duplicate targets") {
+    import graft.operators.Corpus
+    // T/p = 3000/0.3 rounds to 9999.999…; the snap must still yield rate 1.0
+    val df = Seq(("a", 3000L), ("b", 7000L)).toDF("source", "n_tok")
+    val r = Corpus.mixtureRates(df, "source", col("n_tok"), Seq("a" -> 0.3, "b" -> 0.7))
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r("a") == 1.0 && r("b") == 1.0, s"binding rates must snap to exactly 1.0: $r")
+    // a targeted source absent from the corpus → capacity 0 → every rate 0
+    // (an inner join would silently ship the wrong mixture)
+    val r2 = Corpus.mixtureRates(df, "source", col("n_tok"),
+        Seq("a" -> 0.3, "b" -> 0.5, "missing" -> 0.2))
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r2.keySet == Set("a", "b", "missing") && r2.values.forall(_ == 0.0), s"$r2")
+    // duplicate target sources would fan out the rate join
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureRates(df, "source", col("n_tok"), Seq("a" -> 0.5, "a" -> 0.3, "b" -> 0.2))
+    }
+  }
+
   test("Corpus.sampleToMixture yields a deterministic sub-corpus near the target mix") {
     import graft.operators.Corpus
     val df = (1 to 3000).map { i =>
@@ -367,6 +386,27 @@ class OperatorSpec extends SparkSpec {
     // median/MAD values are the exact mid elements
     val r = Outliers.madClip(rows, Seq("g"), "v", "id", k = 3.5).select("grp_median", "grp_mad").head()
     assert(r.getDouble(0) == 102.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("Outliers.madClip computes medians over non-null values; null rows flag null") {
+    import graft.operators.Outliers
+    val rows = Seq((1L, "g", Some(1.0)), (2L, "g", Some(2.0)), (3L, "g", Some(3.0)),
+      (4L, "g", None)).toDF("id", "g", "v")
+    val out = Outliers.madClip(rows, Seq("g"), "v", "id", k = 3.0)
+      .select("id", "grp_median", "is_outlier").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.get(2))))).toMap
+    // median of {1,2,3} is 2 — nulls neither shift the rank nor flag
+    assert(out(1L)._1 == 2.0)
+    assert(out(4L)._2.isEmpty, "null value rows must get null is_outlier")
+  }
+
+  test("Funnel.steps tolerates step names that would break a SQL parser") {
+    import graft.operators.Funnel
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq((1L, "sign'up", t(1)), (1L, "buy`now", t(2))).toDF("user_id", "event_type", "ts")
+    val got = Funnel.steps(ev, "user_id", "event_type", "ts", Seq("sign'up", "buy`now"))
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(got == Map("sign'up" -> 1L, "buy`now" -> 1L))
   }
 
   test("Outliers.sigmaClip flags only far points") {
