@@ -26,4 +26,23 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Exact heavy-hitter report — the skew diagnosis run BEFORE choosing
+    * a salting/bucketing strategy: the `k` most frequent key tuples with
+    * their counts and share of all rows. One map-side-combining count
+    * aggregate, then `orderBy(...).limit(k)` — which Spark plans as
+    * TakeOrderedAndProject (per-partition bounded heap + driver merge of
+    * k-row partials, never a global sort of the distinct keys). `share`
+    * divides by the pre-aggregation row count. */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = broadcast(df.agg(count(lit(1)).as("__total")))
+    counts.crossJoin(total)
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(k)
+      .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+  }
 }

@@ -368,7 +368,24 @@ object Queries {
     )
   }
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62)
+  /** A15: exact heavy-hitter / skew report (`SkewJoin.heavyHitters`) —
+    * the top-k most frequent keys with row share, the diagnosis run
+    * before picking a salting or bucketing strategy. Count aggregate +
+    * bounded-heap global top-k (TakeOrderedAndProject). */
+  private val q64 = Q(
+    "q64_heavy_hitters",
+    (s, dir) =>
+      graft.operators.SkewJoin.heavyHitters(
+        Tables.lineitem(s, dir).select("l_suppkey"), Seq("l_suppkey"), k = 10),
+    Some("""
+      WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      t AS (SELECT COUNT(*) AS total FROM lineitem)
+      SELECT l_suppkey, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM c, t ORDER BY n DESC, l_suppkey LIMIT 10
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

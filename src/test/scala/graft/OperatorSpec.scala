@@ -345,6 +345,19 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(10.0, 10.0, 15.0, 20.0))
   }
 
+  test("SkewJoin.heavyHitters reports exact top-k keys with shares, heap-planned") {
+    import graft.operators.SkewJoin
+    val df = (1 to 100).map(i => (if (i <= 60) "hot" else if (i <= 90) "warm" else s"cold$i"))
+      .toDF("k")
+    val got = SkewJoin.heavyHitters(df, Seq("k"), k = 2)
+      .select("k", "n", "share").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("hot", 60L, 0.6), ("warm", 30L, 0.3)))
+    val plan = SkewJoin.heavyHitters(df, Seq("k"), k = 2).queryExecution.sparkPlan
+    val heap = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(heap.nonEmpty, s"global top-k must plan TakeOrderedAndProject, got:\n$plan")
+  }
+
   test("Histogram.fixedWidth clamps out-of-range values into edge buckets") {
     import graft.operators.Histogram
     val df = Seq(("a", -5.0), ("a", 0.0), ("a", 49.9), ("a", 50.0), ("a", 975.0))
