@@ -24,7 +24,12 @@ class DeterminismSpec extends SparkSpec {
 
   test("aggregate queries are bitwise partition-count invariant") {
     val names = Seq("q01_profile_stats", "q16_cumulative_snr", "q20_sigma_clip",
-      "q38_cosine_topk", "q44_ivf_assign")
+      "q38_cosine_topk", "q44_ivf_assign",
+      // round-3 additions with their own shuffle topologies: binned
+      // range join, broadcast-rate mixture sample, multi-distinct
+      // profile, ranked-median MAD clip, global-heap heavy hitters
+      "q56_range_join", "q57_mixture_sample", "q58_profile_columns",
+      "q60_mad_clip", "q64_heavy_hitters")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)
