@@ -265,6 +265,76 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
   }
 
+  /** One surviving Misra-Gries counter for a closed window: `min_count`
+    * undercounts the true frequency by at most
+    * `window_total / (capacity + 1)`. */
+  case class WindowHH(window_start: Timestamp, key: String, min_count: Long, window_total: Long)
+
+  /** Misra-Gries summary state for one open window. */
+  case class HHState(counters: Map[String, Long], total: Long)
+
+  /** Streaming per-window heavy hitters with BOUNDED state: the exact
+    * `groupBy(window, key).count()` form needs one state entry per
+    * distinct key per open window — fine for event types, fatal for a
+    * high-cardinality key (user ids, URLs). This keeps at most
+    * `capacity` Misra-Gries counters per window: increment a present
+    * key, insert while there's room, otherwise decrement ALL counters
+    * (evicting zeros) — every surviving count undercounts truth by at
+    * most total/(capacity+1), so any key with frequency above that
+    * bound is GUARANTEED to survive. Each window flushes exactly once,
+    * when the watermark passes its end (late rows beyond the watermark
+    * were already dropped, so no post-flush reopen — unlike [[funnel]]'s
+    * idle-horizon episodes). */
+  def windowedHeavyHitters(events: Dataset[Event], keyOf: Event => String,
+                           windowSeconds: Long, capacity: Int,
+                           watermark: String = "30 minutes"): Dataset[WindowHH] = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    import events.sparkSession.implicits._
+    val windowMs = windowSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[HHState, WindowHH](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStart: Long, rows: Iterator[Event], state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator.flatMap { st =>
+              st.counters.toSeq.sortBy { case (k, n) => (-n, k) }.map { case (k, n) =>
+                WindowHH(new Timestamp(windowStart), k, n, st.total)
+              }
+            }
+            state.remove()
+            out
+          } else {
+            var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+            val counters = scala.collection.mutable.Map(st.counters.toSeq: _*)
+            var total = st.total
+            rows.foreach { e =>
+              total += 1
+              val k = keyOf(e)
+              counters.get(k) match {
+                case Some(n) => counters(k) = n + 1
+                case None if counters.size < capacity => counters(k) = 1L
+                case None => // decrement-all: the Misra-Gries eviction step
+                  counters.keys.toSeq.foreach { c =>
+                    val n = counters(c) - 1
+                    if (n <= 0) counters.remove(c) else counters(c) = n
+                  }
+              }
+            }
+            state.update(HHState(counters.toMap, total))
+            // clamp: a within-watermark straggler for a window whose end
+            // the watermark already passed must still get a LEGAL horizon
+            // (setTimeoutTimestamp below the watermark throws)
+            state.setTimeoutTimestamp(
+              math.max(windowStart + windowMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user funnel result: how deep into the ordered step list the
     * user's strictly-increasing first-occurrence chain reaches. */
   case class FunnelOut(user_id: Long, depth: Int)

@@ -120,6 +120,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters keep hot keys under bounded Misra-Gries state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedHeavyHitters(mem.toDS(), _.event_type,
+        windowSeconds = 3600, capacity = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh_out").outputMode(OutputMode.Append()).start()
+    try {
+      // one window: "hot" 60×, "warm" 30×, ten singleton keys.
+      // n=100, capacity 2 → undercount ≤ 100/3 ≈ 33: hot (60) MUST
+      // survive with count ≥ 27; the singletons must not.
+      val base = t("2024-01-01 10:00:00").getTime
+      val evs = (0 until 60).map(i => Event(i, new Timestamp(base + i * 1000L), 1, "hot", 0.0)) ++
+        (0 until 30).map(i => Event(100 + i, new Timestamp(base + i * 1000L), 1, "warm", 0.0)) ++
+        (0 until 10).map(i => Event(200 + i, new Timestamp(base + i * 1000L), 1, s"rare$i", 0.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window end, then fire the timeout
+      mem.addData(Event(998, t("2024-01-01 12:00:00"), 9, "later", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(999, t("2024-01-01 12:01:00"), 9, "later", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, min_count, window_total FROM hh_out WHERE window_total = 100")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got.size <= 2, s"at most `capacity` counters survive: $got")
+      val hot = got.find(_._1 == "hot")
+      assert(hot.nonEmpty, s"a 60%-frequency key must survive MG with capacity 2: $got")
+      assert(hot.get._2 >= 27 && hot.get._2 <= 60, s"undercount bound violated: $hot")
+      assert(!got.exists(_._1.startsWith("rare")), s"singletons must be evicted: $got")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits batch-identical depths at the idle horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
