@@ -38,7 +38,9 @@ object SkewJoin {
     require(keyCols.nonEmpty, "at least one key column required")
     require(k >= 1, s"k must be >= 1, got $k")
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = broadcast(df.agg(count(lit(1)).as("__total")))
+    // grand total = sum of the per-key counts already in hand — a second
+    // df.agg(count(*)) would re-scan the full (100 TB) input
+    val total = broadcast(counts.agg(sum(col("n")).as("__total")))
     counts.crossJoin(total)
       .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
       .limit(k)

@@ -28,7 +28,12 @@ object ZOrder {
     require(n >= 1, "at least one column to interleave")
     require(bits >= 1 && n * bits <= 63, s"need 1 <= bits and ${n}*bits <= 63, got bits=$bits")
     val hi = (1L << bits) - 1
-    val clamped = cols.map(c => greatest(lit(0L), least(lit(hi), c.cast("long"))))
+    // coalesce BEFORE the clamp: Spark's least/greatest skip nulls, so a
+    // null dimension would otherwise clamp to the MAX cell and pack all
+    // null rows into the max-corner files (widening their envelopes);
+    // cell 0 matches normalized()'s constant-column convention
+    val clamped = cols.map(c =>
+      greatest(lit(0L), least(lit(hi), coalesce(c.cast("long"), lit(0L)))))
     val terms = for {
       (c, i) <- clamped.zipWithIndex
       j <- 0 until bits

@@ -433,27 +433,11 @@ object Queries {
     }),
     // the documented 100 TB profiler form: HLL sketches instead of the
     // exact multi-distinct Expand — same single scan, mergeable partials
-    "q58_profile_columns_fast" -> ((s, dir) => {
-      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
-      val aggs = cols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"__cnt_$c"),
-          approx_count_distinct(col(c)).as(s"__nd_$c"),
-          min(col(c)).cast("double").as(s"__min_$c"),
-          max(col(c)).cast("double").as(s"__max_$c"),
-        )
-      }
-      val one = Tables.lineitem(s, dir).agg(count(lit(1)).as("__rows"), aggs: _*)
-      val rows = cols.map { c =>
-        struct(lit(c).as("col_name"), col(s"__cnt_$c").as("n_present"),
-          col(s"__nd_$c").as("n_distinct"), col(s"__min_$c").as("min_val"),
-          col(s"__max_$c").as("max_val"))
-      }
-      one.select(col("__rows").as("n_rows"), explode(array(rows: _*)).as("__r"))
-        .select(col("__r.col_name").as("col_name"), col("n_rows"),
-          col("__r.n_present").as("n_present"), col("__r.n_distinct").as("n_distinct"),
-          col("__r.min_val").as("min_val"), col("__r.max_val").as("max_val"))
-    }),
+    "q58_profile_columns_fast" -> ((s, dir) =>
+      graft.operators.Profile.numeric(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        approx = true)),
     "q40_embedding_stats_fast" -> ((s, dir) => {
       import graft.functions.VectorFns
       Tables.embeddings(s, dir)

@@ -569,13 +569,19 @@ object TextQueries {
           ('src0', CAST(0.5 AS DOUBLE)),
           ('src1', CAST(0.3 AS DOUBLE)),
           ('src2', CAST(0.2 AS DOUBLE))) AS t(src, p)),
+      agg AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1),
+      -- LEFT join from the targets, mirroring mixtureRates' right join: a
+      -- targeted source missing from the corpus gets tokens 0 → capacity 0
       per AS (
-        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens, MAX(p) AS p
-        FROM documents JOIN tgt ON source = src GROUP BY source),
+        SELECT t.src AS source, COALESCE(a.tokens, 0) AS tokens, t.p AS p
+        FROM tgt t LEFT JOIN agg a ON a.source = t.src),
       cap AS (SELECT MIN(CAST(tokens AS DOUBLE) / p) AS c FROM per),
       rates AS (
         SELECT source,
-          CASE WHEN c * p / CAST(tokens AS DOUBLE) >= 1.0 - 1e-9 THEN CAST(1.0 AS DOUBLE)
+          CASE WHEN tokens = 0 THEN CAST(0.0 AS DOUBLE)
+               WHEN c * p / CAST(tokens AS DOUBLE) >= 1.0 - 1e-9 THEN CAST(1.0 AS DOUBLE)
                ELSE c * p / CAST(tokens AS DOUBLE) END AS mixture_rate
         FROM per, cap)
       SELECT d.source, r.mixture_rate, COUNT(*) AS n_kept,

@@ -267,42 +267,54 @@ object EventStream {
 
   /** One surviving Misra-Gries counter for a closed window: `min_count`
     * undercounts the true frequency by at most
-    * `window_total / (capacity + 1)`. */
-  case class WindowHH(window_start: Timestamp, key: String, min_count: Long, window_total: Long)
+    * `group_total / (capacity + 1)` (group = this window's shard). */
+  case class WindowHH(window_start: Timestamp, shard: Int, key: String,
+                      min_count: Long, group_total: Long)
 
-  /** Misra-Gries summary state for one open window. */
+  /** Misra-Gries summary state for one open (window, shard). */
   case class HHState(counters: Map[String, Long], total: Long)
 
   /** Streaming per-window heavy hitters with BOUNDED state: the exact
     * `groupBy(window, key).count()` form needs one state entry per
     * distinct key per open window — fine for event types, fatal for a
     * high-cardinality key (user ids, URLs). This keeps at most
-    * `capacity` Misra-Gries counters per window: increment a present
-    * key, insert while there's room, otherwise decrement ALL counters
-    * (evicting zeros) — every surviving count undercounts truth by at
-    * most total/(capacity+1), so any key with frequency above that
-    * bound is GUARANTEED to survive. Each window flushes exactly once,
-    * when the watermark passes its end (late rows beyond the watermark
-    * were already dropped, so no post-flush reopen — unlike [[funnel]]'s
-    * idle-horizon episodes). */
+    * `capacity` Misra-Gries counters per (window, shard): increment a
+    * present key, insert while there's room, otherwise decrement ALL
+    * counters (evicting zeros) — every surviving count undercounts
+    * truth by at most group_total/(capacity+1), so any key with
+    * frequency above that bound is GUARANTEED to survive. Each window
+    * flushes exactly once, when the watermark passes its end (late rows
+    * beyond the watermark were already dropped, so no post-flush
+    * reopen — unlike [[funnel]]'s idle-horizon episodes).
+    *
+    * `shards` is the parallelism lever: grouping by window alone would
+    * funnel the whole stream through ONE task per open window. Keys
+    * hash into `shards` independent summaries, so the stateful stage
+    * runs `shards`-wide and — because each key lives in exactly one
+    * shard — per-key counts never split: results need no merge, only
+    * the undercount bound is per-shard. */
   def windowedHeavyHitters(events: Dataset[Event], keyOf: Event => String,
                            windowSeconds: Long, capacity: Int,
-                           watermark: String = "30 minutes"): Dataset[WindowHH] = {
+                           watermark: String = "30 minutes",
+                           shards: Int = 1): Dataset[WindowHH] = {
     require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     import events.sparkSession.implicits._
     val windowMs = windowSeconds * 1000L
 
     events
       .withWatermark("ts", watermark)
-      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .groupByKey(e => (Math.floorDiv(e.ts.getTime, windowMs) * windowMs,
+        Math.floorMod(keyOf(e).hashCode, shards)))
       .flatMapGroupsWithState[HHState, WindowHH](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (windowStart: Long, rows: Iterator[Event], state: GroupState[HHState]) =>
+        (group: (Long, Int), rows: Iterator[Event], state: GroupState[HHState]) =>
+          val (windowStart, shard) = group
           if (state.hasTimedOut) {
             val out = state.getOption.iterator.flatMap { st =>
               st.counters.toSeq.sortBy { case (k, n) => (-n, k) }.map { case (k, n) =>
-                WindowHH(new Timestamp(windowStart), k, n, st.total)
+                WindowHH(new Timestamp(windowStart), shard, k, n, st.total)
               }
             }
             state.remove()
@@ -404,7 +416,12 @@ object EventStream {
             }
             val st = FunnelState(first.toSeq, last)
             state.update(st)
-            state.setTimeoutTimestamp(last + idleMs)
+            // clamp like windowedHeavyHitters: a within-watermark
+            // straggler whose idle horizon already passed must still get
+            // a legal timeout (setTimeoutTimestamp below the watermark
+            // throws and kills the query)
+            state.setTimeoutTimestamp(
+              math.max(last + idleMs, state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }

@@ -142,13 +142,38 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Event(999, t("2024-01-01 12:01:00"), 9, "later", 0.0))
       q.processAllAvailable()
-      val got = spark.sql("SELECT key, min_count, window_total FROM hh_out WHERE window_total = 100")
+      val got = spark.sql("SELECT key, min_count, group_total FROM hh_out WHERE group_total = 100")
         .as[(String, Long, Long)].collect().toSeq
       assert(got.size <= 2, s"at most `capacity` counters survive: $got")
       val hot = got.find(_._1 == "hot")
       assert(hot.nonEmpty, s"a 60%-frequency key must survive MG with capacity 2: $got")
       assert(hot.get._2 >= 27 && hot.get._2 <= 60, s"undercount bound violated: $hot")
       assert(!got.exists(_._1.startsWith("rare")), s"singletons must be evicted: $got")
+    } finally q.stop()
+  }
+
+  test("sharded heavy hitters keep exact per-key locality (no split counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedHeavyHitters(mem.toDS(), _.event_type,
+        windowSeconds = 3600, capacity = 4, watermark = "10 minutes", shards = 4)
+      .writeStream.format("memory").queryName("hh_sh_out").outputMode(OutputMode.Append()).start()
+    try {
+      val base = t("2024-01-01 10:00:00").getTime
+      val evs = (0 until 50).map(i => Event(i, new Timestamp(base + i), 1, "hot", 0.0)) ++
+        (0 until 20).map(i => Event(100 + i, new Timestamp(base + i), 1, "warm", 0.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Event(998, t("2024-01-01 12:00:00"), 9, "later", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(999, t("2024-01-01 12:01:00"), 9, "later", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, min_count FROM hh_sh_out WHERE key IN ('hot','warm')")
+        .as[(String, Long)].collect().toSeq
+      // each key lands in exactly ONE shard → one row, exact count (its
+      // shard saw fewer than capacity distinct keys, so no decrements)
+      assert(got.sorted == Seq(("hot", 50L), ("warm", 20L)).sorted, s"$got")
     } finally q.stop()
   }
 
