@@ -655,6 +655,49 @@ object SignalQueries {
     """),
   )
 
+  /** B40: per-group OLS trend — the drift-rate fit run on timing
+    * residuals (is this pulsar's S/N / residual drifting?): slope and
+    * intercept of value vs days-since-epoch from exact decimal moments,
+    * closed form written identically in both engines (hash-exact
+    * doubles). Days are centered on the data epoch so the normal-
+    * equation differences never catastrophically cancel. */
+  private val q65 = Q(
+    "q65_trend",
+    (s, dir) => {
+      val x = (unix_micros(col("ts")) - lit(1704067200000000L)) / lit(86400000000.0)
+      val y = col("value")
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * y).as("sxy"), dsum(x * x).as("sxx"),
+        )
+        .withColumn("slope_per_day",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope_per_day") * col("sx")) / col("n"))
+        .select("event_type", "n", "slope_per_day", "intercept")
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST((epoch_us(ts) - 1704067200000000) / 86400000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * ((epoch_us(ts) - 1704067200000000) / 86400000000.0) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM events GROUP BY 1),
+      s AS (
+        SELECT event_type, n, sx, sy,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day
+        FROM m)
+      SELECT event_type, n, slope_per_day,
+        (sy - slope_per_day * sx) / n AS intercept
+      FROM s
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65)
 }
