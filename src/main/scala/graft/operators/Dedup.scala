@@ -66,22 +66,30 @@ object Dedup {
     * oracle parity is not required (xxhash64 has no DuckDB twin). */
   def minhashLshFast(df: DataFrame, textCol: String, idCol: String,
                      numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    val bandDf = fastBandKeys(df, textCol, idCol, numHashes, bands, shingleN)
+    val a = bandDf.select(col("doc").as("a_id"), col("band"))
+    val b = bandDf.select(col("doc").as("b_id"), col("band"))
+    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** (doc, band) LSH keys of `minhashLshFast`'s banded xxhash64 scheme —
+    * shared by the self-join path above and the asymmetric
+    * [[dedupIncremental]] batch-vs-corpus join. */
+  private def fastBandKeys(df: DataFrame, textCol: String, idCol: String,
+                           numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val perBand = numHashes / bands
     val sh = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
       .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
     val hashCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
-    val bandDf = withSig.select(
+    withSig.select(
       col("doc"),
       explode(array((0 until bands).map { b =>
         val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
         xxhash64(cols: _*)
       }: _*)).as("band"))
-    val a = bandDf.select(col("doc").as("a_id"), col("band"))
-    val b = bandDf.select(col("doc").as("b_id"), col("band"))
-    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
   }
 
   /** SimHash fingerprint (`bits` ≤ 16): per distinct word, ±1 votes from
@@ -225,6 +233,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
     dropLosers(df, verified, idCol)
+  }
+
+  /** Incremental ingestion dedup — the daily-pipeline mode: clean a NEW
+    * batch against the EXISTING (already-deduplicated) corpus, then
+    * within itself. Existing docs are never dropped (they already won);
+    * a new doc is dropped if it exactly matches an existing text, is a
+    * verified near-dup of an existing doc, or loses the within-batch
+    * near-dup resolution. Returns the new batch's surviving rows.
+    *
+    * Ids must be unique ACROSS both frames (the verify stage joins a
+    * union). Scale shape: the exact stage is an anti join on content
+    * hash; the near stage is an ASYMMETRIC band join (new × existing
+    * only — never existing × existing, which was already resolved), so
+    * cost scales with the batch, not the corpus². At 100 TB, persist the
+    * corpus's (doc, band) keys bucketed on `band`
+    * (`Formats.writeBucketedTable`) instead of recomputing them per
+    * batch — this operator recomputes for self-containment. */
+  def dedupIncremental(newDocs: DataFrame, existing: DataFrame, textCol: String,
+                       idCol: String, threshold: Double = 0.8,
+                       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    val existingHashes = existing.select(md5(col(textCol)).as("__eh")).distinct()
+    val fresh = newDocs
+      .join(existingHashes, md5(newDocs(textCol)) === col("__eh"), "left_anti")
+    val nb = fastBandKeys(fresh, textCol, idCol, numHashes, bands, shingleN)
+      .select(col("doc").as("a_id"), col("band"))
+    val eb = fastBandKeys(existing, textCol, idCol, numHashes, bands, shingleN)
+      .select(col("doc").as("b_id"), col("band"))
+    val candidates = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
+    val both = fresh.select(col(idCol), col(textCol))
+      .union(existing.select(col(idCol), col(textCol)))
+    val hitNew = jaccardVerify(candidates, both, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("__drop")).distinct()
+    val vsExisting = fresh.join(hitNew, fresh(idCol) === col("__drop"), "left_anti")
+    dedupCorpus(vsExisting, textCol, idCol, threshold, numHashes, bands, shingleN)
   }
 
   /** Shared survivor tail of the one-call dedup pipelines: resolve the

@@ -115,6 +115,25 @@ class DedupKnnSpec extends SparkSpec {
     assert(kept == Set(2L, 5L))
   }
 
+  test("Dedup.dedupIncremental cleans a batch against the corpus, then itself") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq(
+      (1L, base + " today"),
+      (2L, "completely different words describing some other topic entirely here now"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " today"),     // exact copy of existing 1 → dropped (stage 1)
+      (11L, base + " tomorrow"),  // near-dup of existing 1 → dropped (stage 2)
+      (12L, "fresh unique sentence with plenty of brand new never seen words"),
+      (13L, "another fresh unique sentence sharing no overlap with anything else written"),
+      (14L, "another fresh unique sentence sharing no overlap with anything else typed"),
+      // 13 ~ 14 are within-batch near-dups → stage 3 keeps min id 13
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, existing, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+  }
+
   test("Dedup.dedupCorpusByEmbedding drops same-direction vectors, keeps min id and distinct ones") {
     val df = Seq(
       (3L, Array(1.0f, 0.2f, 0.1f, 0.3f)),
