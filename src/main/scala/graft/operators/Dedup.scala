@@ -121,7 +121,14 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
                     idCol: String): DataFrame = {
-    val wd = docs.select(col(idCol).as("doc"),
+    // restrict to docs actually named by a candidate pair BEFORE the
+    // word explode/aggregate: `docs` may be a whole corpus (the
+    // incremental path passes batch ∪ existing) and verification cost
+    // must follow the candidate count, not the corpus size
+    val candIds = pairs.select(col("a_id").as("__cid"))
+      .union(pairs.select(col("b_id").as("__cid"))).distinct()
+    val cand = docs.join(candIds, docs(idCol) === col("__cid"), "leftsemi")
+    val wd = cand.select(col(idCol).as("doc"),
       explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
     val wc = wd.groupBy("doc").agg(count(lit(1)).as("nw"))
     val inter = pairs
@@ -228,11 +235,19 @@ object Dedup {
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double = 0.8,
                   numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
-    val candidates = minhashLshFast(df, textCol, idCol, numHashes, bands, shingleN)
-    val verified = jaccardVerify(candidates, df, textCol, idCol)
+    // exact pre-stage: keep one (min-id) copy per identical text FIRST.
+    // The LSH stage would also pair exact copies — but only when they
+    // have >= shingleN words (fastBandKeys filters shorter docs), so
+    // identical short texts would otherwise both survive; it also
+    // shrinks the LSH input for free.
+    val unique = df.join(
+      exact(df, textCol, idCol).select(col("keep_id").as("__keep")),
+      df(idCol) === col("__keep"), "leftsemi")
+    val candidates = minhashLshFast(unique, textCol, idCol, numHashes, bands, shingleN)
+    val verified = jaccardVerify(candidates, unique, textCol, idCol)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
-    dropLosers(df, verified, idCol)
+    dropLosers(unique, verified, idCol)
   }
 
   /** Incremental ingestion dedup — the daily-pipeline mode: clean a NEW
@@ -253,21 +268,51 @@ object Dedup {
   def dedupIncremental(newDocs: DataFrame, existing: DataFrame, textCol: String,
                        idCol: String, threshold: Double = 0.8,
                        numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    // Stage 1 — exact: drop batch docs matching an existing text, then
+    // keep one copy per identical within-batch text (catches short docs
+    // the shingle stages can't see). localCheckpoint: `fresh` anchors
+    // the band keys, the verify union, and the final anti join — without
+    // it the corpus-wide hash anti-join re-executes for each.
     val existingHashes = existing.select(md5(col(textCol)).as("__eh")).distinct()
-    val fresh = newDocs
+    val vsCorpus = newDocs
       .join(existingHashes, md5(newDocs(textCol)) === col("__eh"), "left_anti")
+    val fresh = vsCorpus.join(
+      exact(vsCorpus, textCol, idCol).select(col("keep_id").as("__keep")),
+      vsCorpus(idCol) === col("__keep"), "leftsemi")
+      .localCheckpoint()
+    // Stage 2 — ONE pair graph across both frames: new×existing pairs
+    // from an asymmetric band join plus new×new pairs from the self
+    // join, verified together and resolved as one set of connected
+    // components. Resolving jointly is what makes a batch doc whose
+    // only link to the corpus runs THROUGH another (dropped) batch doc
+    // still collapse into the corpus cluster — two separate passes
+    // would leak such transitive dups into the survivor set.
     val nb = fastBandKeys(fresh, textCol, idCol, numHashes, bands, shingleN)
       .select(col("doc").as("a_id"), col("band"))
     val eb = fastBandKeys(existing, textCol, idCol, numHashes, bands, shingleN)
       .select(col("doc").as("b_id"), col("band"))
-    val candidates = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
+    val candNE = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
+    val candNN = minhashLshFast(fresh, textCol, idCol, numHashes, bands, shingleN)
     val both = fresh.select(col(idCol), col(textCol))
       .union(existing.select(col(idCol), col(textCol)))
-    val hitNew = jaccardVerify(candidates, both, textCol, idCol)
+    val verified = jaccardVerify(candNE.union(candNN).distinct(), both, textCol, idCol)
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id").as("__drop")).distinct()
-    val vsExisting = fresh.join(hitNew, fresh(idCol) === col("__drop"), "left_anti")
-    dedupCorpus(vsExisting, textCol, idCol, threshold, numHashes, bands, shingleN)
+      .select("a_id", "b_id")
+    // Stage 3 — survivor policy: existing docs always win (they are the
+    // corpus). A batch doc survives iff its cluster holds no existing
+    // doc AND it is the cluster's min-id batch member (= cluster_id,
+    // since min-label propagation labels by global min and the cluster
+    // is all-new). Unpaired batch docs survive untouched.
+    val clusters = resolveClusters(verified)
+    val contaminated = clusters
+      .join(existing.select(col(idCol).as("doc_id")), Seq("doc_id"), "leftsemi")
+      .select("cluster_id").distinct()
+    val dropNew = clusters
+      .join(existing.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(contaminated.withColumn("__c", lit(1L)), Seq("cluster_id"), "left")
+      .filter(col("__c").isNotNull || col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    fresh.join(dropNew, fresh(idCol) === dropNew("doc_id"), "left_anti")
   }
 
   /** Shared survivor tail of the one-call dedup pipelines: resolve the

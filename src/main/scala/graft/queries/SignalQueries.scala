@@ -673,9 +673,13 @@ object SignalQueries {
           dsum(x).as("sx"), dsum(y).as("sy"),
           dsum(x * y).as("sxy"), dsum(x * x).as("sxx"),
         )
+        // degenerate groups (all x equal → zero denominator) get NULL in
+        // BOTH engines: unguarded, Spark's ANSI divide and DuckDB's IEEE
+        // inf/NaN would disagree
+        .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
         .withColumn("slope_per_day",
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")))
+          when(col("__den") =!= 0.0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) / col("__den")))
         .withColumn("intercept",
           (col("sy") - col("slope_per_day") * col("sx")) / col("n"))
         .select("event_type", "n", "slope_per_day", "intercept")
@@ -690,7 +694,8 @@ object SignalQueries {
         FROM events GROUP BY 1),
       s AS (
         SELECT event_type, n, sx, sy,
-          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day
+          CASE WHEN n * sxx - sx * sx <> 0.0
+               THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_per_day
         FROM m)
       SELECT event_type, n, slope_per_day,
         (sy - slope_per_day * sx) / n AS intercept

@@ -134,6 +134,38 @@ class DedupKnnSpec extends SparkSpec {
     assert(kept == Set(12L, 13L))
   }
 
+  test("Dedup.dedupIncremental collapses transitive chains that cross the batch/corpus line") {
+    // E(1) ~ A(10) ~ B(11), but B alone is NOT a near-dup of E
+    // (J(B,E)=10/13 < 0.8 ≤ J(A,E)=10/12, J(A,B)=11/12): resolving one
+    // unified pair graph must drop BOTH batch docs; two separate passes
+    // would drop A, lose the A~B edge, and leak B into the corpus.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq((1L, base + " today")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " tomorrow"),
+      (11L, base + " tomorrow extra"),
+      (12L, "fresh unique sentence with plenty of brand new never seen words"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, existing, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"transitive chain must collapse into the corpus cluster: $kept")
+  }
+
+  test("dedup catches exact duplicates too short for any shingle") {
+    // 2-word texts produce no 3-shingles, so the LSH stage is blind to
+    // them — the exact pre-stage must still keep only the min id
+    val batch = Seq((20L, "hello world"), (21L, "hello world"), (22L, "bye now"))
+      .toDF("doc_id", "text")
+    val corpusKept = Dedup.dedupCorpus(batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusKept == Set(20L, 22L), s"$corpusKept")
+    val incKept = Dedup.dedupIncremental(
+        batch, Seq((1L, "some other text entirely")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(incKept == Set(20L, 22L), s"$incKept")
+  }
+
   test("Dedup.dedupCorpusByEmbedding drops same-direction vectors, keeps min id and distinct ones") {
     val df = Seq(
       (3L, Array(1.0f, 0.2f, 0.1f, 0.3f)),
