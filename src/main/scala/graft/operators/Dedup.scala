@@ -346,15 +346,7 @@ object Dedup {
     * to finer buckets; candidate pairs are deduped across tables. */
   def byEmbedding(df: DataFrame, vecCol: String, idCol: String,
                   threshold: Double, bits: Int = 4, tables: Int = 1): DataFrame = {
-    require(tables >= 1, "tables must be >= 1")
-    val bcols = (0 until tables).map { tab =>
-      val b = if (tab == 0) VectorFns.signBucket(col(vecCol), bits)
-              else VectorFns.planeBucket(col(vecCol), bits, seed = tab)
-      (b + lit(tab.toLong << 32)).as(s"b$tab")
-    }
-    val withBucket = df.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      explode(array(bcols: _*)).as("bucket"))
+    val withBucket = embeddingBuckets(df, vecCol, idCol, bits, tables)
     val a = withBucket.select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val b = withBucket.select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
@@ -363,5 +355,53 @@ object Dedup {
       .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
+  }
+
+  /** (id, vec, bucket) sign/hyperplane-LSH keys shared by the
+    * [[byEmbedding]] self join and [[dedupIncrementalByEmbedding]]'s
+    * asymmetric batch-vs-corpus join. */
+  private def embeddingBuckets(df: DataFrame, vecCol: String, idCol: String,
+                               bits: Int, tables: Int): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val bcols = (0 until tables).map { tab =>
+      val b = if (tab == 0) VectorFns.signBucket(col(vecCol), bits)
+              else VectorFns.planeBucket(col(vecCol), bits, seed = tab)
+      (b + lit(tab.toLong << 32)).as(s"b$tab")
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(array(bcols: _*)).as("bucket"))
+  }
+
+  /** [[dedupIncremental]] for embeddings: clean a new batch of vectors
+    * against the existing corpus, then within itself, via ONE unified
+    * pair graph (asymmetric bucket join new×existing + self join
+    * new×new) — so a batch vector tied to the corpus only through
+    * another dropped batch vector still collapses into the corpus
+    * cluster. Existing vectors always win; an all-new cluster keeps its
+    * min id. Same id-uniqueness contract as the text path. */
+  def dedupIncrementalByEmbedding(newDocs: DataFrame, existing: DataFrame,
+                                  vecCol: String, idCol: String, threshold: Double,
+                                  bits: Int = 4, tables: Int = 1): DataFrame = {
+    val nb = embeddingBuckets(newDocs, vecCol, idCol, bits, tables)
+      .select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
+    val eb = embeddingBuckets(existing, vecCol, idCol, bits, tables)
+      .select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
+    val candNE = nb.join(eb, Seq("bucket"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id")
+    val candNN = byEmbedding(newDocs, vecCol, idCol, threshold, bits, tables)
+      .select("a_id", "b_id")
+    val clusters = resolveClusters(candNE.union(candNN).distinct())
+    val contaminated = clusters
+      .join(existing.select(col(idCol).as("doc_id")), Seq("doc_id"), "leftsemi")
+      .select("cluster_id").distinct()
+    val dropNew = clusters
+      .join(existing.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(contaminated.withColumn("__c", lit(1L)), Seq("cluster_id"), "left")
+      .filter(col("__c").isNotNull || col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    newDocs.join(dropNew, newDocs(idCol) === dropNew("doc_id"), "left_anti")
   }
 }

@@ -166,6 +166,28 @@ class DedupKnnSpec extends SparkSpec {
     assert(incKept == Set(20L, 22L), s"$incKept")
   }
 
+  test("Dedup.dedupIncrementalByEmbedding collapses cross-boundary cosine chains") {
+    // rotate u toward v in 15° steps: cos15 ≈ 0.966 ≥ 0.95 > cos30 ≈ 0.866.
+    // E(1)=u ~ A(10)=rot15 ~ B(11)=rot30, but B alone is below threshold
+    // vs E — the unified graph must drop both batch vectors.
+    val dim = 8
+    val u = Array.fill(dim)(1.0f / math.sqrt(dim).toFloat)
+    val v = Array.tabulate(dim)(i => (if (i % 2 == 0) 1.0f else -1.0f) / math.sqrt(dim).toFloat)
+    def rot(deg: Double): Array[Float] = {
+      val (c, s) = (math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+      Array.tabulate(dim)(i => (c * u(i) + s * v(i)).toFloat)
+    }
+    val existing = Seq((1L, u)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, rot(15)), (11L, rot(30)),
+      (12L, v.map(x => -x)), // different sign bucket, far from everything
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.dedupIncrementalByEmbedding(batch, existing, "embedding", "vec_id",
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"cosine chain must collapse into the corpus cluster: $kept")
+  }
+
   test("Dedup.dedupCorpusByEmbedding drops same-direction vectors, keeps min id and distinct ones") {
     val df = Seq(
       (3L, Array(1.0f, 0.2f, 0.1f, 0.3f)),
