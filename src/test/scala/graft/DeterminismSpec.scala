@@ -29,7 +29,8 @@ class DeterminismSpec extends SparkSpec {
       // range join, broadcast-rate mixture sample, multi-distinct
       // profile, ranked-median MAD clip, global-heap heavy hitters
       "q56_range_join", "q57_mixture_sample", "q58_profile_columns",
-      "q60_mad_clip", "q64_heavy_hitters")
+      "q60_mad_clip", "q61_histogram", "q63_funnel", "q64_heavy_hitters",
+      "q65_trend")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)
