@@ -206,6 +206,16 @@ object Dedup {
       labels = jumped.select("node", "label")
       iter += 1
     }
+    // A silent exit at maxIters would return partially-propagated labels:
+    // one connected component split into several clusters, near-dups
+    // surviving dedup. With pointer jumping the default 25 rounds covers
+    // any realistic diameter (~2^25), so hitting this means the call was
+    // mis-parameterized — fail loudly rather than under-merge quietly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within maxIters=$maxIters rounds; " +
+          "labels are partially propagated and clusters would be split — " +
+          "raise maxIters (pointer jumping needs ~log2(component diameter) rounds)")
     labels.select(col("node").as(outId), col("label").as(outCluster))
   }
 

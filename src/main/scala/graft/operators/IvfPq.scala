@@ -116,8 +116,11 @@ object IvfPq {
     // (q_id, cluster, subspace, code) → squared distance contribution
     val qresid = probes.withColumn("q_resid",
       zip_with(col("q_vec"), col("c_centroid"), (a, b) => a - b))
+    // struct key, not a delimited string: string q_ids containing the
+    // delimiter would let distinct (q_id, cluster) pairs collide and mix
+    // ADC distance tables across queries
     val qsubs = Quantize.subvectors(
-        qresid.select(concat_ws("#", col("q_id"), col("cluster")).as("qc"), col("q_resid")),
+        qresid.select(struct(col("q_id"), col("cluster")).as("qc"), col("q_resid")),
         "qc", "q_resid", model.m, model.dim)
       .select(col("id").as("qc"), col("subspace"), col("subvec"))
     val table = qsubs.join(broadcast(model.pq), Seq("subspace"))
@@ -130,7 +133,7 @@ object IvfPq {
       .join(encoded.select(col("id").as("t_id"), col("cluster"), col("codes")), Seq("cluster"))
       .select(col("q_id"), col("cluster"), col("t_id"),
         posexplode(col("codes")).as(Seq("subspace", "code")))
-      .withColumn("qc", concat_ws("#", col("q_id"), col("cluster")))
+      .withColumn("qc", struct(col("q_id"), col("cluster")))
 
     val rw = w.partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
     cand.join(broadcast(table), Seq("qc", "subspace", "code"))

@@ -121,8 +121,10 @@ object Quantize {
     * one byte per component in Tungsten rows, vs 8 for the double).
     * Pure map stage — no shuffle, embarrassingly parallel.
     *
-    * Constant vectors (max == min) get scale 0 and all-zero codes;
-    * [[sq8Decode]] reproduces the constant exactly. */
+    * Constant vectors (max == min) get scale 0 and all-(-128) codes
+    * (the raw level 0 shifted into signed-byte range);
+    * [[sq8Decode]] reproduces the constant exactly (scale 0 zeroes the
+    * code term, leaving the offset). */
   def sq8Encode(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val mn = array_min(v)

@@ -158,8 +158,18 @@ object VectorQueries {
       // primitive buffer that HashAggregate accepts (max(struct) fell
       // back to SortAggregate: struct buffers aren't UnsafeRow-mutable,
       // costing a per-partition sort of the full n×nlist candidate set).
-      // max(cosine) is the same winning row's score; ties and ordering
-      // match the oracle's cosine DESC, assigned DESC.
+      // Precision contract: packing replaces the low labelBits mantissa
+      // bits of the score, so cosines within ~2^-48 relative of
+      // each other collapse to a tie the pack breaks by LARGER label —
+      // exactly the oracle's `cosine DESC, assigned DESC` tiebreak, so
+      // the label matches the oracle unless two distinct cosines differ
+      // by less than the quantization step AND the numerically-larger one
+      // carries the smaller label (bounded, disclosed divergence window).
+      // max(cosine) is deliberately the separate full-precision maximum:
+      // it equals the oracle winner's score ALWAYS (the oracle winner is
+      // by definition the max), even in that window — pairing the packed
+      // label with max_by(cosine, packed) instead would surface the
+      // quantized winner's score and widen, not narrow, oracle drift.
       e.crossJoin(broadcast(centroids))
         .withColumn("cosine",
           VectorFns.dot(col("embedding"), col("centroid")) / (col("nrm_e") * col("nrm_c")))

@@ -108,15 +108,25 @@ object EventStream {
     * cluster resolution here — run `Dedup.dedupCorpus` over the archived
     * corpus for the exact drop set; this stage just keeps the stream's
     * obvious repeats from fanning out downstream. `docs` needs (`ts`,
-    * `textCol`). */
+    * `textCol`).
+    *
+    * Drops are OBSERVABLE: every micro-batch reports
+    * `neardup_in.rows_in` (docs entering the dedup) and
+    * `neardup_out.rows_out` (docs surviving it) through
+    * `StreamingQueryProgress.observedMetrics` — `rows_in − rows_out` is
+    * the per-batch drop count, so a drop rate creeping toward the
+    * fingerprint space's birthday bound (unrelated docs colliding) shows
+    * up in monitoring instead of silently discarding data. */
   def deduplicatedNear(docs: DataFrame, textCol: String, bits: Int = 32,
                        watermark: String = "30 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermark)
+      .observe("neardup_in", count(lit(1)).as("rows_in"))
       .withColumn("__simhash", graft.expressions.SimHashBits.of(
         array_distinct(graft.functions.TextFns.words(col(textCol))), bits))
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
+      .observe("neardup_out", count(lit(1)).as("rows_out"))
 
   case class NearDupDoc(doc_id: Long, ts: Timestamp, text: String)
   // not `private`: encoder-generated (Janino) projections live outside this

@@ -74,6 +74,16 @@ class DedupKnnSpec extends SparkSpec {
     assert(Dedup.resolveClusters(empty).isEmpty)
   }
 
+  test("Dedup.resolveClusters fails loudly instead of returning split clusters") {
+    // a mis-parameterized maxIters must throw, not silently hand back
+    // partially-propagated labels (which would let near-dups survive)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException] {
+      Dedup.resolveClusters(chain, maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("Dedup.resolveClusters matches a union-find oracle on a random pair graph") {
     val rng = new scala.util.Random(7)
     val pairs = (1 to 800).map { _ =>

@@ -50,6 +50,14 @@ class StreamingDedupSpec extends SparkSpec {
       val ids = spark.sql("SELECT doc_id FROM neardedup_out").as[Long].collect().toSet
       assert(ids.contains(3L))
       assert((ids & Set(1L, 2L)).size == 1, s"exactly one of the near-dup pair survives, got $ids")
+      // the drop is observable: summed over micro-batches, 3 docs entered
+      // the dedup and 2 survived — monitoring sees rows_in − rows_out = 1
+      // dropped without instrumenting the sink
+      def metricSum(name: String, field: String): Long =
+        q.recentProgress.flatMap(p => Option(p.observedMetrics.get(name)))
+          .map(_.getAs[Long](field)).sum
+      assert(metricSum("neardup_in", "rows_in") == 3L)
+      assert(metricSum("neardup_out", "rows_out") == 2L)
     } finally q.stop()
   }
 
