@@ -438,6 +438,13 @@ object Queries {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
         approx = true)),
+    // the production substring-dedup path: 8-byte xxhash64 gram keys at
+    // the shuffle instead of k-word strings (~6× narrower; FP odds
+    // ~n²/2⁶⁵ — see SubstringDedup)
+    "q66_dup_spans_fast" -> ((s, dir) =>
+      graft.operators.SubstringDedup.spanStats(
+        Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+        "text", "doc_id", k = 8, hashKeys = true)),
     "q40_embedding_stats_fast" -> ((s, dir) => {
       import graft.functions.VectorFns
       Tables.embeddings(s, dir)

@@ -637,6 +637,61 @@ object TextQueries {
     },
   )
 
+  /** C44: exact substring-duplicate spans (the Lee-et-al dedup mode —
+    * see `SubstringDedup`): per doc, the maximal runs of ≥ 8 consecutive
+    * tokens appearing verbatim in another document, as span count +
+    * duplicated-token total/fraction. 8-grams (not the published 50)
+    * because the synthetic docs are 30–100 words — same calibration as
+    * q51. Exact gram-string keys here for engine-independent parity;
+    * `hashKeys = true` (xxhash64, 8-byte shuffle keys) is the production
+    * default and the benched fast twin. */
+  private val q66 = Q(
+    "q66_dup_spans",
+    (s, dir) => graft.operators.SubstringDedup.spanStats(
+      Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+      "text", "doc_id", k = 8, hashKeys = false),
+    Some {
+      val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT doc_id, i - 1 AS pos, $gram8 AS s
+        FROM (SELECT * FROM w WHERE len(ws) >= 8),
+             LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+      shared AS (
+        SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY 1)
+        WHERE c >= 2),
+      dp AS (SELECT doc_id, pos FROM g WHERE s IN (SELECT s FROM shared)),
+      sp AS (
+        SELECT doc_id, pos, pos + 7 AS e,
+          MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM dp),
+      sp2 AS (
+        SELECT doc_id, pos, e,
+          SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM sp),
+      spans AS (
+        SELECT doc_id, span_id, MIN(pos) AS s0, MAX(e) AS e0
+        FROM sp2 GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+          / len(string_split(d.text, ' ')) AS dup_frac
+      FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      """
+    },
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66)
 }
