@@ -385,7 +385,57 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64)
+  /** A16: CDC latest-state snapshot — one row per (user, event_type), the
+    * change with the greatest (ts, event_id). `Upsert.latest` rides the
+    * TopKPerKey k=1 bounded heap: at most one row per key per partition
+    * crosses the shuffle, so compacting a 100 TB change log to its key
+    * space never sorts a partition. The oracle is the row_number window
+    * formulation of the same total order. */
+  private val q67 = Q(
+    "q67_latest_snapshot",
+    (s, dir) =>
+      graft.operators.Upsert.latest(
+        Tables.events(s, dir).select("user_id", "event_type", "ts", "event_id", "value"),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id")),
+    Some("""
+      SELECT user_id, event_type, ts, event_id, value FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    """),
+  )
+
+  /** A17: SCD-2 validity intervals from a change stream — each "signup"
+    * event becomes a [valid_from, valid_to) version row for its user,
+    * half-open so an as-of lookup at time t matches exactly one version.
+    * One per-key lead window (O(n log n) per key, no self-join); ties on
+    * ts are ordered by event_id so same-instant updates get deterministic
+    * zero-width intervals. */
+  private val q68 = Q(
+    "q68_scd2_intervals",
+    (s, dir) =>
+      graft.operators.Upsert.scd2(
+        Tables.events(s, dir)
+          .filter(col("event_type") === "signup")
+          .select("user_id", "event_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current").cast("long").as("is_current"),
+          col("value")),
+    Some("""
+      SELECT user_id, event_id, ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS BIGINT) AS is_current,
+        value
+      FROM events WHERE event_type = 'signup'
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

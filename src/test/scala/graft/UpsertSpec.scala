@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.plans.TopKPerKeyExec
+
+/** CDC materialization: latest-per-key snapshot (via the TopKPerKey
+  * bounded-heap plan, never a window sort) and SCD-2 validity intervals
+  * (half-open, deterministic under same-instant ties). */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val changes = Seq(
+    // key (u1, addr): three versions, last by ts wins
+    ("u1", "addr", t("2024-01-01 10:00:00"), 1L, "v1"),
+    ("u1", "addr", t("2024-01-02 10:00:00"), 2L, "v2"),
+    ("u1", "addr", t("2024-01-03 10:00:00"), 3L, "v3"),
+    // key (u1, phone): single version
+    ("u1", "phone", t("2024-01-01 11:00:00"), 4L, "p1"),
+    // key (u2, addr): same-instant updates — higher id wins
+    ("u2", "addr", t("2024-01-05 09:00:00"), 5L, "old"),
+    ("u2", "addr", t("2024-01-05 09:00:00"), 6L, "new"),
+  ).toDF("user", "attr", "ts", "id", "value")
+
+  test("latest keeps exactly the greatest (ts, id) row per key") {
+    val out = Upsert.latest(changes, Seq("user", "attr"), Seq("ts", "id"))
+      .select("user", "attr", "value").as[(String, String, String)]
+      .collect().toSet
+    assert(out === Set(("u1", "addr", "v3"), ("u1", "phone", "p1"), ("u2", "addr", "new")))
+  }
+
+  test("latest plans the bounded-heap TopKPerKey operator, not a window sort") {
+    val df = Upsert.latest(changes, Seq("user", "attr"), Seq("ts", "id"))
+    val execs = df.queryExecution.sparkPlan.collect { case e: TopKPerKeyExec => e }
+    assert(execs.size === 2, "partial + final TopKPerKey phases expected")
+    assert(!df.queryExecution.sparkPlan.toString.contains("Window"))
+  }
+
+  test("scd2 builds half-open intervals with one current version per key") {
+    val out = Upsert.scd2(changes, Seq("user", "attr"), "ts", "id")
+      .select("user", "attr", "id", "valid_from", "valid_to", "is_current")
+      .as[(String, String, Long, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+
+    val u1addr = out.filter(r => r._1 == "u1" && r._2 == "addr").sortBy(_._3)
+    assert(u1addr.map(_._5) === Seq(
+      Some(t("2024-01-02 10:00:00")), Some(t("2024-01-03 10:00:00")), None))
+    assert(u1addr.map(_._6) === Seq(false, false, true))
+    // each version's valid_to is the next version's valid_from (no gaps)
+    assert(u1addr.sliding(2).forall(p => p(0)._5.contains(p(1)._4)))
+
+    // same-instant tie: the lower id gets a zero-width interval, the
+    // higher id is current — deterministic, matching `latest`'s winner
+    val u2 = out.filter(_._1 == "u2").sortBy(_._3)
+    assert(u2.map(_._6) === Seq(false, true))
+    assert(u2.head._5.contains(u2.head._4), "zero-width interval for the losing tie")
+
+    // exactly one current row per key
+    val currents = out.filter(_._6).groupBy(r => (r._1, r._2)).view.mapValues(_.size)
+    assert(currents.values.forall(_ == 1))
+  }
+
+  test("scd2 current rows agree with latest") {
+    val viaScd = Upsert.scd2(changes, Seq("user", "attr"), "ts", "id")
+      .filter(col("is_current"))
+      .select("user", "attr", "id").as[(String, String, Long)].collect().toSet
+    val viaLatest = Upsert.latest(changes, Seq("user", "attr"), Seq("ts", "id"))
+      .select("user", "attr", "id").as[(String, String, Long)].collect().toSet
+    assert(viaScd === viaLatest)
+  }
+}
