@@ -226,6 +226,74 @@ object Corpus {
       .drop("__hits", "__total")
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB form.
+    *
+    * [[decontaminate]] broadcasts the benchmark shingle SET and explodes
+    * every corpus document into the semi join. This variant compresses
+    * the benchmark set into a Bloom filter (~1.2 bytes per shingle at 1%
+    * FP instead of ~n·8-byte strings), built DISTRIBUTED with Spark's own
+    * `BloomFilterAggregate` (the aggregate behind `InjectRuntimeFilter`'s
+    * row-level runtime filters — mergeable partials, no driver-side set).
+    * The corpus pass is then a pure map stage: `exists(shingles,
+    * might_contain)` short-circuits on the first hit, and only the
+    * Bloom-POSITIVE docs (true hits + ~fpp false positives) reach the
+    * exact semi join that removes false positives. Output is IDENTICAL to
+    * [[decontaminate]] — the Bloom stage only prunes work, never decides.
+    *
+    * The single aggregated filter crosses the driver once as one binary
+    * value (the same tiny-collect class as broadcast query vectors); at
+    * 1M benchmark shingles and 1% FP that is ~1.2 MB shipped per task
+    * versus broadcasting tens of MB of distinct shingle strings.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                         idCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
+      .distinct()
+
+    // Size the filter to the actual distinct-shingle count (one tiny
+    // aggregate over the structurally-small benchmark), then build it
+    // with map-side-combining partials. count >= 1 is required by the
+    // aggregate; an empty benchmark contaminates nothing.
+    val nShingles = benchShingles.count()
+    if (nShingles == 0L) {
+      return corpus.withColumn("contaminated", lit(0L))
+    }
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nShingles, fpp)
+    val hashed = Bridge.column(new XxHash64(Seq(Bridge.expression(col("__s")))))
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(hashed),
+        Literal(nShingles), Literal(nBits)).toAggregateExpression())
+    val bloomBytes = benchShingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    // map-only prefilter: short-circuit on the first might-contain hit
+    def mightContain(s: Column): Column = Bridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(Bridge.expression(s)))))
+    val candidates = corpus
+      .select(col(idCol), TextFns.shingles(col(textCol), n).as("__sh"))
+      .filter(exists(col("__sh"), mightContain))
+
+    // exact verify on the (tiny) candidate set only — false positives die here
+    val hits = candidates
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .join(broadcast(benchShingles), Seq("__s"), "leftsemi")
+      .select(idCol).distinct()
+      .withColumn("__c", lit(1L))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__c"), lit(0L)))
+      .drop("__c")
+  }
+
   /** Token-budget shard packing: within each `groupCol` (ordered by
     * `idCol`), documents pack into consecutive shards of ~`budget`
     * tokens: shard = floor(tokens-before-this-doc / budget) — the

@@ -692,6 +692,42 @@ object TextQueries {
     },
   )
 
+  /** C44: Bloom-prefiltered decontamination — q51's rule at the 100 TB
+    * shape: the benchmark shingle set compresses into a Bloom filter
+    * built with Spark's own distributed `BloomFilterAggregate`, the
+    * corpus pass is a short-circuiting map stage, and only Bloom-positive
+    * docs reach the exact verify join. Output (and oracle) are identical
+    * to q51 by construction — the filter prunes work, never decides. */
+  private val q69 = Q(
+    "q69_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Corpus.decontaminateBloom(corpus, benchmark, "text", "doc_id", n = 8)
+        .select("doc_id", "contaminated")
+    },
+    Some {
+      val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      sh AS (
+        SELECT DISTINCT doc_id, $gram8 AS s
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      hits AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM bench))
+      SELECT d.doc_id,
+        CAST(h.doc_id IS NOT NULL AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0
+      """
+    },
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69)
 }

@@ -245,6 +245,33 @@ class OperatorSpec extends SparkSpec {
     assert(clean == 0L)
   }
 
+  test("Corpus.decontaminateBloom agrees exactly with the exact path") {
+    import graft.operators.Corpus
+    val benchmark = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (101L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "pre w1 w2 w3 w4 w5 w6 w7 w8 post"), // shares a benchmark 8-gram
+      (2L, "w1 w2 w3 w4 w5 w6 w7 other"),       // 7-gram prefix only → clean
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8"),          // identical to benchmark doc
+      (4L, "p q r s t u v w x y z"),            // disjoint
+      (5L, "x1"),                               // too short for any 8-gram
+    ).toDF("doc_id", "text")
+    val exact = Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
+      .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+    val bloom = Corpus.decontaminateBloom(corpus, benchmark, "text", "doc_id", n = 8)
+      .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+    assert(bloom === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+
+    // empty benchmark (no doc long enough for an 8-gram) → all clean
+    val none = Corpus.decontaminateBloom(corpus,
+        Seq((200L, "too short")).toDF("doc_id", "text"), "text", "doc_id", n = 8)
+      .agg(sum($"contaminated")).as[Long].head()
+    assert(none === 0L)
+  }
+
   test("TextSearch.bm25 matches hand-computed scores and ranks") {
     import graft.operators.TextSearch
     val docs = Seq(
