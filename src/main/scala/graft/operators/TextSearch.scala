@@ -108,6 +108,40 @@ object TextSearch {
       .select("query_id", "doc_id", "score", "rank")
   }
 
+  /** Hybrid retrieval: fuse a keyword ranking and a vector ranking with
+    * Reciprocal Rank Fusion (Cormack/Clarke/Buettcher's score
+    * Σ 1/(kRrf + rank), the standard score-free fusion — it needs no
+    * cross-retriever score calibration, only ranks). Inputs are two
+    * (query_id, doc_id, rank) tables — e.g. [[bm25]]'s output and
+    * `KnnJoin.bruteForce`'s — each already cut to its own top-k. Output:
+    * (query_id, doc_id, rrf_score, rank), top `k` per query by fused
+    * score (ties by doc_id).
+    *
+    * The fused score is two IEEE divisions and one add in a fixed order
+    * (keyword term + vector term), so any engine reproduces it exactly.
+    * Scale shape: both inputs are rank-bounded (#queries × k rows), so
+    * the full-outer join is tiny no matter the corpus size — retrieval
+    * cost lives in the upstream retrievers; fusion is free. The final
+    * rank-filter rewrites to the bounded-heap TopKPerKey operator.
+    */
+  def hybridRrf(keyword: DataFrame, vector: DataFrame,
+                k: Int, kRrf: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    graft.plans.RankFilterToTopK_Install(keyword.sparkSession)
+    val kw = keyword.select(col("query_id"), col("doc_id"), col("rank").as("__rkw"))
+    val vec = vector.select(col("query_id"), col("doc_id"), col("rank").as("__rvec"))
+    val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__rkw").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__rvec").cast("double")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf_score", "rank")
+  }
+
   /** Exact-phrase retrieval: top-`k` docs by occurrence count of the
     * space-separated word `phrase`, matched on whole-word boundaries.
     * Word gaps are expanded to double spaces before counting, so each

@@ -728,6 +728,128 @@ object TextQueries {
     },
   )
 
+  /** C45: hybrid retrieval — BM25 keyword ranking ⊕ exact cosine vector
+    * ranking fused by Reciprocal Rank Fusion (Σ 1/(60+rank), the
+    * calibration-free fusion standard). Query ids bridge the two
+    * modalities: qa/qb/qc carry both a term list (BM25 over `documents`)
+    * and a query vector (vec_id 0/1/2 over `embeddings`, doc_id ≡
+    * vec_id). Both retrievers cut to their own top-10 first, so the
+    * fusion join touches #queries × 10 rows per side regardless of
+    * corpus size. Fused score is two IEEE divisions + one add in fixed
+    * order — engine-exact. */
+  private val q70 = {
+    val queryTerms = Seq(
+      "qa" -> Seq("spark", "join", "filter"),
+      "qb" -> Seq("vector", "window", "scan"),
+      "qc" -> Seq("customer", "merge"),
+    )
+    val vecOf = Seq("qa" -> 0, "qb" -> 1, "qc" -> 2)
+    Q(
+      "q70_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+        val queries = queryTerms
+          .flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("query_id", "term")
+        val kw = graft.operators.TextSearch.bm25(
+          docs, "text", "doc_id", queries, "query_id", "term", k = 10)
+        val e = Tables.embeddings(s, dir)
+        val vecIds = vecOf.map(_._2.toLong)
+        val vec = graft.operators.KnnJoin.bruteForce(
+            e.filter(col("vec_id").isin(vecIds: _*)), e.filter(col("vec_id") >= 5),
+            "embedding", "vec_id", k = 10)
+          .join(broadcast(vecOf.toDF("query_id", "__qv")),
+            col("q_id") === col("__qv").cast("long"))
+          .select(col("query_id"), col("t_id").as("doc_id"), col("rank"))
+        graft.operators.TextSearch.hybridRrf(kw, vec, k = 5)
+      },
+      Some {
+        val termValues = queryTerms
+          .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
+          .mkString(", ")
+        val mapValues = vecOf.map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+        val dotSql =
+          "CAST(SUM(CAST(CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"
+        s"""
+        WITH q(query_id, term) AS (VALUES $termValues),
+        m(query_id, qvec) AS (VALUES $mapValues),
+        d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+        wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tf AS (
+          SELECT wd.doc_id, wd.t, COUNT(*) AS tf
+          FROM wd JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = wd.t
+          GROUP BY 1, 2),
+        dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT q.query_id, tf.doc_id,
+            CAST(SUM(CAST(
+              ln(1 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+              * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                     / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+            AS DECIMAL(38,6))) AS DOUBLE) AS score
+          FROM q
+          JOIN tf ON tf.t = q.term
+          JOIN d ON d.doc_id = tf.doc_id
+          JOIN dfq ON dfq.t = tf.t
+          CROSS JOIN st
+          GROUP BY 1, 2),
+        kwr AS (
+          SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rnk
+            FROM sc) r
+          WHERE rnk <= 10),
+        qv AS (SELECT m.query_id, e.embedding FROM m
+               JOIN embeddings e ON e.vec_id = m.qvec),
+        tv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        dots AS (
+          SELECT qv.query_id, tv.vec_id AS doc_id,
+            ${dotSql.format("qv.embedding", "tv.embedding")} AS dot
+          FROM qv, tv, LATERAL unnest(generate_series(1, len(qv.embedding))) AS u(i)
+          GROUP BY 1, 2),
+        norms AS (
+          SELECT vec_id, SQRT(${dotSql.format("embedding", "embedding")}) AS nrm
+          FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+          GROUP BY 1),
+        cosq AS (
+          SELECT dots.query_id, dots.doc_id,
+            dot / (nq.nrm * nt.nrm) AS cosine
+          FROM dots
+          JOIN m ON m.query_id = dots.query_id
+          JOIN norms nq ON nq.vec_id = m.qvec
+          JOIN norms nt ON nt.vec_id = dots.doc_id),
+        vr AS (
+          SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, doc_id) AS rnk
+            FROM cosq) r
+          WHERE rnk <= 10),
+        fused AS (
+          SELECT COALESCE(kw.query_id, v.query_id) AS query_id,
+            COALESCE(kw.doc_id, v.doc_id) AS doc_id,
+            COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(kw.rnk AS DOUBLE)), CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(v.rnk AS DOUBLE)), CAST(0.0 AS DOUBLE))
+              AS rrf_score
+          FROM kwr kw FULL OUTER JOIN vr v
+            ON kw.query_id = v.query_id AND kw.doc_id = v.doc_id)
+        SELECT query_id, doc_id, rrf_score, rank FROM (
+          SELECT query_id, doc_id, rrf_score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused) r
+        WHERE rank <= 5
+        """
+      },
+    )
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70)
 }

@@ -272,6 +272,25 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("TextSearch.hybridRrf fuses rankings by reciprocal rank") {
+    import graft.operators.TextSearch
+    val kw = Seq(("qa", 1L, 1), ("qa", 2L, 2), ("qb", 7L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq(("qa", 2L, 1), ("qa", 3L, 2), ("qb", 7L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = TextSearch.hybridRrf(kw, vec, k = 2)
+      .select("query_id", "doc_id", "rrf_score", "rank")
+      .as[(String, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    // qa: doc 2 in both lists (1/62 + 1/61) beats doc 1 (keyword-only
+    // 1/61) beats doc 3 (vector-only 1/62); k=2 keeps the first two
+    assert(out("qa").map(_._2) === Seq(2L, 1L))
+    assert(math.abs(out("qa")(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(out("qa")(1)._3 - 1.0 / 61) < 1e-15)
+    // qb: same doc rank 1 in both retrievers
+    assert(out("qb") === Seq(("qb", 7L, 1.0 / 61 + 1.0 / 61, 1)))
+  }
+
   test("TextSearch.bm25 matches hand-computed scores and ranks") {
     import graft.operators.TextSearch
     val docs = Seq(
