@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.KMeans
+
+/** Distributed Lloyd k-means: recovers separated clusters, converges
+  * early, reports exact means/sizes/inertia, deterministic across runs. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated blobs in 2-D (exact means: (1.0, 1.1) and (9.0, 9.1))
+  private val points = Seq(
+    (1L, Array(0.8, 1.0)), (2L, Array(1.2, 1.2)), (3L, Array(1.0, 1.1)),
+    (4L, Array(8.8, 9.0)), (5L, Array(9.2, 9.2)), (6L, Array(9.0, 9.1)),
+  ).toDF("id", "vec")
+
+  test("fit recovers separated blobs and converges before maxIters") {
+    val m = KMeans.fit(points, "id", "vec", k = 2, maxIters = 10, tol = 1e-9)
+    assert(m.converged, "separated blobs must converge")
+    assert(m.iterations < 10)
+    val cents = m.centroids.select("cluster", "centroid", "size")
+      .as[(Int, Array[Double], Long)].collect().sortBy(_._2.head)
+    assert(cents.map(_._3).toSeq === Seq(3L, 3L))
+    // exact decimal means then one double division: equal to the true
+    // means within an ulp (3.3/3 lands at 1.0999999999999999)
+    cents(0)._2.zip(Seq(1.0, 1.1)).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    cents(1)._2.zip(Seq(9.0, 9.1)).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    // inertia = sum of squared distances to the (near-exact) means
+    val expected = Seq((0.8, 1.0), (1.2, 1.2), (1.0, 1.1)).map { case (x, y) =>
+      math.pow(x - 1.0, 2) + math.pow(y - 1.1, 2)
+    }.sum * 2 // blobs are symmetric translates
+    assert(math.abs(m.inertia - expected) < 1e-9)
+  }
+
+  test("assign maps new vectors to the nearest centroid") {
+    val m = KMeans.fit(points, "id", "vec", k = 2, maxIters = 10)
+    val fresh = Seq((100L, Array(0.0, 0.0)), (101L, Array(10.0, 10.0)))
+      .toDF("id", "vec")
+    val got = KMeans.assign(fresh, "id", "vec", m.centroids)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got(100L) !== got(101L), "opposite corners land in different clusters")
+    // 100 joins the low blob, 101 the high blob
+    val lowCluster = KMeans.assign(points.filter($"id" === 1L), "id", "vec", m.centroids)
+      .select("cluster").as[Int].head()
+    assert(got(100L) === lowCluster)
+  }
+
+  test("fit is deterministic across repeated runs") {
+    def run() = KMeans.fit(points, "id", "vec", k = 2, maxIters = 10)
+      .centroids.select("cluster", "centroid").as[(Int, Array[Double])]
+      .collect().map { case (c, v) => (c, v.toSeq) }.sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+
+  test("k larger than distinct points keeps empty clusters at their init") {
+    val tiny = Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("id", "vec")
+    val m = KMeans.fit(tiny, "id", "vec", k = 3, maxIters = 5)
+    // only 2 init centroids exist (init takes first k rows, capped by data)
+    val n = m.centroids.count()
+    assert(n === 2)
+    assert(m.centroids.agg(org.apache.spark.sql.functions.sum("size"))
+      .as[Long].head() === 2L)
+  }
+}
