@@ -704,5 +704,31 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71)
+
+  /** B42: weekly cohort retention — users grouped by first-activity week,
+    * counted per later active week (`Retention.cohorts`). Two user-keyed
+    * shuffles + one (cohort, week) count; cohort sizes are the offset-0
+    * rows joined back broadcast. */
+  private lazy val q71 = Q(
+    "q71_cohort_retention",
+    (s, dir) =>
+      graft.operators.Retention.cohorts(
+        Tables.events(s, dir).select("user_id", "ts"), "user_id", "ts", "week"),
+    Some("""
+      WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events),
+      c AS (
+        SELECT cohort, period, COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      s AS (SELECT cohort, n_users AS cohort_size FROM c WHERE period = cohort)
+      SELECT c.cohort, c.period,
+        CAST(FLOOR(date_diff('day', c.cohort, c.period) / 7) AS BIGINT) AS period_offset,
+        c.n_users, s.cohort_size,
+        CAST(c.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      FROM c JOIN s ON s.cohort = c.cohort
+    """),
+  )
 }

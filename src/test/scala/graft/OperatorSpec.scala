@@ -272,6 +272,30 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Retention.cohorts computes per-week cohort activity and rates") {
+    import java.sql.Timestamp
+    import graft.operators.Retention
+    def t(s: String) = Timestamp.valueOf(s)
+    // week of 2024-01-01 (Mon) and 2024-01-08 (Mon)
+    val events = Seq(
+      ("a", t("2024-01-02 10:00:00")), // cohort w1
+      ("a", t("2024-01-09 10:00:00")), //   active w2
+      ("b", t("2024-01-03 10:00:00")), // cohort w1, never returns
+      ("c", t("2024-01-10 10:00:00")), // cohort w2
+      ("a", t("2024-01-04 09:00:00")), // duplicate w1 activity — ignored by distinct
+    ).toDF("user_id", "ts")
+    val out = Retention.cohorts(events, "user_id", "ts", "week")
+      .select("cohort", "period_offset", "n_users", "cohort_size", "retention")
+      .as[(Timestamp, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val w1 = t("2024-01-01 00:00:00")
+    val w2 = t("2024-01-08 00:00:00")
+    assert(out((w1, 0L)) === ((2L, 2L, 1.0)))   // a, b
+    assert(out((w1, 1L)) === ((1L, 2L, 0.5)))   // only a returns
+    assert(out((w2, 0L)) === ((1L, 1L, 1.0)))   // c
+    assert(out.size === 3)
+  }
+
   test("TextSearch.hybridRrf fuses rankings by reciprocal rank") {
     import graft.operators.TextSearch
     val kw = Seq(("qa", 1L, 1), ("qa", 2L, 2), ("qb", 7L, 1))
