@@ -21,10 +21,12 @@ object Retention {
     * combining min), one distinct over (user, period) — both shuffles
     * keyed on user, so AQE can reuse the exchange — then a count keyed
     * on (cohort, period) whose result is cohorts × periods (tiny at any
-    * corpus size). Cohort sizes come FROM the offset-0 rows (a user's
-    * first period is by construction an active period — no extra scan)
-    * and join back broadcast. Retention is a long/long → double divide,
-    * identical in any engine. */
+    * corpus size). Cohort sizes are the offset-0 counts (a user's first
+    * period is by construction an active period), surfaced via a window
+    * over the already-tiny counts frame — NOT a filtered self-join,
+    * which would recompute the whole events subtree a second time (the
+    * plan regression the first formulation had). Retention is a
+    * long/long → double divide, identical in any engine. */
   def cohorts(events: DataFrame, userCol: String, tsCol: String,
               bucket: String = "week"): DataFrame = {
     require(Set("day", "week", "month").contains(bucket),
@@ -38,14 +40,15 @@ object Retention {
     val counts = activity.join(first, Seq("__u"))
       .groupBy("cohort", "period")
       .agg(count(lit(1)).as("n_users"))
-    val sizes = counts.filter(col("period") === col("cohort"))
-      .select(col("cohort"), col("n_users").as("cohort_size"))
     val offset = bucket match {
       case "day" => datediff(col("period"), col("cohort")).cast("long")
       case "week" => floor(datediff(col("period"), col("cohort")) / 7).cast("long")
       case "month" => months_between(col("period"), col("cohort")).cast("long")
     }
-    counts.join(broadcast(sizes), Seq("cohort"))
+    val byCohort = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    counts
+      .withColumn("cohort_size",
+        max(when(col("period") === col("cohort"), col("n_users"))).over(byCohort))
       .withColumn("period_offset", offset)
       .withColumn("retention",
         col("n_users").cast("double") / col("cohort_size").cast("double"))

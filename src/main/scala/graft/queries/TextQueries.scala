@@ -692,7 +692,7 @@ object TextQueries {
     },
   )
 
-  /** C44: Bloom-prefiltered decontamination — q51's rule at the 100 TB
+  /** C45: Bloom-prefiltered decontamination — q51's rule at the 100 TB
     * shape: the benchmark shingle set compresses into a Bloom filter
     * built with Spark's own distributed `BloomFilterAggregate`, the
     * corpus pass is a short-circuiting map stage, and only Bloom-positive
@@ -728,7 +728,7 @@ object TextQueries {
     },
   )
 
-  /** C45: hybrid retrieval — BM25 keyword ranking ⊕ exact cosine vector
+  /** C46: hybrid retrieval — BM25 keyword ranking ⊕ exact cosine vector
     * ranking fused by Reciprocal Rank Fusion (Σ 1/(60+rank), the
     * calibration-free fusion standard). Query ids bridge the two
     * modalities: qa/qb/qc carry both a term list (BM25 over `documents`)
