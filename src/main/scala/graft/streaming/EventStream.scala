@@ -378,6 +378,62 @@ object EventStream {
     * whole-history form. State is a fixed `steps.length + 1` longs per
     * active user, purged on flush: bounded by the active-user
     * population, never by stream length. */
+  case class LatestOut(user_id: Long, event_type: String, ts: Timestamp,
+                       event_id: Long, value: Double)
+  private[streaming] case class LatestState(tsMs: Long, eventId: Long,
+                                            value: Double, lastMs: Long)
+
+  /** Streaming CDC latest-state: per (user, event_type) key, the change
+    * with the greatest (ts, event_id) — the streaming form of
+    * `operators.Upsert.latest` (batch is the full-snapshot form). Emits
+    * a key's latest row once the watermark passes its idle horizon
+    * (quiet for `idleSeconds`), then purges — so state is ONE small
+    * record per ACTIVE key, bounded by the live-key population, never by
+    * stream length. A key that changes again after flushing opens a new
+    * episode and will re-emit its (newer) latest row; downstream
+    * consumers keep the last emission per key (idempotent upsert into
+    * the serving store — the standard CDC sink contract).
+    *
+    * Late events inside the watermark fold in by the same max-(ts, id)
+    * rule, so an episode's winner matches `Upsert.latest` run on that
+    * episode's rows: a straggler with an older version can never
+    * overwrite a newer state. */
+  def latestState(events: Dataset[Event], idleSeconds: Long,
+                  watermark: String = "30 minutes"): Dataset[LatestOut] = {
+    require(idleSeconds > 0,
+      s"idleSeconds must be positive (a non-positive horizon lands below the watermark and kills the query), got $idleSeconds")
+    import events.sparkSession.implicits._
+    val idleMs = idleSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[LatestState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              LatestOut(key._1, key._2, new Timestamp(st.tsMs), st.eventId, st.value)).iterator
+            state.remove()
+            out
+          } else {
+            var st = state.getOption.getOrElse(
+              LatestState(Long.MinValue, Long.MinValue, 0.0, Long.MinValue))
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              if (t > st.lastMs) st = st.copy(lastMs = t)
+              // max by (ts, event_id): same total order as Upsert.latest
+              if (t > st.tsMs || (t == st.tsMs && e.event_id > st.eventId)) {
+                st = st.copy(tsMs = t, eventId = e.event_id, value = e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + idleMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def funnel(events: Dataset[Event], steps: Seq[String], idleSeconds: Long,
              watermark: String = "30 minutes"): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "at least one funnel step required")

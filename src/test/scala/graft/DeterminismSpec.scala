@@ -30,7 +30,12 @@ class DeterminismSpec extends SparkSpec {
       // profile, ranked-median MAD clip, global-heap heavy hitters
       "q56_range_join", "q57_mixture_sample", "q58_profile_columns",
       "q60_mad_clip", "q61_histogram", "q63_funnel", "q64_heavy_hitters",
-      "q65_trend")
+      "q65_trend",
+      // round-4 additions: TopKPerKey k=1 latest-snapshot, per-key lead
+      // window SCD-2, bloom-prefilter + exact-verify decontamination,
+      // full-outer RRF fusion over two retrievers, cohort-window retention
+      "q67_latest_snapshot", "q68_scd2_intervals", "q69_decontaminate_bloom",
+      "q70_hybrid_rrf", "q71_cohort_retention")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)

@@ -177,6 +177,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming latestState emits the Upsert.latest winner per key at the idle horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.latestState(mem.toDS(), idleSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("latest_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, t("2024-01-01 10:05:00"), 1, "click", 2.0),  // newest click for u1
+        Event(3, t("2024-01-01 10:03:00"), 1, "view", 9.0),
+        // same-instant updates: higher event_id wins
+        Event(4, t("2024-01-01 10:02:00"), 2, "click", 7.0),
+        Event(5, t("2024-01-01 10:02:00"), 2, "click", 8.0),
+      )
+      q.processAllAvailable()
+      // a LATE event with an OLDER version: must not overwrite the winner
+      mem.addData(Event(6, t("2024-01-01 10:01:00"), 1, "click", 0.5))
+      q.processAllAvailable()
+      // push the watermark past the idle horizons, then fire timeouts
+      mem.addData(Event(7, t("2024-01-01 12:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(8, t("2024-01-01 12:01:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type, event_id, value FROM latest_out")
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got((1L, "click")) === ((2L, 2.0)), s"newest click wins, late older version ignored: $got")
+      assert(got((1L, "view")) === ((3L, 9.0)))
+      assert(got((2L, "click")) === ((5L, 8.0)), "same-instant tie goes to higher event_id")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits batch-identical depths at the idle horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
