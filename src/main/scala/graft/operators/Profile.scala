@@ -48,4 +48,51 @@ object Profile {
         col("__r.n_present").as("n_present"), col("__r.n_distinct").as("n_distinct"),
         col("__r.min_val").as("min_val"), col("__r.max_val").as("max_val"))
   }
+
+  /** Zipf-law fit per group: OLS slope of ln(freq) vs ln(rank) over the
+    * top-`k` most frequent words — natural text follows freq ∝ rank^s
+    * with s ≈ −1, and a corpus slice whose slope drifts far from −1 is a
+    * quality signal (template/boilerplate floods flatten it, key-value
+    * spam steepens it). The standard fit uses only the head of the rank
+    * curve, which is exactly what makes it scale-clean here:
+    *
+    *  - word counts: one explode + map-side-combining count keyed on
+    *    (group, word) — the only corpus-sized shuffle;
+    *  - top-k by frequency: the declarative rank-filter, rewritten to
+    *    the bounded-heap TopKPerKey operator (k rows per group per
+    *    partition cross the second shuffle, never a per-group sort);
+    *  - the OLS moments then see ≤ groups×k rows. Decimal-exact sums
+    *    (ln ulp wobble dies at the DECIMAL(38,6) cast), closed-form
+    *    slope, zero-denominator groups NULL in any engine.
+    *
+    * Output: (group, n_top, slope, intercept). Deterministic: frequency
+    * ties rank alphabetically. */
+  def zipf(df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 ranks for a slope, got k=$k")
+    graft.plans.RankFilterToTopK_Install(df.sparkSession)
+    import graft.functions.Num.dsum
+    val counts = df
+      .select(col(groupCol).as("group"), explode(graft.functions.TextFns.words(col(textCol))).as("__w"))
+      .groupBy("group", "__w")
+      .agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("freq").desc, col("__w").asc)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_top"),
+        dsum(x).as("__sx"), dsum(y).as("__sy"),
+        dsum(x * y).as("__sxy"), dsum(x * x).as("__sxx"))
+      .withColumn("__den", col("n_top") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("__den") =!= 0.0,
+          (col("n_top") * col("__sxy") - col("__sx") * col("__sy")) / col("__den")))
+      .withColumn("intercept",
+        (col("__sy") - col("slope") * col("__sx")) / col("n_top"))
+      .select("group", "n_top", "slope", "intercept")
+  }
 }

@@ -850,6 +850,43 @@ object TextQueries {
     )
   }
 
+  /** C48: Zipf-law fit per language (`Profile.zipf`) — OLS slope of
+    * ln(freq) vs ln(rank) over the top-100 words; corpus slices whose
+    * slope drifts from ≈ −1 flag template floods / key-value spam. One
+    * corpus-sized (lang, word) count shuffle, then the TopKPerKey rank
+    * rewrite bounds everything downstream to langs×100 rows. */
+  private val q72 = Q(
+    "q72_zipf_slope",
+    (s, dir) =>
+      graft.operators.Profile.zipf(
+          Tables.documents(s, dir).select("lang", "text"), "text", "lang", k = 100)
+        .withColumnRenamed("group", "lang"),
+    Some("""
+      WITH wc AS (
+        SELECT lang, w, COUNT(*) AS freq
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+        GROUP BY 1, 2),
+      r AS (
+        SELECT lang, freq,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, w ASC) AS rnk
+        FROM wc),
+      topr AS (SELECT * FROM r WHERE rnk <= 100),
+      m AS (
+        SELECT lang, COUNT(*) AS n_top,
+          CAST(SUM(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM topr GROUP BY 1),
+      s AS (
+        SELECT lang, n_top, sx, sy,
+          CASE WHEN n_top * sxx - sx * sx <> 0.0
+               THEN (n_top * sxy - sx * sy) / (n_top * sxx - sx * sx) END AS slope
+        FROM m)
+      SELECT lang, n_top, slope, (sy - slope * sx) / n_top AS intercept FROM s
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72)
 }

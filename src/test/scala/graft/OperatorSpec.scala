@@ -272,6 +272,39 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Profile.zipf fits the log-log frequency slope over top-k words") {
+    import graft.operators.Profile
+    // construct an exact power law: freq(rank) = 64 / rank for rank 1,2,4
+    // → ln(freq) = ln(64) − 1·ln(rank): slope exactly −1
+    val doc = (Seq.fill(64)("w1") ++ Seq.fill(32)("w2") ++ Seq.fill(16)("w3")).mkString(" ")
+    val docs = Seq((1L, doc, "en")).toDF("doc_id", "text", "lang")
+    val out = Profile.zipf(docs, "text", "lang", k = 3)
+      .select("group", "n_top", "slope", "intercept")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    assert(out.length === 1)
+    val (g, n, slope, icept) = (out.head._1, out.head._2, out.head._3, out.head._4)
+    assert(g === "en" && n === 3L)
+    // freqs 64/32/16 at ranks 1/2/3: ln-ln OLS slope of (0, ln2, ln3) vs
+    // (ln64, ln32, ln16) = −ln2·cov(r,[0,1,2])/var(r) where r=(0,ln2,ln3)
+    val xs = Seq(0.0, math.log(2), math.log(3))
+    val ys = Seq(math.log(64), math.log(32), math.log(16))
+    val nD = 3.0
+    val expSlope = (nD * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum) /
+      (nD * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    // decimal-exact sums quantize each ln moment at 1e-6 (the oracle
+    // policy — both engines quantize identically), so the fit agrees
+    // with the full-double expectation only to ~1e-5
+    assert(math.abs(slope.get - expSlope) < 1e-4)
+    assert(math.abs(icept.get - (ys.sum - expSlope * xs.sum) / nD) < 1e-4)
+
+    // degenerate group: a single distinct word has one rank → k >= 2 rows
+    // never materialize a second point; slope must be NULL, not a crash
+    val one = Seq((2L, "solo solo solo", "xx")).toDF("doc_id", "text", "lang")
+    val deg = Profile.zipf(one, "text", "lang", k = 5)
+      .select("slope").as[Option[Double]].collect()
+    assert(deg === Array(None))
+  }
+
   test("Retention.cohorts computes per-week cohort activity and rates") {
     import java.sql.Timestamp
     import graft.operators.Retention
