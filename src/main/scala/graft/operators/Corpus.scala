@@ -254,9 +254,13 @@ object Corpus {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
 
+    // cached: the explode+distinct shuffle over the benchmark feeds THREE
+    // consumers (the sizing count, the bloom build, and the exact-verify
+    // join at query time) — without the cache each would recompute it
     val benchShingles = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
       .distinct()
+      .cache()
 
     // Size the filter to the actual distinct-shingle count (one tiny
     // aggregate over the structurally-small benchmark), then build it
@@ -264,9 +268,20 @@ object Corpus {
     // aggregate; an empty benchmark contaminates nothing.
     val nShingles = benchShingles.count()
     if (nShingles == 0L) {
+      benchShingles.unpersist()
       return corpus.withColumn("contaminated", lit(0L))
     }
     val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nShingles, fpp)
+    // BloomFilterAggregate silently CLAMPS to the runtime-filter conf
+    // maxima, which would quietly deliver a far worse fpp than requested
+    // — fail loudly instead and tell the caller which knob to raise
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(nShingles <= maxItems && nBits <= maxBits,
+      s"decontaminateBloom: benchmark has $nShingles distinct shingles needing $nBits bits at fpp=$fpp, " +
+        s"but spark.sql.optimizer.runtime.bloomFilter.{maxNumItems=$maxItems, maxNumBits=$maxBits} " +
+        "would silently clamp the filter (worse fpp than requested) — raise those confs or fpp")
     val hashed = Bridge.column(new XxHash64(Seq(Bridge.expression(col("__s")))))
     val bloomAgg = Bridge.column(
       new BloomFilterAggregate(

@@ -144,6 +144,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard")) // using-joins reorder key cols
   }
 
+  /** Edit-distance verify stage over candidate pairs — the
+    * character-level companion to [[jaccardVerify]]'s word-set measure:
+    * Jaccard is blind to word ORDER ("a b c" vs "c b a" scores 1.0)
+    * while normalized edit similarity is not, so near-dup policies that
+    * must distinguish shuffled boilerplate from true copies verify on
+    * both. Adds `edit_dist` (Levenshtein, via Spark's codegen'd builtin)
+    * and `edit_sim` = 1 − dist / max(len_a, len_b) ∈ [0,1]; two empty
+    * texts score 1.0.
+    *
+    * Cost is O(len_a·len_b) PER PAIR — which is exactly why this is a
+    * verify stage: run it on LSH/blocked candidates only, never as a
+    * corpus-wide measure. Same candidate-restricted join shape as
+    * [[jaccardVerify]]: text lookup cost follows the candidate count,
+    * not the corpus size. */
+  def editVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+                 idCol: String): DataFrame = {
+    val texts = docs.select(col(idCol).as("__tid"), col(textCol).as("__txt"))
+    val candIds = pairs.select(col("a_id").as("__cid"))
+      .union(pairs.select(col("b_id").as("__cid"))).distinct()
+    val cand = texts.join(candIds, col("__tid") === col("__cid"), "leftsemi")
+    pairs
+      .join(cand.select(col("__tid").as("a_id"), col("__txt").as("__ta")), Seq("a_id"))
+      .join(cand.select(col("__tid").as("b_id"), col("__txt").as("__tb")), Seq("b_id"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim",
+        when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))).cast("double")))
+      .select(col("a_id"), col("b_id"), col("edit_dist"), col("edit_sim"))
+  }
+
   /** Connected components over near-dup candidate pairs: every doc in the
     * pair graph gets a `cluster_id` = the minimum doc id reachable through
     * candidate edges. This is the step that turns pair *reports*

@@ -1,15 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-
-import graft.expressions.DotProduct
 
 /** General distributed k-means (Lloyd) over an embedding column — the
   * clustering operator behind semantic corpus organization (topic
   * bucketing, cluster-balanced sampling, semantic-dedup prefilters) and
   * the generalized form of the IVF/PQ trainers (Quantize.trainCodebook
-  * runs the same loop per subspace at fixed iterations).
+  * runs the same loop per subspace at fixed iterations; the centroid
+  * update is the shared `Quantize.lloydUpdate`).
   *
   * What this adds over the fixed-round trainer: convergence monitoring
   * (stop when the max centroid shift drops under `tol`), per-cluster
@@ -17,13 +16,19 @@ import graft.expressions.DotProduct
   * distances) — the quantities you need to pick k and trust a clustering.
   *
   * Scale shape per iteration (identical to MLlib's, minus its RDD API):
-  * centroids broadcast (k small arrays), assignment is a per-row argmin
-  * via the packed-long ArgMaxPack HASH aggregate (no shuffle of vectors
-  * beyond the one groupBy on id), update is one map-side-combining
-  * aggregate keyed on (cluster, component). The driver loop holds only
-  * k×dim doubles per round (the centroid check) — the vectors never
-  * leave the executors. Deterministic: smallest-id init, exact decimal
-  * centroid means, ties to the smaller cluster id.
+  * the k×dim centroids live on the DRIVER between rounds (they are
+  * broadcast to executors either way) and each round's codebook is a
+  * fresh LocalRelation — so the plan never grows with the iteration
+  * count and round k never re-executes rounds 1..k-1 (the
+  * cache-chain/lineage trap iterative DataFrame loops fall into; see
+  * Dedup.resolveClusters' localCheckpoint note for the partner pattern
+  * when state must stay distributed). Assignment is a per-row argmin
+  * via the packed-long ArgMaxPack HASH aggregate, the update is one
+  * map-side-combining decimal-mean aggregate, and exactly one job runs
+  * per round. The vectors themselves never leave the executors.
+  * Deterministic: smallest-id init (TakeOrderedAndProject, not a
+  * single-partition window sort), exact decimal means, ties to the
+  * smaller cluster id.
   */
 object KMeans {
 
@@ -34,69 +39,73 @@ object KMeans {
 
   /** One Lloyd pass per iteration until the max centroid shift < `tol`
     * or `maxIters` is hit. Input vectors are cached for the loop and
-    * unpersisted before return. */
+    * unpersisted before return. Throws on empty input (no centroid is
+    * definable). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           maxIters: Int = 20, tol: Double = 1e-6): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tol >= 0, s"tol must be >= 0, got $tol")
+    val spark = df.sparkSession
 
     // shape rows for Quantize.assignCodes: a single subspace 0
     val rows = df.select(col(idCol).as("id"), lit(0).as("subspace"),
       col(vecCol).cast("array<double>").as("vec")).cache()
     try {
-      var centroids = rows
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("id")))
-        .filter(col("rn") <= k)
-        .select(col("subspace"), (col("rn") - 1).cast("int").as("code"),
-          col("vec").as("centroid"))
-        .cache()
-      var iter = 0
-      var converged = false
+      // deterministic init: the k smallest ids via per-partition bounded
+      // heaps (TakeOrderedAndProject) — never a single-partition sort
+      var centroids: Array[(Int, Seq[Double])] = rows
+        .orderBy("id").limit(k)
+        .select(col("vec")).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+      require(centroids.nonEmpty, "KMeans.fit: input has no rows — no centroid is definable")
 
-      while (iter < maxIters && !converged) {
-        iter += 1
-        val assigned = Quantize.assignCodes(rows, centroids, "vec")
-        val updated = assigned
-          .select(col("subspace"), col("code"), posexplode(col("vec")).as(Seq("pos", "comp")))
-          .groupBy("subspace", "code", "pos")
-          .agg((sum(col("comp").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("c"))
-          .groupBy("subspace", "code")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            f => f.getField("c")).as("centroid"))
-        // empty clusters keep their previous centroid (deterministic)
-        val next = centroids
-          .select(col("subspace"), col("code"), col("centroid").as("prev"))
-          .join(updated, Seq("subspace", "code"), "left")
-          .select(col("subspace"), col("code"),
-            coalesce(col("centroid"), col("prev")).as("centroid"),
-            col("prev"))
-          .cache()
-        // max centroid shift — a k-row aggregate, the only driver-visible
-        // value per round
-        val shift = next
-          .agg(max(sqrt(Quantize.sqDist(col("centroid"), col("prev")))))
-          .head().getDouble(0)
-        val prev = centroids
-        centroids = next.drop("prev").cache()
-        prev.unpersist()
-        next.unpersist()
-        converged = shift < tol
+      def codebookDf(cents: Array[(Int, Seq[Double])]): DataFrame = {
+        import spark.implicits._
+        cents.toSeq.toDF("code", "centroid").withColumn("subspace", lit(0))
+          .select(col("subspace"), col("code"), col("centroid"))
       }
 
-      val finalAssign = Quantize.assignCodes(rows, centroids, "vec")
-        .join(broadcast(centroids.select(col("code"), col("centroid"))), Seq("code"))
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        iter += 1
+        val assigned = Quantize.assignCodes(rows, codebookDf(centroids), "vec")
+        val updated: Map[Int, Seq[Double]] =
+          Quantize.lloydUpdate(assigned, "vec").collect()
+            .map((r: Row) => r.getInt(r.fieldIndex("code")) ->
+              r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+        // empty clusters keep their previous centroid; shift computed on
+        // the driver over k×dim doubles — no extra job
+        var maxShift = 0.0
+        val next = centroids.map { case (code, prev) =>
+          updated.get(code) match {
+            case Some(c) =>
+              var d2 = 0.0
+              var i = 0
+              while (i < c.length) { val d = c(i) - prev(i); d2 += d * d; i += 1 }
+              maxShift = math.max(maxShift, math.sqrt(d2))
+              (code, c)
+            case None => (code, prev)
+          }
+        }
+        centroids = next
+        converged = maxShift < tol
+      }
+
+      val finalCb = codebookDf(centroids)
+      val finalAssign = Quantize.assignCodes(rows, finalCb, "vec")
+        .join(broadcast(finalCb.select(col("code"), col("centroid"))), Seq("code"))
         .withColumn("d2", Quantize.sqDist(col("vec"), col("centroid")))
-      val stats = finalAssign
-        .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("inertia"))
-        .head()
+      val inertia = finalAssign
+        .agg(coalesce(sum(col("d2").cast("decimal(38,18)")).cast("double"), lit(0.0)))
+        .head().getDouble(0)
       val sizes = finalAssign.groupBy("code").agg(count(lit(1)).as("size"))
-      val out = centroids
+      val out = finalCb
         .join(sizes, Seq("code"), "left")
         .select(col("code").as("cluster"), col("centroid"),
           coalesce(col("size"), lit(0L)).as("size"))
-      Model(out, iter, converged, stats.getDouble(0))
+      Model(out, iter, converged, inertia)
     } finally rows.unpersist()
   }
 
@@ -114,7 +123,4 @@ object KMeans {
       .withColumn("d2", Quantize.sqDist(col("vec"), col("centroid")))
       .select(col("id"), col("code").as("cluster"), col("d2"))
   }
-
-  private[operators] def norm2(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sqrt(DotProduct.of(a, a))
 }

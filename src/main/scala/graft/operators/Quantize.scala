@@ -54,21 +54,25 @@ object Quantize {
       .select(col("subspace"), (col("rn") - 1).cast("int").as("code"), col("subvec").as("centroid"))
 
     (1 to iters).foldLeft(init) { (codebook, _) =>
-      val assigned = assignCodes(subs, codebook, "subvec")
-      // new centroid = exact mean of assigned subvectors, per component
-      val updated = assigned
-        .select(col("subspace"), col("code"), posexplode(col("subvec")).as(Seq("pos", "comp")))
-        .groupBy("subspace", "code", "pos")
-        .agg((sum(col("comp").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("c"))
-        .groupBy("subspace", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          f => f.getField("c")).as("centroid"))
+      val updated = lloydUpdate(assignCodes(subs, codebook, "subvec"), "subvec")
       // empty clusters keep their previous centroid
       codebook.select(col("subspace"), col("code"), col("centroid").as("prev"))
         .join(updated, Seq("subspace", "code"), "left")
         .select(col("subspace"), col("code"), coalesce(col("centroid"), col("prev")).as("centroid"))
     }
   }
+
+  /** One Lloyd centroid update: exact per-component decimal means of the
+    * assigned vectors, keyed on (subspace, code) — the single shared
+    * implementation behind [[trainCodebook]] and `KMeans.fit`. */
+  private[operators] def lloydUpdate(assigned: DataFrame, vecField: String): DataFrame =
+    assigned
+      .select(col("subspace"), col("code"), posexplode(col(vecField)).as(Seq("pos", "comp")))
+      .groupBy("subspace", "code", "pos")
+      .agg((sum(col("comp").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("subspace", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        f => f.getField("c")).as("centroid"))
 
   /** Nearest-code assignment for rows of (…, subspace, `vecField`):
     * joins the broadcast codebook per subspace and picks the minimum

@@ -709,7 +709,7 @@ object SignalQueries {
   /** B42: weekly cohort retention — users grouped by first-activity week,
     * counted per later active week (`Retention.cohorts`). Two user-keyed
     * shuffles + one (cohort, week) count; cohort sizes are the offset-0
-    * rows joined back broadcast. */
+    * rows, surfaced via a window over the tiny counts frame. */
   private lazy val q71 = Q(
     "q71_cohort_retention",
     (s, dir) =>

@@ -887,6 +887,39 @@ object TextQueries {
     """),
   )
 
+  /** C49: edit-distance verify on blocked candidate pairs
+    * (`Dedup.editVerify`) — the order-sensitive companion to q33's
+    * word-set Jaccard (which scores shuffled texts 1.0). Same cheap
+    * oracle-expressible blocking as q33 (source + token count); the
+    * production input is LSH candidates. O(len²) per pair is the verify
+    * stage's budget, never a corpus-wide cost. */
+  private val q73 = Q(
+    "q73_edit_verify",
+    (s, dir) => {
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("ntok", TextFns.tokenCount(col("text")))
+      val a = d.select(col("doc_id").as("a_id"), col("source"), col("ntok"))
+      val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
+      val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      Dedup.editVerify(pairs, d, "text", "doc_id")
+        .select("a_id", "b_id", "edit_dist", "edit_sim")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS ntok FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.text AS ta, b.text AS tb
+        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+        CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+        CASE WHEN GREATEST(length(ta), length(tb)) = 0 THEN 1.0
+             ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                  / CAST(GREATEST(length(ta), length(tb)) AS DOUBLE) END AS edit_sim
+      FROM pairs
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73)
 }

@@ -67,9 +67,10 @@ object ParDataSource {
 
   /** Resolve the load path(s) to the concrete file list (driver-side
     * listing only — parsing stays on executors). Directories expand one
-    * level, like Spark's text source with default settings. */
-  private[v2] def listFiles(paths: Seq[String]): Seq[String] = {
-    val conf = new Configuration()
+    * level, like Spark's text source with default settings. Uses the
+    * session's Hadoop configuration (spark.hadoop.* — S3 credentials,
+    * defaultFS, kerberos), not a bare classpath Configuration. */
+  private[v2] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -120,8 +121,10 @@ final class ParScanBuilder(options: CaseInsensitiveStringMap)
     val paths: Seq[String] =
       if (options.containsKey("paths")) {
         // Spark encodes multi-path loads as a JSON array string
-        options.get("paths").stripPrefix("[").stripSuffix("]")
-          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        // (ObjectMapper with full escaping) — decode it the same way, so
+        // paths containing commas/quotes/backslashes survive
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(options.get("paths"), classOf[Array[String]]).toSeq
       } else Option(options.get("path")).toSeq
     require(paths.nonEmpty, "graft-par: no path specified")
     new ParScan(paths, required, pushed)
@@ -130,6 +133,11 @@ final class ParScanBuilder(options: CaseInsensitiveStringMap)
 
 final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
+
+  // the session's Hadoop conf (captured at planning time on the driver),
+  // shipped to readers serializably
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -144,7 +152,7 @@ final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filt
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = ParDataSource.listFiles(paths)
+    val files = ParDataSource.listFiles(paths, hadoopConf.value)
     // partition pruning: a pushed source_file filter drops whole files
     // from the scan before any task launches
     val kept = allowed("source_file") match {
@@ -155,27 +163,30 @@ final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filt
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ParReaderFactory(required, allowed("param"))
+    new ParReaderFactory(required, allowed("param"), hadoopConf)
 }
 
 final case class ParInputPartition(file: String) extends InputPartition
 
-final class ParReaderFactory(required: StructType, paramFilter: Option[Set[String]])
+final class ParReaderFactory(required: StructType, paramFilter: Option[Set[String]],
+                             hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ParPartitionReader(partition.asInstanceOf[ParInputPartition].file, required, paramFilter)
+    new ParPartitionReader(partition.asInstanceOf[ParInputPartition].file, required,
+      paramFilter, hadoopConf.value)
 }
 
 /** Parses one .par file. Files are small config artifacts (≤ a few KB);
   * the whole file reads in one shot, then rows stream out pruned to the
   * required schema with pushed param filters applied during the parse. */
 final class ParPartitionReader(file: String, required: StructType,
-                               paramFilter: Option[Set[String]])
+                               paramFilter: Option[Set[String]],
+                               conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val entries: Iterator[ParFile.ParEntry] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString

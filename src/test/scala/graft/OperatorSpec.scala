@@ -272,6 +272,29 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Dedup.editVerify scores order-sensitively where Jaccard cannot") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c"), (2L, "c b a"),   // same word set, different order
+      (3L, "a b c"),                  // identical to 1
+      (4L, ""), (5L, ""),             // empty pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.editVerify(pairs, docs, "text", "doc_id")
+      .select("a_id", "b_id", "edit_dist", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 3L)) === ((0L, 1.0)), "identical texts")
+    assert(out((4L, 5L)) === ((0L, 1.0)), "empty pair defined as similar")
+    val (d12, s12) = out((1L, 2L))
+    assert(d12 === 2L && math.abs(s12 - (1.0 - 2.0 / 5.0)) < 1e-15,
+      "swapped word order must cost edits even though word-set Jaccard is 1.0")
+    // contrast: jaccardVerify scores the reordered pair 1.0
+    val j = Dedup.jaccardVerify(pairs.filter($"b_id" === 2L), docs, "text", "doc_id")
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
   test("Profile.zipf fits the log-log frequency slope over top-k words") {
     import graft.operators.Profile
     // construct an exact power law: freq(rank) = 64 / rank for rank 1,2,4
