@@ -108,11 +108,72 @@ object Multimodal {
     }
   }
 
+  /** REAL video container header parsing — MP4/QuickTime box walking in
+    * pure bytes (ISO BMFF: `[u32 size][4cc type]`, size 1 → u64
+    * largesize): `moov/mvhd` carries timescale + duration, the first
+    * `moov/trak/tkhd` carries 16.16-fixed width/height. No codec is
+    * touched — this is the metadata pass a media lake runs before any
+    * frame decode (which remains the one disclosed stub: the JDK ships
+    * no video codec). Matroska/WebM (EBML) is not parsed. */
+  object VideoHeader {
+    private def u8(b: Array[Byte], i: Int): Long = (b(i) & 0xff).toLong
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Find box `typ` in [start, end); returns (payloadStart, payloadEnd). */
+    private def findBox(b: Array[Byte], start: Long, end: Long, typ: String): Option[(Long, Long)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = be32(b, off.toInt)
+        val t = fourcc(b, off.toInt + 4)
+        val (payload, boxEnd) =
+          if (size0 == 1L && off + 16 <= end) (off + 16, off + be64(b, off.toInt + 8))
+          else if (size0 == 0L) (off + 8, end) // box extends to end
+          else (off + 8, off + size0)
+        if (boxEnd <= off || boxEnd > end) return None // corrupt size
+        if (t == typ) return Some((payload, boxEnd))
+        off = boxEnd
+      }
+      None
+    }
+
+    /** (durationMs, width, height) for an ISO-BMFF payload; width/height
+      * are 0 when no video trak exists (audio-only MP4). None when the
+      * payload is not MP4-family (no leading ftyp box). */
+    def parse(b: Array[Byte]): Option[(Long, Int, Int)] = {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+      val end = b.length.toLong
+      findBox(b, 0, end, "moov").flatMap { case (moovStart, moovEnd) =>
+        findBox(b, moovStart, moovEnd, "mvhd").map { case (p, _) =>
+          val v = u8(b, p.toInt)
+          val (timescale, duration) =
+            if (v == 1) (be32(b, p.toInt + 20), be64(b, p.toInt + 24))
+            else (be32(b, p.toInt + 12), be32(b, p.toInt + 16))
+          val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
+          val dims = findBox(b, moovStart, moovEnd, "trak").flatMap { case (ts, te) =>
+            findBox(b, ts, te, "tkhd").map { case (tp, _) =>
+              val tv = u8(b, tp.toInt)
+              val base = if (tv == 1) tp + 88 else tp + 76
+              // 16.16 fixed point; integer part only
+              ((be32(b, base.toInt) >> 16).toInt, (be32(b, base.toInt + 4) >> 16).toInt)
+            }
+          }.getOrElse((0, 0))
+          (durMs, dims._1, dims._2)
+        }
+      }
+    }
+  }
+
   /** Fill width/height/duration (and normalize mime) from the REAL
     * payload headers when the container is recognized — image dimensions
-    * via [[ImageHeader]], audio duration/rate via [[AudioHeader]] (both
-    * header-only, no sample/pixel decode); declared metadata is kept as
-    * the fallback. Pure map stage — the shape of a metadata-extraction
+    * via [[ImageHeader]], audio duration/rate via [[AudioHeader]], video
+    * duration/dimensions via [[VideoHeader]] (all header-only, no
+    * sample/pixel/frame decode); declared metadata is kept as the
+    * fallback. Pure map stage — the shape of a metadata-extraction
     * pass over a media lake. */
   def annotateDims(items: Dataset[MediaItem]): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
@@ -124,7 +185,13 @@ object Multimodal {
           case None => AudioHeader.parse(m.payload) match {
             case Some((fmt, _, _, durMs)) =>
               m.copy(mime = s"audio/$fmt", duration_ms = durMs)
-            case None => m
+            case None => VideoHeader.parse(m.payload) match {
+              case Some((durMs, w, h)) =>
+                m.copy(mime = "video/mp4", duration_ms = durMs,
+                  width = if (w > 0) w else m.width,
+                  height = if (h > 0) h else m.height)
+              case None => m
+            }
           }
         }
       }

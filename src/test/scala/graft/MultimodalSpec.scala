@@ -189,4 +189,39 @@ class MultimodalSpec extends SparkSpec {
       feats.toDF("media_id", "kind2", "n_bytes", "digest", "features", "decoded"), "media_id")
     assert(joined.count() == 12)
   }
+
+  test("VideoHeader parses MP4 mvhd duration and tkhd dimensions from raw boxes") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length); b.put(typ.getBytes("US-ASCII")); b.put(payload)
+      b.array()
+    }
+    // mvhd v0: version/flags, ctime, mtime, timescale=1000, duration=5000, then padding
+    val mvhd = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0); b.putInt(0); b.putInt(0); b.putInt(1000); b.putInt(5000)
+      box("mvhd", b.array())
+    }
+    // tkhd v0: width/height at payload offsets 76/80 as 16.16 fixed
+    val tkhd = {
+      val b = ByteBuffer.allocate(84)
+      b.position(76); b.putInt(640 << 16); b.putInt(360 << 16)
+      box("tkhd", b.array())
+    }
+    val mp4 = box("ftyp", "isom\u0000\u0000\u0000\u0000".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+
+    assert(Multimodal.VideoHeader.parse(mp4) === Some((5000L, 640, 360)))
+    assert(Multimodal.VideoHeader.parse("not a video".getBytes) === None)
+    // truncated/corrupt box sizes must not crash or loop
+    assert(Multimodal.VideoHeader.parse(mp4.take(20)) === None)
+
+    val items = Seq(
+      Multimodal.MediaItem(7L, "video", mp4, "application/octet-stream", -1, -1, -1L)).toDS()
+    val out = Multimodal.annotateDims(items).collect().head
+    assert(out.mime === "video/mp4" && out.duration_ms === 5000L)
+    assert(out.width === 640 && out.height === 360)
+  }
 }
