@@ -32,6 +32,23 @@ object Upsert {
       changes, keyCols, versionCols.map(graft.plans.TopK.desc), k = 1)
   }
 
+  /** Apply an insert/update/delete change log to a prior snapshot — the
+    * MERGE INTO materialization: rows = snapshot ∪ changes, the greatest
+    * `versionCols` tuple per key wins, and a winning row whose `opCol`
+    * equals `deleteOp` drops the key from the result (a later re-insert
+    * revives it, because only the WINNER's op decides). Snapshot rows
+    * must carry their original version and a non-delete op, so a stale
+    * change arriving after compaction still loses to the stored state.
+    *
+    * Same plan shape as [[latest]] (TopKPerKey k=1 over the union):
+    * compacting a day's change log against a 100 TB snapshot is one
+    * bounded-heap pass + the key-space shuffle — never a window sort. */
+  def applyChangeLog(snapshot: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], versionCols: Seq[String],
+                     opCol: String, deleteOp: String = "D"): DataFrame =
+    latest(snapshot.unionByName(changes), keyCols, versionCols)
+      .filter(col(opCol) =!= deleteOp)
+
   /** SCD-2 validity intervals from a change stream: each change row gains
     * `valid_from` (its own `tsCol`), `valid_to` (the NEXT change's ts for
     * the same key, null while current) and `is_current`. Half-open

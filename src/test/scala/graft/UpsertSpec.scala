@@ -65,6 +65,32 @@ class UpsertSpec extends SparkSpec {
     assert(currents.values.forall(_ == 1))
   }
 
+  test("applyChangeLog merges inserts/updates and drops deleted keys") {
+    val snapshot = Seq(
+      ("k1", t("2024-01-01 00:00:00"), 1L, "U", "one-v1"),
+      ("k2", t("2024-01-01 00:00:00"), 2L, "U", "two-v1"),
+      ("k4", t("2024-01-09 00:00:00"), 9L, "U", "four-newer"),
+    ).toDF("key", "ts", "id", "op", "value")
+    val changes = Seq(
+      ("k1", t("2024-01-02 00:00:00"), 3L, "U", "one-v2"),  // update
+      ("k2", t("2024-01-02 00:00:00"), 4L, "D", ""),        // delete
+      ("k3", t("2024-01-02 00:00:00"), 5L, "I", "three-v1"), // insert
+      ("k4", t("2024-01-02 00:00:00"), 6L, "D", ""),        // STALE delete: snapshot is newer
+    ).toDF("key", "ts", "id", "op", "value")
+    val out = Upsert.applyChangeLog(snapshot, changes,
+        Seq("key"), Seq("ts", "id"), "op")
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(out === Map("k1" -> "one-v2", "k3" -> "three-v1", "k4" -> "four-newer"))
+
+    // delete-then-reinsert within the same log revives the key
+    val revive = changes.union(Seq(
+      ("k2", t("2024-01-03 00:00:00"), 7L, "I", "two-v2")).toDF("key", "ts", "id", "op", "value"))
+    val out2 = Upsert.applyChangeLog(snapshot, revive,
+        Seq("key"), Seq("ts", "id"), "op")
+      .select("key", "value").as[(String, String)].collect().toMap
+    assert(out2("k2") === "two-v2")
+  }
+
   test("scd2 current rows agree with latest") {
     val viaScd = Upsert.scd2(changes, Seq("user", "attr"), "ts", "id")
       .filter(col("is_current"))
