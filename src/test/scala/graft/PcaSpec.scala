@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Pca
+
+/** Distributed PCA: one-pass moment Aggregator + driver Jacobi. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEigen diagonalizes a known symmetric matrix") {
+    // [[2, 1], [1, 2]] has eigenvalues 3 (vec (1,1)/√2) and 1 (vec (1,-1)/√2)
+    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    val inv = 1.0 / math.sqrt(2)
+    assert(vecs(0).zip(Array(inv, inv)).forall(p => math.abs(p._1 - p._2) < 1e-12))
+    assert(math.abs(math.abs(vecs(1)(0)) - inv) < 1e-12)
+    // orthonormality
+    val dot = vecs(0).zip(vecs(1)).map(p => p._1 * p._2).sum
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  test("fit recovers the variance axis of an axis-aligned cloud") {
+    // variance only along x: eigvals (2.5, 0); first component = (1, 0)
+    val pts = Seq(Seq(1.0, 5.0), Seq(-1.0, 5.0), Seq(2.0, 5.0), Seq(-2.0, 5.0))
+      .toDF("vec")
+    val m = Pca.fit(pts, "vec", d = 2, k = 2)
+    assert(m.mean.toSeq === Seq(0.0, 5.0))
+    assert(math.abs(m.explainedVariance(0) - 2.5) < 1e-12)
+    assert(math.abs(m.explainedVariance(1)) < 1e-12)
+    assert(math.abs(m.components(0)(0)) > 0.999999 && math.abs(m.components(0)(1)) < 1e-6)
+  }
+
+  test("fit finds a rotated principal axis and transform projects onto it") {
+    // points along direction (0.6, 0.8), amplitudes ±1, ±2
+    val dirX = 0.6; val dirY = 0.8
+    val amps = Seq(1.0, -1.0, 2.0, -2.0)
+    val pts = amps.map(a => Seq(a * dirX, a * dirY)).toDF("vec")
+    val m = Pca.fit(pts, "vec", d = 2, k = 1)
+    assert(math.abs(math.abs(m.components(0)(0)) - dirX) < 1e-9)
+    assert(math.abs(math.abs(m.components(0)(1)) - dirY) < 1e-9)
+    // projections recover the amplitudes (up to global sign)
+    val proj = Pca.transform(pts, "vec", m).select("proj")
+      .as[Seq[Double]].collect().map(_.head)
+    assert(proj.map(math.abs).sorted.toSeq === Seq(1.0, 1.0, 2.0, 2.0).map(a =>
+      proj.map(math.abs).sorted.toSeq(amps.map(math.abs).sorted.indexOf(a))))
+    val sign = math.signum(proj(0))
+    amps.zip(proj).foreach { case (a, p) => assert(math.abs(p - sign * a) < 1e-9) }
+  }
+
+  test("fit agrees on the real embeddings table and partitioning doesn't change it") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = e.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)
+    val m1 = Pca.fit(e, "embedding", d, k = 4)
+    val m2 = Pca.fit(e.repartition(13), "embedding", d, k = 4)
+    // eigenvalues are partition-invariant up to float-sum reorder noise
+    m1.explainedVariance.zip(m2.explainedVariance).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)))
+    }
+    assert(m1.explainedVariance.toSeq === m1.explainedVariance.sorted(Ordering[Double].reverse).toSeq)
+    // components are unit-norm
+    m1.components.foreach { w =>
+      assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+  }
+}
