@@ -46,6 +46,29 @@ class PcaSpec extends SparkSpec {
     amps.zip(proj).foreach { case (a, p) => assert(math.abs(p - sign * a) < 1e-9) }
   }
 
+  test("transform's projected variance per component equals the eigenvalue") {
+    // the invariant PCA actually guarantees: Var(proj onto component i)
+    // = eigenvalue i — on real embeddings, regardless of how isotropic
+    // the cloud is. (The synthetic embeddings ARE near-isotropic, so a
+    // dimension-cut recall claim would be false for this data — the
+    // right acceleration for isotropic vectors is quantization, not PCA.)
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = e.select(size(col("embedding"))).first().getInt(0)
+    val k = 4
+    val m = Pca.fit(e, "embedding", d, k)
+    val projs = Pca.transform(e, "embedding", m, "proj")
+      .select("proj").as[Seq[Double]].collect()
+    val n = projs.length.toDouble
+    (0 until k).foreach { i =>
+      val xs = projs.map(_(i))
+      val mu = xs.sum / n
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - m.explainedVariance(i)) <= 1e-6 * math.max(1.0, v),
+        s"component $i: projected variance $v != eigenvalue ${m.explainedVariance(i)}")
+    }
+  }
+
   test("fit agrees on the real embeddings table and partitioning doesn't change it") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val d = e.select(org.apache.spark.sql.functions.size(
