@@ -95,4 +95,44 @@ object Profile {
         (col("__sy") - col("slope") * col("__sx")) / col("n_top"))
       .select("group", "n_top", "slope", "intercept")
   }
+
+  /** Categorical drift between two snapshots of the same column — the
+    * chi-square homogeneity decomposition, per category: observed counts
+    * in each snapshot, expected counts under "no drift" (row-total ×
+    * column-share), and the cell's chi-square contribution. The sum of
+    * `chi2_contrib` over categories is the classic two-sample chi-square
+    * statistic; large per-category contributions localize WHICH value
+    * drifted (a new-source flood, a vanished language, a schema change
+    * upstream) — the check a training-data pipeline runs between
+    * yesterday's corpus and today's.
+    *
+    * Two map-side-combining counts (one per snapshot, keyed on the
+    * category) + a full-outer join of two category-sized frames +
+    * closed-form arithmetic on exact longs — identical doubles in any
+    * engine, trivially scale-safe (nothing after the counts exceeds the
+    * category cardinality). Zero-count categories present in only one
+    * snapshot still contribute (expected > 0 whenever the pooled count
+    * is > 0). */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
+    val cells = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = cells.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val pooled = (col("n_a") + col("n_b")).cast("double")
+    val grand = (col("tot_a") + col("tot_b")).cast("double")
+    val expA = pooled * col("tot_a").cast("double") / grand
+    val expB = pooled * col("tot_b").cast("double") / grand
+    val da = col("n_a").cast("double") - col("exp_a")
+    val db = col("n_b").cast("double") - col("exp_b")
+    cells.crossJoin(broadcast(totals))
+      .withColumn("exp_a", expA)
+      .withColumn("exp_b", expB)
+      .withColumn("chi2_contrib",
+        when(col("exp_a") > 0.0, da * da / col("exp_a")).otherwise(lit(0.0)) +
+          when(col("exp_b") > 0.0, db * db / col("exp_b")).otherwise(lit(0.0)))
+      .select("category", "n_a", "n_b", "exp_a", "exp_b", "chi2_contrib")
+  }
 }

@@ -704,7 +704,48 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74)
+
+  /** B43: categorical drift between the first and second half of the
+    * month (`Profile.categoricalDrift`): per-event-type chi-square
+    * homogeneity decomposition — large contributions localize which
+    * category's rate moved. Two category-keyed counts + a full-outer
+    * join of category-sized frames; exact-long inputs make the doubles
+    * engine-identical. */
+  private lazy val q74 = Q(
+    "q74_category_drift",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      graft.operators.Profile.categoricalDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut), "event_type")
+        .withColumnRenamed("category", "event_type")
+    },
+    Some("""
+      WITH ca AS (
+        SELECT event_type AS category, COUNT(*) AS n_a FROM events
+        WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+      cb AS (
+        SELECT event_type AS category, COUNT(*) AS n_b FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+      cells AS (
+        SELECT COALESCE(ca.category, cb.category) AS category,
+          COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+      t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM cells),
+      e AS (
+        SELECT category, n_a, n_b,
+          CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS exp_a,
+          CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS exp_b
+        FROM cells, t)
+      SELECT category AS event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        exp_a, exp_b,
+        (CASE WHEN exp_a > 0.0 THEN (CAST(n_a AS DOUBLE) - exp_a) * (CAST(n_a AS DOUBLE) - exp_a) / exp_a ELSE 0.0 END
+         + CASE WHEN exp_b > 0.0 THEN (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b ELSE 0.0 END)
+          AS chi2_contrib
+      FROM e
+    """),
+  )
 
   /** B42: weekly cohort retention — users grouped by first-activity week,
     * counted per later active week (`Retention.cohorts`). Two user-keyed
