@@ -378,6 +378,50 @@ object EventStream {
     * whole-history form. State is a fixed `steps.length + 1` longs per
     * active user, purged on flush: bounded by the active-user
     * population, never by stream length. */
+  /** Streaming distribution drift: per event-time window, the chi-square
+    * statistic of the window's category mix against a FIXED baseline
+    * mixture (shares summing to 1 — yesterday's corpus, the contract
+    * distribution). The batch `Profile.categoricalDrift` compares two
+    * snapshots; this watches a live stream against a reference and emits
+    * one (window, chi2, n) row when the watermark closes the window.
+    *
+    * Streaming constraint shapes the plan: append-mode allows ONE
+    * aggregation, and expected counts need the window total — so the
+    * category counts are conditional sums inside a single
+    * groupBy(window) (the baseline's category list is known at plan
+    * time), and the chi-square is a pure projection after the aggregate.
+    * Categories outside the baseline list count toward `n_other` (their
+    * expected share is 0 — any appearance is infinite-signal, reported
+    * as the separate count rather than folded into chi2). State is one
+    * row of K+2 longs per OPEN window. */
+  def windowedDrift(events: DataFrame, baseline: Seq[(String, Double)],
+                    catCol: String, windowDur: String = "10 minutes",
+                    watermark: String = "30 minutes"): DataFrame = {
+    require(baseline.nonEmpty, "baseline mixture must be non-empty")
+    require(math.abs(baseline.map(_._2).sum - 1.0) < 1e-9,
+      s"baseline shares must sum to 1, got ${baseline.map(_._2).sum}")
+    require(baseline.forall(_._2 > 0), "baseline shares must be positive")
+    val counts = baseline.map { case (cat, _) =>
+      sum(when(col(catCol) === cat, 1L).otherwise(0L)).as(s"__n_$cat")
+    }
+    val other = sum(when(col(catCol).isInCollection(baseline.map(_._1)), 0L)
+      .otherwise(1L)).as("n_other")
+    val agged = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(counts.head, (counts.tail :+ other :+ count(lit(1)).as("n_total")): _*)
+    val inBase = baseline.map { case (cat, _) => col(s"__n_$cat") }
+      .reduce(_ + _)
+    val chi2 = baseline.map { case (cat, share) =>
+      val exp = lit(share) * inBase.cast("double")
+      val d = col(s"__n_$cat").cast("double") - exp
+      when(exp > 0.0, d * d / exp).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    agged
+      .withColumn("chi2", chi2)
+      .select(col("window"), col("chi2"), col("n_total"), col("n_other"))
+  }
+
   case class LatestOut(user_id: Long, event_type: String, ts: Timestamp,
                        event_id: Long, value: Double)
   private[streaming] case class LatestState(tsMs: Long, eventId: Long,

@@ -272,6 +272,33 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Profile.categoricalDrift decomposes chi-square and handles one-sided categories") {
+    import graft.operators.Profile
+    val a = Seq("x", "x", "x", "y").toDF("c")       // 3 x, 1 y
+    val b = Seq("x", "y", "y", "y", "z").toDF("c")  // 1 x, 3 y, 1 z (z absent in a)
+    val out = Profile.categoricalDrift(a, b, "c")
+      .select("category", "n_a", "n_b", "exp_a", "exp_b", "chi2_contrib")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // totals: 4 vs 5; pooled x=4, y=4, z=1; exp_a = pooled*4/9
+    def expect(pooled: Long, na: Long, nb: Long): (Double, Double, Double) = {
+      val ea = pooled * 4.0 / 9.0; val eb = pooled * 5.0 / 9.0
+      (ea, eb, (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb)
+    }
+    Seq(("x", 4L, 3L, 1L), ("y", 4L, 1L, 3L), ("z", 1L, 0L, 1L)).foreach {
+      case (cat, pooled, na, nb) =>
+        val (ea, eb, chi) = expect(pooled, na, nb)
+        val r = out(cat)
+        assert(r._2 === na && r._3 === nb)
+        assert(math.abs(r._4 - ea) < 1e-12 && math.abs(r._5 - eb) < 1e-12)
+        assert(math.abs(r._6 - chi) < 1e-12, s"$cat chi2")
+    }
+    // identical distributions → zero statistic
+    val same = Profile.categoricalDrift(a, a, "c")
+      .agg(sum($"chi2_contrib")).as[Double].head()
+    assert(math.abs(same) < 1e-12)
+  }
+
   test("Dedup.editVerify scores order-sensitively where Jaccard cannot") {
     import graft.operators.Dedup
     val docs = Seq(

@@ -177,6 +177,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedDrift scores windows against the baseline mixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedDrift(mem.toDF(), Seq("view" -> 0.5, "click" -> 0.5),
+        "event_type", windowDur = "10 minutes", watermark = "10 minutes")
+      .selectExpr("window.start AS ws", "chi2", "n_total", "n_other")
+      .writeStream.format("memory").queryName("drift_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // window 10:00-10:10: 4 views, 0 clicks, 1 other
+        Event(1, t("2024-01-01 10:01:00"), 1, "view", 0.0),
+        Event(2, t("2024-01-01 10:02:00"), 2, "view", 0.0),
+        Event(3, t("2024-01-01 10:03:00"), 3, "view", 0.0),
+        Event(4, t("2024-01-01 10:04:00"), 4, "view", 0.0),
+        Event(5, t("2024-01-01 10:05:00"), 5, "error", 0.0),
+        // window 10:10-10:20: balanced
+        Event(6, t("2024-01-01 10:11:00"), 6, "view", 0.0),
+        Event(7, t("2024-01-01 10:12:00"), 7, "click", 0.0),
+      )
+      q.processAllAvailable()
+      mem.addData(Event(8, t("2024-01-01 12:00:00"), 99, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ws, chi2, n_total, n_other FROM drift_out")
+        .as[(Timestamp, Double, Long, Long)].collect()
+        .map(r => r._1.toString.substring(11, 16) -> ((r._2, r._3, r._4))).toMap
+      // window 1: inBase=4, exp 2/2 → chi2 = (4-2)^2/2 + (0-2)^2/2 = 4
+      assert(got("10:00") === ((4.0, 5L, 1L)))
+      assert(got("10:10") === ((0.0, 2L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming latestState emits the Upsert.latest winner per key at the idle horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
