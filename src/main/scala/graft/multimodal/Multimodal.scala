@@ -124,48 +124,71 @@ object Multimodal {
     private def fourcc(b: Array[Byte], i: Int): String =
       new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Find box `typ` in [start, end); returns (payloadStart, payloadEnd). */
-    private def findBox(b: Array[Byte], start: Long, end: Long, typ: String): Option[(Long, Long)] = {
+    /** All boxes of type `typ` in [start, end), in order; each entry is
+      * (payloadStart, payloadEnd). Corrupt sizes (2..7, inverted or
+      * overrunning ranges, truncated largesize) abort the walk — a
+      * stray fourcc inside payload bytes must never be re-scanned as a
+      * box (the misalignment would fabricate duration/dims). */
+    private def findBoxes(b: Array[Byte], start: Long, end: Long, typ: String): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var off = start
       while (off + 8 <= end) {
         val size0 = be32(b, off.toInt)
-        val t = fourcc(b, off.toInt + 4)
         val (payload, boxEnd) =
-          if (size0 == 1L && off + 16 <= end) (off + 16, off + be64(b, off.toInt + 8))
+          if (size0 == 1L) {
+            if (off + 16 > end) return out.toSeq // truncated largesize
+            (off + 16, off + be64(b, off.toInt + 8))
+          }
           else if (size0 == 0L) (off + 8, end) // box extends to end
+          else if (size0 < 8L) return out.toSeq // impossible size 2..7
           else (off + 8, off + size0)
-        if (boxEnd <= off || boxEnd > end) return None // corrupt size
-        if (t == typ) return Some((payload, boxEnd))
+        if (boxEnd < payload || boxEnd > end) return out.toSeq // corrupt size
+        if (fourcc(b, off.toInt + 4) == typ) out += ((payload, boxEnd))
         off = boxEnd
       }
-      None
+      out.toSeq
     }
 
-    /** (durationMs, width, height) for an ISO-BMFF payload; width/height
-      * are 0 when no video trak exists (audio-only MP4). None when the
-      * payload is not MP4-family (no leading ftyp box). */
-    def parse(b: Array[Byte]): Option[(Long, Int, Int)] = {
-      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
-      val end = b.length.toLong
-      findBox(b, 0, end, "moov").flatMap { case (moovStart, moovEnd) =>
-        findBox(b, moovStart, moovEnd, "mvhd").map { case (p, _) =>
-          val v = u8(b, p.toInt)
-          val (timescale, duration) =
-            if (v == 1) (be32(b, p.toInt + 20), be64(b, p.toInt + 24))
-            else (be32(b, p.toInt + 12), be32(b, p.toInt + 16))
-          val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
-          val dims = findBox(b, moovStart, moovEnd, "trak").flatMap { case (ts, te) =>
-            findBox(b, ts, te, "tkhd").map { case (tp, _) =>
-              val tv = u8(b, tp.toInt)
-              val base = if (tv == 1) tp + 88 else tp + 76
-              // 16.16 fixed point; integer part only
-              ((be32(b, base.toInt) >> 16).toInt, (be32(b, base.toInt + 4) >> 16).toInt)
+    private def findBox(b: Array[Byte], start: Long, end: Long, typ: String): Option[(Long, Long)] =
+      findBoxes(b, start, end, typ).headOption
+
+    /** (durationMs, width, height) for an ISO-BMFF payload; durationMs
+      * is -1 and width/height 0 when the respective headers are absent,
+      * truncated, or carry no video dimensions (audio-only MP4 — the
+      * FIRST trak with nonzero dims wins, so audio-before-video track
+      * order still resolves). None when the payload is not MP4-family
+      * (no leading ftyp box) or any box is corrupt enough to throw. */
+    def parse(b: Array[Byte]): Option[(Long, Int, Int)] =
+      try {
+        if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+        val end = b.length.toLong
+        findBox(b, 0, end, "moov").map { case (moovStart, moovEnd) =>
+          val durMs = findBox(b, moovStart, moovEnd, "mvhd").collect {
+            // bounds-checked: v1 needs 32 payload bytes, v0 needs 20
+            case (p, pe) if u8(b, p.toInt) == 1 && p + 32 <= pe =>
+              (be32(b, p.toInt + 20), be64(b, p.toInt + 24))
+            case (p, pe) if u8(b, p.toInt) == 0 && p + 20 <= pe =>
+              (be32(b, p.toInt + 12), be32(b, p.toInt + 16))
+          }.collect {
+            case (timescale, duration) if timescale > 0 => duration * 1000L / timescale
+          }.getOrElse(-1L)
+          val dims = findBoxes(b, moovStart, moovEnd, "trak").iterator
+            .flatMap { case (ts, te) =>
+              findBox(b, ts, te, "tkhd").collect {
+                case (tp, tpe) if {
+                  val base = if (u8(b, tp.toInt) == 1) tp + 88 else tp + 76
+                  base + 8 <= tpe
+                } =>
+                  val base = if (u8(b, tp.toInt) == 1) tp + 88 else tp + 76
+                  // 16.16 fixed point; integer part only
+                  ((be32(b, base.toInt) >> 16).toInt, (be32(b, base.toInt + 4) >> 16).toInt)
+              }
             }
-          }.getOrElse((0, 0))
+            .find { case (w, h) => w > 0 && h > 0 }
+            .getOrElse((0, 0))
           (durMs, dims._1, dims._2)
         }
-      }
-    }
+      } catch { case _: Exception => None }
   }
 
   /** Fill width/height/duration (and normalize mime) from the REAL
@@ -187,7 +210,8 @@ object Multimodal {
               m.copy(mime = s"audio/$fmt", duration_ms = durMs)
             case None => VideoHeader.parse(m.payload) match {
               case Some((durMs, w, h)) =>
-                m.copy(mime = "video/mp4", duration_ms = durMs,
+                m.copy(mime = "video/mp4",
+                  duration_ms = if (durMs >= 0) durMs else m.duration_ms,
                   width = if (w > 0) w else m.width,
                   height = if (h > 0) h else m.height)
               case None => m

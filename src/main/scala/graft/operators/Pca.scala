@@ -27,7 +27,7 @@ object Pca {
   /** Fitted model: `mean` (d), `components` (k rows, each d — orthonormal,
     * sorted by eigenvalue desc), `explainedVariance` (k eigenvalues). */
   final case class Model(mean: Array[Double], components: Array[Array[Double]],
-                         explainedVariance: Array[Double])
+                         explainedVariance: Array[Double], converged: Boolean)
 
   /** Buffer: [n, Σx (d), Σxxᵀ upper triangle (d(d+1)/2)]. */
   private final class MomentAgg(d: Int) extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
@@ -61,10 +61,14 @@ object Pca {
     * a copy). Returns (eigenvalues, eigenvectors as rows), both sorted
     * by eigenvalue descending; deterministic sweep order. */
   private[graft] def jacobiEigen(sym: Array[Array[Double]], sweeps: Int = 50,
-                                     tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+                                     relTol: Double = 1e-14): (Array[Double], Array[Array[Double]], Boolean) = {
     val d = sym.length
     val a = Array.tabulate(d, d)((i, j) => sym(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // tolerance RELATIVE to the matrix magnitude: an absolute cutoff
+    // never converges for large-entry covariances (silent wrong results)
+    val frob2 = sym.map(_.map(x => x * x).sum).sum
+    val tol = relTol * math.max(frob2, Double.MinPositiveValue)
     var sweep = 0
     var off = Double.MaxValue
     while (sweep < sweeps && off > tol) {
@@ -109,6 +113,7 @@ object Pca {
       }
       sweep += 1
     }
+    val converged = off <= tol
     val order = (0 until d).sortBy(i => -a(i)(i))
     val vals = order.map(i => a(i)(i)).toArray
     val vecs = order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray
@@ -119,7 +124,7 @@ object Pca {
       while (i < w.length) { if (math.abs(w(i)) > math.abs(w(bi))) bi = i; i += 1 }
       if (w(bi) < 0) { i = 0; while (i < w.length) { w(i) = -w(i); i += 1 } }
     }
-    (vals, vecs)
+    (vals, vecs, converged)
   }
 
   /** Fit on `df(vecCol)` (array of numeric, fixed dim `d`): one
@@ -147,8 +152,8 @@ object Pca {
       }
       i += 1
     }
-    val (vals, vecs) = jacobiEigen(cov)
-    Model(mean, vecs.take(k), vals.take(k))
+    val (vals, vecs, converged) = jacobiEigen(cov)
+    Model(mean, vecs.take(k), vals.take(k), converged)
   }
 
   /** Project vectors onto the model's components: adds `projCol`

@@ -46,8 +46,10 @@ object Upsert {
   def applyChangeLog(snapshot: DataFrame, changes: DataFrame,
                      keyCols: Seq[String], versionCols: Seq[String],
                      opCol: String, deleteOp: String = "D"): DataFrame =
+    // null-safe: a winner with a NULL op (e.g. snapshot rows that carry
+    // no change-op) must SURVIVE the delete filter, not silently vanish
     latest(snapshot.unionByName(changes), keyCols, versionCols)
-      .filter(col(opCol) =!= deleteOp)
+      .filter(!(col(opCol) <=> lit(deleteOp)))
 
   /** SCD-2 validity intervals from a change stream: each change row gains
     * `valid_from` (its own `tsCol`), `valid_to` (the NEXT change's ts for

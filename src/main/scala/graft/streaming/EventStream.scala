@@ -401,8 +401,13 @@ object EventStream {
     require(math.abs(baseline.map(_._2).sum - 1.0) < 1e-9,
       s"baseline shares must sum to 1, got ${baseline.map(_._2).sum}")
     require(baseline.forall(_._2 > 0), "baseline shares must be positive")
-    val counts = baseline.map { case (cat, _) =>
-      sum(when(col(catCol) === cat, 1L).otherwise(0L)).as(s"__n_$cat")
+    require(baseline.map(_._1).distinct.size == baseline.size,
+      "duplicate category in baseline")
+    // positional count aliases: category VALUES are data and must never
+    // ride through a column-name parser (a dotted category would parse
+    // as a struct-field access; duplicates would alias-collide)
+    val counts = baseline.zipWithIndex.map { case ((cat, _), i) =>
+      sum(when(col(catCol) === cat, 1L).otherwise(0L)).as(s"__n_$i")
     }
     val other = sum(when(col(catCol).isInCollection(baseline.map(_._1)), 0L)
       .otherwise(1L)).as("n_other")
@@ -410,11 +415,11 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur))
       .agg(counts.head, (counts.tail :+ other :+ count(lit(1)).as("n_total")): _*)
-    val inBase = baseline.map { case (cat, _) => col(s"__n_$cat") }
+    val inBase = baseline.indices.map(i => col(s"__n_$i"))
       .reduce(_ + _)
-    val chi2 = baseline.map { case (cat, share) =>
+    val chi2 = baseline.zipWithIndex.map { case ((_, share), i) =>
       val exp = lit(share) * inBase.cast("double")
-      val d = col(s"__n_$cat").cast("double") - exp
+      val d = col(s"__n_$i").cast("double") - exp
       when(exp > 0.0, d * d / exp).otherwise(lit(0.0))
     }.reduce(_ + _)
     agged

@@ -35,7 +35,8 @@ class DeterminismSpec extends SparkSpec {
       // window SCD-2, bloom-prefilter + exact-verify decontamination,
       // full-outer RRF fusion over two retrievers, cohort-window retention
       "q67_latest_snapshot", "q68_scd2_intervals", "q69_decontaminate_bloom",
-      "q70_hybrid_rrf", "q71_cohort_retention", "q72_zipf_slope", "q73_edit_verify")
+      "q70_hybrid_rrf", "q71_cohort_retention", "q72_zipf_slope", "q73_edit_verify",
+      "q74_category_drift")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)

@@ -217,6 +217,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoHeader.parse("not a video".getBytes) === None)
     // truncated/corrupt box sizes must not crash or loop
     assert(Multimodal.VideoHeader.parse(mp4.take(20)) === None)
+    // truncated mvhd payload: bounds check yields duration -1, dims still parse
+    val shortMvhd = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", Array[Byte](0, 0, 0, 0)) ++ box("trak", tkhd))
+    assert(Multimodal.VideoHeader.parse(shortMvhd) === Some((-1L, 640, 360)))
+    // audio trak BEFORE video trak: first trak with nonzero dims wins
+    val audioTkhd = box("tkhd", new Array[Byte](84)) // all-zero dims
+    val audioFirst = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", audioTkhd) ++ box("trak", tkhd))
+    assert(Multimodal.VideoHeader.parse(audioFirst) === Some((5000L, 640, 360)))
+    // impossible box size (2..7) aborts the walk instead of mis-scanning
+    val corrupt = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      Array[Byte](0, 0, 0, 4) ++ "moov".getBytes("US-ASCII")
+    assert(Multimodal.VideoHeader.parse(corrupt) === None)
 
     val items = Seq(
       Multimodal.MediaItem(7L, "video", mp4, "application/octet-stream", -1, -1, -1L)).toDS()

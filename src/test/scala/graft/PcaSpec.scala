@@ -8,7 +8,8 @@ class PcaSpec extends SparkSpec {
 
   test("jacobiEigen diagonalizes a known symmetric matrix") {
     // [[2, 1], [1, 2]] has eigenvalues 3 (vec (1,1)/√2) and 1 (vec (1,-1)/√2)
-    val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val (vals, vecs, converged) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(converged)
     assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
     val inv = 1.0 / math.sqrt(2)
     assert(vecs(0).zip(Array(inv, inv)).forall(p => math.abs(p._1 - p._2) < 1e-12))
@@ -23,6 +24,7 @@ class PcaSpec extends SparkSpec {
     val pts = Seq(Seq(1.0, 5.0), Seq(-1.0, 5.0), Seq(2.0, 5.0), Seq(-2.0, 5.0))
       .toDF("vec")
     val m = Pca.fit(pts, "vec", d = 2, k = 2)
+    assert(m.converged)
     assert(m.mean.toSeq === Seq(0.0, 5.0))
     assert(math.abs(m.explainedVariance(0) - 2.5) < 1e-12)
     assert(math.abs(m.explainedVariance(1)) < 1e-12)
@@ -40,8 +42,6 @@ class PcaSpec extends SparkSpec {
     // projections recover the amplitudes (up to global sign)
     val proj = Pca.transform(pts, "vec", m).select("proj")
       .as[Seq[Double]].collect().map(_.head)
-    assert(proj.map(math.abs).sorted.toSeq === Seq(1.0, 1.0, 2.0, 2.0).map(a =>
-      proj.map(math.abs).sorted.toSeq(amps.map(math.abs).sorted.indexOf(a))))
     val sign = math.signum(proj(0))
     amps.zip(proj).foreach { case (a, p) => assert(math.abs(p - sign * a) < 1e-9) }
   }
@@ -67,6 +67,14 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(v - m.explainedVariance(i)) <= 1e-6 * math.max(1.0, v),
         s"component $i: projected variance $v != eigenvalue ${m.explainedVariance(i)}")
     }
+  }
+
+  test("jacobiEigen converges on large-magnitude matrices (relative tolerance)") {
+    // entries ~1e6: an absolute 1e-12 cutoff would never be reached
+    val (vals, _, converged) = Pca.jacobiEigen(
+      Array(Array(2e6, 1e6), Array(1e6, 2e6)))
+    assert(converged)
+    assert(math.abs(vals(0) - 3e6) < 1e-3 && math.abs(vals(1) - 1e6) < 1e-3)
   }
 
   test("fit agrees on the real embeddings table and partitioning doesn't change it") {

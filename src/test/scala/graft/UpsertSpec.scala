@@ -82,6 +82,16 @@ class UpsertSpec extends SparkSpec {
       .select("key", "value").as[(String, String)].collect().toMap
     assert(out === Map("k1" -> "one-v2", "k3" -> "three-v1", "k4" -> "four-newer"))
 
+    // a winning row with a NULL op (snapshot rows that carry no
+    // change-op) must survive the delete filter, not silently vanish
+    val nullOp = Seq(
+      ("k9", t("2024-01-05 00:00:00"), 8L, Option.empty[String], "nine-v1"),
+    ).toDF("key", "ts", "id", "op", "value")
+    val out3 = Upsert.applyChangeLog(nullOp, changes,
+        Seq("key"), Seq("ts", "id"), "op")
+      .select("key").as[String].collect().toSet
+    assert(out3.contains("k9"), "null-op winner silently dropped")
+
     // delete-then-reinsert within the same log revives the key
     val revive = changes.union(Seq(
       ("k2", t("2024-01-03 00:00:00"), 7L, "I", "two-v2")).toDF("key", "ts", "id", "op", "value"))
