@@ -704,7 +704,7 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square
@@ -744,6 +744,33 @@ object SignalQueries {
          + CASE WHEN exp_b > 0.0 THEN (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b ELSE 0.0 END)
           AS chi2_contrib
       FROM e
+    """),
+  )
+
+  /** B44: CUBE over (event_type, band) — all four grouping combinations
+    * from one declared aggregation (Spark Expand + single shuffle), the
+    * every-slice rollup a results dashboard wants. Completes the
+    * grouping-sets surface next to q09's ROLLUP. */
+  private lazy val q75 = Q(
+    "q75_cube",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("band", Signal.bandOf(col("value")))
+        .cube("event_type", "band")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+    Some("""
+      WITH e AS (
+        SELECT event_type, value, CASE
+          WHEN value >= 0.0 AND value < 50.0 THEN 'UHF'
+          WHEN value >= 50.0 AND value < 150.0 THEN 'LBAND'
+          WHEN value >= 150.0 AND value < 250.0 THEN 'SBAND_0'
+          WHEN value >= 250.0 AND value < 350.0 THEN 'SBAND_1'
+          WHEN value >= 350.0 AND value < 500.0 THEN 'SBAND_2'
+          ELSE 'UNKNOWN' END AS band
+        FROM events)
+      SELECT event_type, band, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY CUBE(event_type, band)
     """),
   )
 

@@ -272,6 +272,35 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Profile sketch columns merge incrementally without rescanning") {
+    import graft.operators.Profile
+    val docs = (1 to 400).map(i => (s"u${i % 97}", if (i % 2 == 0) "a" else "b", s"d${i % 13}"))
+      .toDF("user", "source", "day")
+    val perDay = Profile.distinctSketches(docs, Seq("source", "day"), "user")
+    assert(perDay.count() === 26) // 2 sources × 13 days, one sketch each
+
+    // union up to source and overall; estimates match the exact counts
+    // (97 distinct users, well inside lgK=12 resolution — exact here)
+    val bySource = Profile.mergeSketchCounts(perDay, Seq("source"))
+      .select("source", "n_distinct_est").as[(String, Long)].collect().toMap
+    val exactBySource = docs.groupBy("source")
+      .agg(countDistinct($"user")).as[(String, Long)].collect().toMap
+    assert(bySource === exactBySource)
+    val overall = Profile.mergeSketchCounts(perDay, Nil)
+      .select("n_distinct_est").as[Long].head()
+    assert(overall === 97L)
+
+    // merging stored sketches == sketching the union (incremental append)
+    val h1 = Profile.distinctSketches(docs.filter($"day" < "d5"), Seq("source"), "user")
+    val h2 = Profile.distinctSketches(docs.filter($"day" >= "d5"), Seq("source"), "user")
+    val incr = Profile.mergeSketchCounts(h1.union(h2), Seq("source"))
+      .select("source", "n_distinct_est").as[(String, Long)].collect().toMap
+    val direct = Profile.mergeSketchCounts(
+        Profile.distinctSketches(docs, Seq("source"), "user"), Seq("source"))
+      .select("source", "n_distinct_est").as[(String, Long)].collect().toMap
+    assert(incr === direct)
+  }
+
   test("Profile.categoricalDrift decomposes chi-square and handles one-sided categories") {
     import graft.operators.Profile
     val a = Seq("x", "x", "x", "y").toDF("c")       // 3 x, 1 y
