@@ -120,14 +120,21 @@ object Profile {
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val totals = cells.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    // totals via a global window over the CATEGORY-SIZED cells frame — a
+    // separate aggregate + crossJoin would recompute both count subtrees
+    // (two extra scans of each snapshot, the q71 double-subtree trap);
+    // the unpartitioned window is fine because cells is already tiny
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val totA = sum(col("n_a")).over(all)
+    val totB = sum(col("n_b")).over(all)
     val pooled = (col("n_a") + col("n_b")).cast("double")
-    val grand = (col("tot_a") + col("tot_b")).cast("double")
-    val expA = pooled * col("tot_a").cast("double") / grand
-    val expB = pooled * col("tot_b").cast("double") / grand
+    val grand = (totA + totB).cast("double")
+    val expA = pooled * totA.cast("double") / grand
+    val expB = pooled * totB.cast("double") / grand
     val da = col("n_a").cast("double") - col("exp_a")
     val db = col("n_b").cast("double") - col("exp_b")
-    cells.crossJoin(broadcast(totals))
+    cells
       .withColumn("exp_a", expA)
       .withColumn("exp_b", expB)
       .withColumn("chi2_contrib",
