@@ -704,7 +704,7 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square
@@ -744,6 +744,43 @@ object SignalQueries {
          + CASE WHEN exp_b > 0.0 THEN (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b ELSE 0.0 END)
           AS chi2_contrib
       FROM e
+    """),
+  )
+
+  /** B45: built-in `session_window` sessionization — per-user gap
+    * sessions as ONE aggregation (Spark merges windows inside the
+    * aggregate; works identically in Structured Streaming), next to
+    * q25's explicit lag/cumsum sessionizer. A session's end is
+    * last-event + gap; a new session opens when the gap is ≥ the
+    * duration, which the island-pattern oracle mirrors with >=. */
+  private lazy val q76 = Q(
+    "q76_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n"), col("sum_value")),
+    Some("""
+      WITH o AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+      f AS (
+        SELECT user_id, tus, value,
+          CASE WHEN LAG(tus) OVER w IS NULL
+                 OR tus - LAG(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      g AS (
+        SELECT user_id, tus, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id,
+        MIN(tus) AS session_start_us,
+        MAX(tus) + 1800000000 AS session_end_us,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid
     """),
   )
 
