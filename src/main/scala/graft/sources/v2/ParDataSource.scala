@@ -132,12 +132,37 @@ final class ParScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   // the session's Hadoop conf (captured at planning time on the driver),
   // shipped to readers serializably
   private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Byte-size statistics from the (pruned) file listing, so Catalyst's
+    * size estimates — broadcast-join thresholds above all — see the real
+    * scan size instead of defaulting to "unknown/huge". Ephemeris
+    * catalogs are exactly the kind of side table a query joins broadcast. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long =
+      try {
+        val conf = hadoopConf.value
+        prunedFiles().map { f =>
+          val p = new Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      } catch { case _: Exception => Long.MaxValue }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  private def prunedFiles(): Seq[String] = {
+    val files = ParDataSource.listFiles(paths, hadoopConf.value)
+    allowed("source_file") match {
+      case Some(ok) => files.filter(ok.contains)
+      case None => files
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -151,16 +176,10 @@ final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filt
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = ParDataSource.listFiles(paths, hadoopConf.value)
+  override def planInputPartitions(): Array[InputPartition] =
     // partition pruning: a pushed source_file filter drops whole files
     // from the scan before any task launches
-    val kept = allowed("source_file") match {
-      case Some(ok) => files.filter(ok.contains)
-      case None => files
-    }
-    kept.map(f => ParInputPartition(f): InputPartition).toArray
-  }
+    prunedFiles().map(f => ParInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ParReaderFactory(required, allowed("param"), hadoopConf)

@@ -70,6 +70,25 @@ class ParDataSourceSpec extends SparkSpec {
       === Set(9.59444, 173.6879))
   }
 
+  test("scan reports real byte statistics, shrunk by file pruning") {
+    import graft.sources.v2.{ParScanBuilder}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def stats(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val b = new ParScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    }
+    val total = stats(Array.empty)
+    assert(total === parA.getBytes("UTF-8").length + parB.getBytes("UTF-8").length)
+    val aPath = read().select("source_file").distinct()
+      .as[String].collect().find(_.endsWith("a.par")).get
+    val pruned = stats(Array(org.apache.spark.sql.sources.EqualTo("source_file", aPath)))
+    assert(pruned === parA.getBytes("UTF-8").length,
+      "pushed source_file filter must shrink the size estimate")
+  }
+
   test("source_file equality prunes whole files from the partition list") {
     val aPath = read().select("source_file").distinct()
       .as[String].collect().find(_.endsWith("a.par")).get
