@@ -903,20 +903,25 @@ object TextQueries {
       val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
       val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
-      Dedup.editVerify(pairs, d, "text", "doc_id")
+      Dedup.editVerify(pairs, d, "text", "doc_id", maxDist = 64)
         .select("a_id", "b_id", "edit_dist", "edit_sim")
     },
     Some("""
       WITH d AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS ntok FROM documents),
       pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.text AS ta, b.text AS tb
-        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id)
+        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id),
+      l AS (
+        SELECT a_id, b_id, ta, tb,
+          CASE WHEN levenshtein(ta, tb) > 64 THEN 65
+               ELSE levenshtein(ta, tb) END AS lev
+        FROM pairs)
       SELECT a_id, b_id,
-        CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+        CAST(lev AS BIGINT) AS edit_dist,
         CASE WHEN GREATEST(length(ta), length(tb)) = 0 THEN 1.0
-             ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+             ELSE 1.0 - CAST(lev AS DOUBLE)
                   / CAST(GREATEST(length(ta), length(tb)) AS DOUBLE) END AS edit_sim
-      FROM pairs
+      FROM l
     """),
   )
 

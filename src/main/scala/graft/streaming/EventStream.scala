@@ -427,6 +427,22 @@ object EventStream {
       .select(col("window"), col("chi2"), col("n_total"), col("n_other"))
   }
 
+  /** Built-in `session_window` sessionization on a STREAM — the
+    * one-aggregation form of [[sessionized]] (which uses explicit
+    * flatMapGroupsWithState for custom state/emission control): Spark
+    * merges a user's session windows inside the aggregate, emits a
+    * session once the watermark passes its end (last event + gap), and
+    * drops its state. Same operator call as batch q76 — the API is the
+    * point: one sessionization declaration, both execution modes. */
+  def sessionWindowed(events: DataFrame, gap: String = "30 minutes",
+                      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("start"), col("sw.end").as("end"),
+        col("n_events"), col("sum_value"))
+
   case class LatestOut(user_id: Long, event_type: String, ts: Timestamp,
                        event_id: Long, value: Double)
   private[streaming] case class LatestState(tsMs: Long, eventId: Long,

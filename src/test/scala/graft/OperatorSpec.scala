@@ -349,6 +349,15 @@ class OperatorSpec extends SparkSpec {
     val j = Dedup.jaccardVerify(pairs.filter($"b_id" === 2L), docs, "text", "doc_id")
       .select("jaccard").as[Double].head()
     assert(j === 1.0)
+
+    // banded cap: below the cap the distance is exact; beyond it the
+    // pair reports maxDist+1 (far pairs are not near-dups — exact
+    // distance is paid-for noise)
+    val capped = Dedup.editVerify(pairs, docs, "text", "doc_id", maxDist = 1)
+      .select("a_id", "b_id", "edit_dist").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped((1L, 3L)) === 0L, "exact below the cap")
+    assert(capped((1L, 2L)) === 2L, "dist 2 at cap 1 reports cap+1")
   }
 
   test("Profile.zipf fits the log-log frequency slope over top-k words") {

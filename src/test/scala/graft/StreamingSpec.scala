@@ -177,6 +177,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window emits merged sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionWindowed(mem.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .selectExpr("user_id", "start", "end", "n_events", "sum_value")
+      .writeStream.format("memory").queryName("sw_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // u1: two events 20 min apart -> ONE session (gap < 30m)
+        Event(1, t("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, t("2024-01-01 10:20:00"), 1, "view", 2.0),
+        // u1: 40 min later -> a SECOND session
+        Event(3, t("2024-01-01 11:00:00"), 1, "view", 4.0),
+      )
+      q.processAllAvailable()
+      mem.addData(Event(9, t("2024-01-01 13:00:00"), 99, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, start, end, n_events, sum_value FROM sw_out WHERE user_id = 1")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .sortBy(_._2.getTime)
+      assert(got.length === 2, s"expected two sessions: ${got.toSeq}")
+      assert(got(0)._4 === 2L && got(0)._5 === 3.0)
+      assert(got(0)._3 === t("2024-01-01 10:50:00"), "session end = last event + gap")
+      assert(got(1)._4 === 1L && got(1)._5 === 4.0)
+    } finally q.stop()
+  }
+
   test("streaming windowedDrift scores windows against the baseline mixture") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
