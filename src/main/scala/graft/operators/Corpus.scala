@@ -332,4 +332,38 @@ object Corpus {
         floor((col("__cum") - col("n_tokens")).cast("double") / lit(budget.toDouble)))
       .drop("__cum")
   }
+
+  /** Split documents into overlapping fixed-token-window chunks — the
+    * context-window preparation step between cleaning and tokenization
+    * (a 50k-word doc cannot feed a 4k-token context; training pipelines
+    * chunk with overlap so no boundary sentence is seen by zero chunks).
+    * Chunk i covers words [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens − overlapTokens; every doc emits ≥ 1 chunk
+    * (short docs yield one short chunk). Deterministic chunk ids.
+    *
+    * Pure map stage: split → per-row chunk-count arithmetic →
+    * posexplode of a generated index sequence → slice/join. No shuffle
+    * at all; composes with [[packShards]] downstream. Output:
+    * (idCol, chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    // exact while n < 2^50: (n - overlap + stride - 1) / stride, min 1
+    val nChunks = greatest(lit(1L),
+      floor(((n - lit(overlapTokens) + lit(stride) - 1).cast("double")) / lit(stride.toDouble))
+        .cast("long"))
+    df.select(col(idCol), ws.as("__ws"), nChunks.as("__nc"))
+      .select(col(idCol), col("__ws"),
+        posexplode(sequence(lit(0L), col("__nc") - 1L)).as(Seq("__p", "chunk_idx")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

@@ -925,6 +925,33 @@ object TextQueries {
     """),
   )
 
+  /** C51: context-window chunking (`Corpus.chunkDocuments`) — docs split
+    * into overlapping 32-word chunks (stride 24): the preparation step
+    * between cleaning and tokenization so no boundary sentence is seen
+    * by zero chunks. Pure map stage (split → chunk-count arithmetic →
+    * posexplode → slice/join), zero shuffles. */
+  private val q77 = Q(
+    "q77_chunk_docs",
+    (s, dir) =>
+      graft.operators.Corpus.chunkDocuments(
+        Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+        "text", "doc_id", chunkTokens = 32, overlapTokens = 8),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+          GREATEST(1, CAST(FLOOR((n - 8 + 24 - 1) / 24.0) AS BIGINT)) AS nch
+        FROM w)
+      SELECT doc_id, i AS chunk_idx,
+        array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+        CAST(len(list_slice(ws, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+      FROM c, LATERAL unnest(generate_series(0, nch - 1)) AS t(i)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77)
 }

@@ -272,6 +272,30 @@ class OperatorSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("Corpus.chunkDocuments splits with overlap and keeps short docs whole") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "text", "doc_id", chunkTokens = 4, overlapTokens = 1)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // stride 3: starts 0,3,6,9 → ceil((10-1)/3)=3 chunks at 0/3/6;
+    // formula: (10-1+3-1)/3 = 11/3 → 3 chunks (start 9 dropped: its
+    // content is covered up to overlap; chunk 2 ends at word 10)
+    val d1 = out(1L)
+    assert(d1.map(_._3) === Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4) === Seq(4L, 4L, 4L))
+    // consecutive chunks overlap by exactly overlapTokens words
+    d1.sliding(2).foreach { p =>
+      val a = p(0)._3.split(" "); val b = p(1)._3.split(" ")
+      assert(a.takeRight(1).toSeq === b.take(1).toSeq)
+    }
+    assert(out(2L) === Seq((2L, 0L, "a b c", 3L)))
+  }
+
   test("Profile sketch columns merge incrementally without rescanning") {
     import graft.operators.Profile
     val docs = (1 to 400).map(i => (s"u${i % 97}", if (i % 2 == 0) "a" else "b", s"d${i % 13}"))
