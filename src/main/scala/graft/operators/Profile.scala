@@ -175,4 +175,34 @@ object Profile {
     merged.withColumn("n_distinct_est", hll_sketch_estimate(col("merged")))
       .drop("merged")
   }
+
+  /** Snapshot diff between two versions of a keyed table: each key is
+    * `added` (only in b), `removed` (only in a), `changed` (both, value
+    * fingerprint differs) or `unchanged` — the corpus-version diff run
+    * before promoting a new crawl/pipeline output ("today's corpus
+    * dropped 12% of yesterday's docs" should fail loudly, not surface in
+    * a training run). Value comparison is by md5 fingerprint so
+    * arbitrarily wide value columns diff at fixed cost.
+    *
+    * One full-outer join on the key (both sides shuffle-keyed the same
+    * way — co-partitioned under AQE), classification is a pure
+    * projection. Output: (diff_status, n, n_keys_total). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                   valueCol: String): DataFrame = {
+    val av = a.select(col(keyCol).as("__k"), md5(col(valueCol).cast("string")).as("__ha"))
+    val bv = b.select(col(keyCol).as("__k"), md5(col(valueCol).cast("string")).as("__hb"))
+    val status = when(col("__ha").isNull, lit("added"))
+      .when(col("__hb").isNull, lit("removed"))
+      .when(col("__ha") === col("__hb"), lit("unchanged"))
+      .otherwise(lit("changed"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    av.join(bv, Seq("__k"), "full_outer")
+      .select(status.as("diff_status"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_keys_total", sum(col("n")).over(all))
+  }
 }

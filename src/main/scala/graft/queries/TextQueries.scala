@@ -952,6 +952,39 @@ object TextQueries {
     """),
   )
 
+  /** C52: corpus snapshot diff (`Profile.snapshotDiff`) — version A =
+    * docs below the id midpoint, version B drops ids ≡ 0 (mod 7) and
+    * rewrites ids ≡ 0 (mod 5): added/removed/changed/unchanged counts
+    * from ONE key-keyed full-outer join + md5 value fingerprints. The
+    * promote-or-fail check between pipeline runs. */
+  private val q78 = Q(
+    "q78_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val a = docs.filter(col("doc_id") < 250)
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Profile.snapshotDiff(a, b, "doc_id", "text")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 250),
+      b AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+            FROM documents WHERE doc_id % 7 <> 0),
+      j AS (
+        SELECT CASE
+            WHEN a.h IS NULL THEN 'added'
+            WHEN b.h IS NULL THEN 'removed'
+            WHEN a.h = b.h THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+      c AS (SELECT diff_status, COUNT(*) AS n FROM j GROUP BY 1)
+      SELECT diff_status, n, CAST(SUM(n) OVER () AS BIGINT) AS n_keys_total FROM c
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78)
 }
