@@ -156,11 +156,14 @@ object Dedup {
     * Cost is O(len_a·len_b) PER PAIR unbounded — which is exactly why
     * this is a verify stage: run it on LSH/blocked candidates only,
     * never as a corpus-wide measure. `maxDist` caps the computation with
-    * Spark's BANDED levenshtein (O(len·maxDist) per pair): any pair
-    * beyond the cap reports maxDist+1 — a near-dup policy only needs
-    * "distance ≤ τ·len", so the exact distance of a far pair is paid-for
-    * noise. At sf0.1 the cap cut this stage ~5×; production calls
-    * should always pass one. Same candidate-restricted join shape as
+    * Spark's BANDED levenshtein (O(len·maxDist) per pair): a pair beyond
+    * the cap reports edit_dist = maxDist+1 (sentinel) and edit_sim NULL
+    * — similarity is UNKNOWN there, and back-computing it from the
+    * sentinel would overstate it (dist 500 capped at 65 on 1000 chars
+    * would read as 0.935 "similarity"). Choose maxDist ≥ (1−τ)·max_len
+    * for a keep-threshold τ so every pair the policy could keep is
+    * measured exactly. At sf0.1 the cap cut this stage ~5×; production
+    * calls should always pass one. Same candidate-restricted join shape as
     * [[jaccardVerify]]: text lookup cost follows the candidate count,
     * not the corpus size. */
   def editVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
@@ -181,7 +184,8 @@ object Dedup {
       .join(cand.select(col("__tid").as("b_id"), col("__txt").as("__tb")), Seq("b_id"))
       .withColumn("edit_dist", dist)
       .withColumn("edit_sim",
-        when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
+        when(col("edit_dist") > maxDist, lit(null).cast("double"))
+          .when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
           .otherwise(lit(1.0) - col("edit_dist").cast("double") /
             greatest(length(col("__ta")), length(col("__tb"))).cast("double")))
       .select(col("a_id"), col("b_id"), col("edit_dist"), col("edit_sim"))

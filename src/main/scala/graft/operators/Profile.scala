@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One global frame over an already-tiny frame (totals-next-to-rows
+    * without re-aggregating the subtree). Callers must only apply this
+    * to category/cell-sized data — it is a single-partition window. */
+  private val unboundedAll = org.apache.spark.sql.expressions.Window
+    .partitionBy().rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+
   /** Profile numeric (or numeric-castable) columns. `approx = true`
     * swaps the exact multi-distinct for HLL sketches — same single-scan
     * shape with mergeable partials and no Expand, the 100 TB form
@@ -124,10 +132,8 @@ object Profile {
     // separate aggregate + crossJoin would recompute both count subtrees
     // (two extra scans of each snapshot, the q71 double-subtree trap);
     // the unpartitioned window is fine because cells is already tiny
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val totA = sum(col("n_a")).over(all)
-    val totB = sum(col("n_b")).over(all)
+    val totA = sum(col("n_a")).over(unboundedAll)
+    val totB = sum(col("n_b")).over(unboundedAll)
     val pooled = (col("n_a") + col("n_b")).cast("double")
     val grand = (totA + totB).cast("double")
     val expA = pooled * totA.cast("double") / grand
@@ -189,20 +195,21 @@ object Profile {
     * projection. Output: (diff_status, n, n_keys_total). */
   def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
                    valueCol: String): DataFrame = {
-    val av = a.select(col(keyCol).as("__k"), md5(col(valueCol).cast("string")).as("__ha"))
-    val bv = b.select(col(keyCol).as("__k"), md5(col(valueCol).cast("string")).as("__hb"))
-    val status = when(col("__ha").isNull, lit("added"))
-      .when(col("__hb").isNull, lit("removed"))
-      .when(col("__ha") === col("__hb"), lit("unchanged"))
+    // explicit presence flags: a NULL value hashes to NULL, which must
+    // not read as "key absent" (null-text docs present in both versions
+    // are unchanged, not added) — hashes compare null-safely instead
+    val av = a.select(col(keyCol).as("__k"),
+      md5(col(valueCol).cast("string")).as("__ha"), lit(true).as("__pa"))
+    val bv = b.select(col(keyCol).as("__k"),
+      md5(col(valueCol).cast("string")).as("__hb"), lit(true).as("__pb"))
+    val status = when(col("__pa").isNull, lit("added"))
+      .when(col("__pb").isNull, lit("removed"))
+      .when(col("__ha") <=> col("__hb"), lit("unchanged"))
       .otherwise(lit("changed"))
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     av.join(bv, Seq("__k"), "full_outer")
       .select(status.as("diff_status"))
       .groupBy("diff_status")
       .agg(count(lit(1)).as("n"))
-      .withColumn("n_keys_total", sum(col("n")).over(all))
+      .withColumn("n_keys_total", sum(col("n")).over(unboundedAll))
   }
 }

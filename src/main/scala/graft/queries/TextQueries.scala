@@ -918,7 +918,8 @@ object TextQueries {
         FROM pairs)
       SELECT a_id, b_id,
         CAST(lev AS BIGINT) AS edit_dist,
-        CASE WHEN GREATEST(length(ta), length(tb)) = 0 THEN 1.0
+        CASE WHEN lev > 64 THEN NULL
+             WHEN GREATEST(length(ta), length(tb)) = 0 THEN 1.0
              ELSE 1.0 - CAST(lev AS DOUBLE)
                   / CAST(GREATEST(length(ta), length(tb)) AS DOUBLE) END AS edit_sim
       FROM l
@@ -975,9 +976,9 @@ object TextQueries {
             FROM documents WHERE doc_id % 7 <> 0),
       j AS (
         SELECT CASE
-            WHEN a.h IS NULL THEN 'added'
-            WHEN b.h IS NULL THEN 'removed'
-            WHEN a.h = b.h THEN 'unchanged'
+            WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h IS NOT DISTINCT FROM b.h THEN 'unchanged'
             ELSE 'changed' END AS diff_status
         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
       c AS (SELECT diff_status, COUNT(*) AS n FROM j GROUP BY 1)

@@ -65,12 +65,14 @@ object ParDataSource {
     StructField("num_value", DoubleType, nullable = true),
     StructField("err", DoubleType, nullable = true)))
 
-  /** Resolve the load path(s) to the concrete file list (driver-side
-    * listing only — parsing stays on executors). Directories expand one
-    * level, like Spark's text source with default settings. Uses the
-    * session's Hadoop configuration (spark.hadoop.* — S3 credentials,
+  /** Resolve the load path(s) to the concrete (file, byteLength) list
+    * (driver-side listing only — parsing stays on executors). Directories
+    * expand one level, like Spark's text source with default settings.
+    * Lengths come FROM the listing RPCs (listStatus/getFileStatus carry
+    * them) so statistics never pay a second round-trip per file. Uses
+    * the session's Hadoop configuration (spark.hadoop.* — S3 credentials,
     * defaultFS, kerberos), not a bare classpath Configuration. */
-  private[v2] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+  private[v2] def listFiles(paths: Seq[String], conf: Configuration): Seq[(String, Long)] = {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -78,8 +80,8 @@ object ParDataSource {
       if (st.isDirectory) {
         fs.listStatus(path).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      } else Seq(st.getPath.toString)
+          .map(s => (s.getPath.toString, s.getLen))
+      } else Seq((st.getPath.toString, st.getLen))
     }
   }
 }
@@ -139,29 +141,26 @@ final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filt
   private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
+  // one listing per Scan instance, shared by partition planning and
+  // statistics; lengths ride along from the listing RPCs
+  private lazy val prunedFiles: Seq[(String, Long)] = {
+    val files = ParDataSource.listFiles(paths, hadoopConf.value)
+    allowed("source_file") match {
+      case Some(ok) => files.filter(f => ok.contains(f._1))
+      case None => files
+    }
+  }
+
   /** Byte-size statistics from the (pruned) file listing, so Catalyst's
     * size estimates — broadcast-join thresholds above all — see the real
     * scan size instead of defaulting to "unknown/huge". Ephemeris
     * catalogs are exactly the kind of side table a query joins broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes: Long =
-      try {
-        val conf = hadoopConf.value
-        prunedFiles().map { f =>
-          val p = new Path(f)
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        }.sum
-      } catch { case _: Exception => Long.MaxValue }
+    private val bytes: Long =
+      try prunedFiles.map(_._2).sum
+      catch { case _: Exception => Long.MaxValue }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-  }
-
-  private def prunedFiles(): Seq[String] = {
-    val files = ParDataSource.listFiles(paths, hadoopConf.value)
-    allowed("source_file") match {
-      case Some(ok) => files.filter(ok.contains)
-      case None => files
-    }
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -179,7 +178,7 @@ final class ParScan(paths: Seq[String], required: StructType, pushed: Array[Filt
   override def planInputPartitions(): Array[InputPartition] =
     // partition pruning: a pushed source_file filter drops whole files
     // from the scan before any task launches
-    prunedFiles().map(f => ParInputPartition(f): InputPartition).toArray
+    prunedFiles.map(f => ParInputPartition(f._1): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ParReaderFactory(required, allowed("param"), hadoopConf)

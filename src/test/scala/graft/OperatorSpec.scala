@@ -378,10 +378,13 @@ class OperatorSpec extends SparkSpec {
     // pair reports maxDist+1 (far pairs are not near-dups — exact
     // distance is paid-for noise)
     val capped = Dedup.editVerify(pairs, docs, "text", "doc_id", maxDist = 1)
-      .select("a_id", "b_id", "edit_dist").as[(Long, Long, Long)]
-      .collect().map(r => (r._1, r._2) -> r._3).toMap
-    assert(capped((1L, 3L)) === 0L, "exact below the cap")
-    assert(capped((1L, 2L)) === 2L, "dist 2 at cap 1 reports cap+1")
+      .select("a_id", "b_id", "edit_dist", "edit_sim")
+      .as[(Long, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(capped((1L, 3L)) === ((0L, Some(1.0))), "exact below the cap")
+    assert(capped((1L, 2L))._1 === 2L, "dist 2 at cap 1 reports cap+1")
+    assert(capped((1L, 2L))._2.isEmpty,
+      "capped pair similarity is UNKNOWN — a back-computed value would overstate it")
   }
 
   test("Profile.zipf fits the log-log frequency slope over top-k words") {
