@@ -27,6 +27,37 @@ object SkewJoin {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Measure-then-route selective salting: keys whose LEFT-side row
+    * count exceeds `heavyThreshold` go through the salted join (hot
+    * work spread over `saltBuckets` tasks, right rows for those keys
+    * replicated `saltBuckets`×); every other key takes the plain
+    * equi-join with zero replication. [[salted]] alone replicates the
+    * WHOLE right side — ruinous when only a handful of keys are hot,
+    * which is what real skew looks like. Cost of the diagnosis: one
+    * map-side-combining count over the left (its result is
+    * keys-over-threshold sized → broadcast).
+    *
+    * Semantically identical to `left.join(right, key)` for any
+    * threshold (spec-asserted): routing partitions the left rows by
+    * heaviness, and a non-heavy left row can never match a heavy-only
+    * right row under an equi-join. */
+  def autoSalted(left: DataFrame, right: DataFrame, key: String,
+                 scatterCol: String, saltBuckets: Int,
+                 heavyThreshold: Long): DataFrame = {
+    require(heavyThreshold >= 1, s"heavyThreshold must be >= 1, got $heavyThreshold")
+    val heavy = broadcast(
+      left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > heavyThreshold)
+        .select(col(key)))
+    val plain = left.join(heavy, Seq(key), "left_anti")
+      .join(right, Seq(key))
+    val hot = salted(
+      left.join(heavy, Seq(key), "left_semi"),
+      right.join(heavy, Seq(key), "left_semi"),
+      key, scatterCol, saltBuckets)
+    plain.unionByName(hot)
+  }
+
   /** Exact heavy-hitter report — the skew diagnosis run BEFORE choosing
     * a salting/bucketing strategy: the `k` most frequent key tuples with
     * their counts and share of all rows. One map-side-combining count

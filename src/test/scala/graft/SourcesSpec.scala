@@ -53,4 +53,21 @@ class SourcesSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
+
+  test("SkewJoin.autoSalted routes only heavy keys through salting, same results") {
+    // "hot" has 100 left rows (duplicated id values exercise multiset
+    // equality); every other key has exactly 1
+    val left = ((1 to 900).map(i => (s"k$i", i.toLong)) ++
+      (1 to 100).map(i => ("hot", (i % 7).toLong))).toDF("key", "id")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("nomatch", "X"))
+      .toDF("key", "tag")
+    val plain = left.join(right, Seq("key"))
+      .select("key", "id", "tag").collect().map(_.toString).sorted.toSeq
+    Seq(1L, 50L, 10000L).foreach { thr => // heavy set = {hot}, {hot}, {}
+      val auto = SkewJoin.autoSalted(left, right, "key", "id",
+          saltBuckets = 8, heavyThreshold = thr)
+        .select("key", "id", "tag").collect().map(_.toString).sorted.toSeq
+      assert(auto === plain, s"threshold $thr diverged")
+    }
+  }
 }
