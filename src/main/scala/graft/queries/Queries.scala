@@ -435,7 +435,31 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68)
+  /** A20: top-k per group WITH TIES — rank() keeps every row tied at the
+    * boundary (row_number's arbitrary tie-cut loses documents that score
+    * identically). The custom TopKPerKey rewrite is row_number-only by
+    * design; this form rides Spark's built-in InferWindowGroupLimit
+    * (map-side group-limit pruning before the shuffle), so both pruning
+    * mechanisms stay covered. */
+  private lazy val q79 = Q(
+    "q79_topk_ties",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+      Tables.part(s, dir)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 2)
+    },
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+        FROM part) t
+      WHERE rnk <= 2
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all
