@@ -375,6 +375,55 @@ object Dedup {
   /** Shared survivor tail of the one-call dedup pipelines: resolve the
     * verified pair graph to clusters, drop every doc that is not its
     * cluster's min-id survivor. */
+  /** [[survivors]] with a CONFIGURABLE survivor policy: each cluster
+    * keeps the doc maximizing `orderCol` (ties to the smaller id) —
+    * real pipelines keep the LONGEST or highest-quality copy, not the
+    * smallest id (a near-dup cluster often holds one full article and
+    * several truncated scrapes; min-id keeps whichever crawled first).
+    * `orderCol` must be computable from a `docs` row (e.g.
+    * `length(col("text"))` or a quality score).
+    *
+    * Winner selection rides TopKPerKey k=1 per cluster (bounded heaps,
+    * one row per cluster per partition over the shuffle); the winner
+    * list joins back keyed on cluster_id. */
+  def survivorsBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  orderCol: org.apache.spark.sql.Column): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    val withC = docs.select(col(idCol).as("doc_id"), orderCol.as("__ord"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("__ord"))
+    val winners = graft.plans.TopK.perKey(withC, Seq("cluster_id"),
+        Seq(graft.plans.TopK.desc("__ord"), graft.plans.TopK.asc("doc_id")), k = 1)
+      .select(col("cluster_id"), col("doc_id").as("__winner"))
+    withC.join(winners, Seq("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("__winner")).cast("long"))
+      .select("doc_id", "cluster_id", "keep")
+  }
+
+  /** [[dedupCorpus]] with the [[survivorsBy]] policy: LSH candidates →
+    * Jaccard verify at `threshold` → connected components → the doc
+    * maximizing `orderCol` survives per cluster. The exact pre-stage
+    * also keeps the policy winner per identical text (not min id). */
+  def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
+                    orderCol: org.apache.spark.sql.Column,
+                    threshold: Double = 0.8,
+                    numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    // exact pre-stage under the same policy: best copy per identical text
+    val exactWinners = graft.plans.TopK.perKey(
+        df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h"), orderCol.as("__ord")),
+        Seq("__h"), Seq(graft.plans.TopK.desc("__ord"), graft.plans.TopK.asc("doc_id")), k = 1)
+      .select(col("doc_id").as("__keep"))
+    val unique = df.join(exactWinners, df(idCol) === col("__keep"), "leftsemi")
+    val candidates = minhashLshFast(unique, textCol, idCol, numHashes, bands, shingleN)
+    val verified = jaccardVerify(candidates, unique, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id")
+    val losers = survivorsBy(unique, verified, idCol, orderCol)
+      .filter(col("keep") === 0L).select("doc_id")
+    unique.join(losers, unique(idCol) === losers("doc_id"), "left_anti")
+  }
+
   private def dropLosers(df: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
     val losers = resolveClusters(verifiedPairs)
       .filter(col("doc_id") =!= col("cluster_id"))

@@ -8,6 +8,36 @@ import graft.operators.{Dedup, KnnJoin}
 class DedupKnnSpec extends SparkSpec {
   import spark.implicits._
 
+  test("survivorsBy keeps the policy winner per cluster; dedupCorpusBy keeps longest") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // chain: 1~2, 2~3 one cluster (A~C never paired); 4 isolated
+    val docs = Seq(
+      (1L, "short copy of the article text here"),
+      (2L, "short copy of the article text here plus a little more"),
+      (3L, "short copy of the article text here plus a little more and the full ending"),
+      (4L, "an unrelated document entirely"),
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.survivorsBy(docs, pairs, "doc_id", length(col("text")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 3 is the longest in the {1,2,3} cluster → the ONLY keeper there
+    assert(out(3L)._2 === 1L && out(1L)._2 === 0L && out(2L)._2 === 0L)
+    assert(out(1L)._1 === out(2L)._1 && out(2L)._1 === out(3L)._1, "one transitive cluster")
+    assert(out(4L) === ((4L, 1L)), "isolated doc is its own surviving cluster")
+
+    // end-to-end: identical texts keep the policy winner too (tie on
+    // length → smaller id), near-dups keep the longest
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 10
+      (12L, "totally different words entirely unrelated content"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpusBy(corpus, "text", "doc_id", length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L))
+  }
+
   test("Dedup.exact groups identical texts and keeps min id") {
     val df = Seq(
       (1L, "a b c"), (2L, "a b c"), (3L, "x y z"),
