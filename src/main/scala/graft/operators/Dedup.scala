@@ -375,6 +375,48 @@ object Dedup {
   /** Shared survivor tail of the one-call dedup pipelines: resolve the
     * verified pair graph to clusters, drop every doc that is not its
     * cluster's min-id survivor. */
+  /** EXACT all-pairs set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family): every pair of docs with word-set Jaccard
+    * ≥ `tau` — guaranteed, no false negatives — without an O(n²) cross
+    * join. LSH ([[minhashLsh]]) trades recall for speed; this is the
+    * deterministic counterpart for when "we dropped a duplicate we never
+    * compared" is unacceptable (legal dedup, eval-set integrity).
+    *
+    * Prefix-filter theorem: order every doc's distinct tokens by one
+    * global rarity order (freq asc, token asc — rarest first). If
+    * J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·|x|⌉, so x and y MUST share a token
+    * among each one's first |x| − ⌈τ·|x|⌉ + 1 ordered tokens — docs
+    * pair only when their (short) prefixes collide, and rare-first
+    * ordering makes prefix postings lists short: the candidate join is
+    * keyed on rare tokens, never on stopwords.
+    *
+    * Shapes: one token-frequency count (broadcastable dim), one per-doc
+    * sort of its own tokens (map-side, doc-length-bounded), a prefix
+    * explode (≈ (1−τ)·tokens per doc) self-joined on token, then the
+    * candidate-local [[jaccardVerify]]. Output: (a_id, b_id, jaccard)
+    * for pairs ≥ τ. */
+  def similarityJoin(df: DataFrame, textCol: String, idCol: String,
+                     tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val toks = parallelized(df, idCol)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("__f"))
+    val ordered = toks.join(broadcast(freq), Seq("w"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("__f"), col("w")))).as("__ord"),
+        count(lit(1)).as("__sz"))
+    val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
+    val prefixes = ordered.select(col("doc"),
+      explode(slice(transform(col("__ord"), s => s.getField("w")), lit(1), prefixLen)).as("pw"))
+    val candidates = prefixes.select(col("doc").as("a_id"), col("pw"))
+      .join(prefixes.select(col("doc").as("b_id"), col("pw")), Seq("pw"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    jaccardVerify(candidates, df, textCol, idCol)
+      .filter(col("jaccard") >= tau)
+  }
+
   /** [[survivors]] with a CONFIGURABLE survivor policy: each cluster
     * keeps the doc maximizing `orderCol` (ties to the smaller id) —
     * real pipelines keep the LONGEST or highest-quality copy, not the

@@ -986,6 +986,40 @@ object TextQueries {
     """),
   )
 
+  /** C54: EXACT set-similarity join (`Dedup.similarityJoin`) — every
+    * pair with word-set Jaccard ≥ 0.7, via prefix filtering (rare-first
+    * global token order; pairs must share a prefix token — no false
+    * negatives, unlike LSH). The oracle computes the same answer the
+    * exhaustive way (shared-token join over ALL tokens), proving the
+    * prefix filter loses nothing. The id slice bounds the ANSWER size:
+    * the synthetic docs draw from a tiny shared vocabulary, so the full
+    * sf0.1 table has ~5M true pairs at this tau — the result itself,
+    * not the algorithm, is what explodes (real corpora have far sparser
+    * vocabulary overlap). */
+  private val q80 = Q(
+    "q80_similarity_join",
+    (s, dir) =>
+      Dedup.similarityJoin(
+        Tables.documents(s, dir).select("doc_id", "text").filter(col("doc_id") < 500),
+        "text", "doc_id", tau = 0.7),
+    Some("""
+      WITH wd AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE doc_id < 500),
+      wc AS (SELECT doc_id, COUNT(*) AS nw FROM wd GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        FROM wd a JOIN wd b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        CAST(i AS DOUBLE) / CAST(ca.nw + cb.nw - i AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN wc ca ON ca.doc_id = a_id
+      JOIN wc cb ON cb.doc_id = b_id
+      WHERE CAST(i AS DOUBLE) / CAST(ca.nw + cb.nw - i AS DOUBLE) >= 0.7
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80)
 }

@@ -8,6 +8,33 @@ import graft.operators.{Dedup, KnnJoin}
 class DedupKnnSpec extends SparkSpec {
   import spark.implicits._
 
+  test("similarityJoin finds exactly the brute-force Jaccard pairs (no false negatives)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    // random-ish docs with planted near-dups across sizes
+    val docs = ((1 to 30).map { i =>
+      (i.toLong, (0 until 12).map(j => s"t${(i * 7 + j * 13) % 40}").distinct.mkString(" "))
+    } ++ Seq(
+      (101L, "a b c d e f g h"),
+      (102L, "a b c d e f g x"),   // J = 7/9 vs 101
+      (103L, "a b c d"),           // J = 4/8 = 0.5 vs 101 (boundary)
+    )).toDF("doc_id", "text")
+    val tau = 0.5
+    val got = Dedup.similarityJoin(docs, "text", "doc_id", tau)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // independent brute force over all pairs
+    val sets = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= tau
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.contains((101L, 102L)) && want.contains((101L, 103L)),
+      "planted pairs incl. the exact-boundary one must be present")
+  }
+
   test("survivorsBy keeps the policy winner per cluster; dedupCorpusBy keeps longest") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
