@@ -25,15 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Split a string into code-point symbols — NOT UTF-16 units: an
+    * astral-plane character (emoji, rare CJK) split into surrogate
+    * halves would corrupt to '?' at Spark's UTF8String boundary and
+    * conflate distinct characters (same guarantee class as
+    * TextFns.occurrences' code-point note). */
+  private[operators] def symbols(word: String): Vector[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   /** Learned merges, in application order. */
   final case class Model(merges: Seq[(String, String)]) {
+    // built once per (deserialized) model, NOT once per word — encode
+    // calls encodeWord per corpus word and a per-call toMap of a
+    // 10k-merge model would dominate tokenization cost
+    @transient private lazy val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
     /** Tokenize one word by applying merges in learned order (the
       * standard greedy loop: repeatedly merge the earliest-learned pair
       * present). Driver/executor-side pure function. */
     def encodeWord(word: String): Seq[String] = {
-      var syms = word.map(_.toString).toVector
+      var syms = Bpe.symbols(word)
       var changed = true
-      val rank = merges.zipWithIndex.toMap
       while (changed && syms.length > 1) {
         var bestIdx = -1
         var bestRank = Int.MaxValue
@@ -64,11 +76,11 @@ object Bpe {
     // corpus → distinct-word frequency table with per-character symbols;
     // this is the ONLY corpus-sized job
     var vocab: Dataset[(Seq[String], Long)] = df
-      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(explode(graft.functions.TextFns.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      .map { case (w, n) => (symbols(w): Seq[String], n) }
       .localCheckpoint()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -99,33 +111,38 @@ object Bpe {
             }
             (out.toSeq, n)
           }.localCheckpoint()
-          vocab.unpersist()
+          // note: no unpersist — it is a no-op for localCheckpoint
+          // blocks; dropping the reference lets ContextCleaner reclaim
+          // the previous round's RDD blocks
           vocab = next
         case _ => continue = false
       }
     }
-    vocab.unpersist()
     Model(merges.toSeq)
   }
 
   /** Tokenize a corpus with a trained model: (id, bpe_tokens,
-    * n_bpe_tokens) — join back on id for the full row. A typed Dataset
-    * map (the greedy merge loop is genuinely imperative — the same
-    * mapPartitions-class exception as the multimodal codecs; no SQL UDF),
-    * with the model (a few thousand merges) shipped once per task in the
-    * closure. */
+    * n_bpe_tokens) — join back on id for the full row; the id keeps its
+    * ORIGINAL type (a long cast would null string/uuid ids and the join
+    * back would silently drop the corpus). A row-typed map (the greedy
+    * merge loop is genuinely imperative — the same mapPartitions-class
+    * exception as the multimodal codecs; no SQL UDF), with the model
+    * (a few thousand merges) shipped once per task in the closure. */
   def encode(df: DataFrame, textCol: String, idCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),
+      StructField("n_bpe_tokens", LongType, nullable = false)))
+    df.select(col(idCol), col(textCol))
+      .map { r =>
+        val text = if (r.isNullAt(1)) null else r.getString(1)
         val toks: Seq[String] =
           if (text == null) Seq.empty[String]
           else text.split(" ").iterator.filter(_.nonEmpty)
             .flatMap(model.encodeWord).toSeq
-        (id, toks, toks.length.toLong)
-      }
-      .toDF(idCol, "bpe_tokens", "n_bpe_tokens")
+        Row(r.get(0), toks, toks.length.toLong)
+      }(Encoders.row(outSchema))
   }
 }

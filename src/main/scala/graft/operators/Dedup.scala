@@ -300,12 +300,21 @@ object Dedup {
     val unique = df.join(
       exact(df, textCol, idCol).select(col("keep_id").as("__keep")),
       df(idCol) === col("__keep"), "leftsemi")
-    val candidates = minhashLshFast(unique, textCol, idCol, numHashes, bands, shingleN)
-    val verified = jaccardVerify(candidates, unique, textCol, idCol)
+    dropLosers(unique, verifiedNearDupPairs(unique, textCol, idCol,
+      threshold, numHashes, bands, shingleN), idCol)
+  }
+
+  /** Shared candidate+verify stage of the one-call pipelines: LSH
+    * candidates over the (already exact-deduped) docs, Jaccard-verified
+    * at `threshold`. */
+  private def verifiedNearDupPairs(unique: DataFrame, textCol: String, idCol: String,
+                                   threshold: Double, numHashes: Int,
+                                   bands: Int, shingleN: Int): DataFrame =
+    jaccardVerify(
+      minhashLshFast(unique, textCol, idCol, numHashes, bands, shingleN),
+      unique, textCol, idCol)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id")
-    dropLosers(unique, verified, idCol)
-  }
 
   /** Incremental ingestion dedup — the daily-pipeline mode: clean a NEW
     * batch against the EXISTING (already-deduplicated) corpus, then
@@ -372,9 +381,6 @@ object Dedup {
     fresh.join(dropNew, fresh(idCol) === dropNew("doc_id"), "left_anti")
   }
 
-  /** Shared survivor tail of the one-call dedup pipelines: resolve the
-    * verified pair graph to clusters, drop every doc that is not its
-    * cluster's min-id survivor. */
   /** EXACT all-pairs set-similarity join via prefix filtering (the
     * AllPairs/PPJoin family): every pair of docs with word-set Jaccard
     * ≥ `tau` — guaranteed, no false negatives — without an O(n²) cross
@@ -402,7 +408,11 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("__f"))
-    val ordered = toks.join(broadcast(freq), Seq("w"))
+    // NOT broadcast: the distinct-token table is vocabulary-sized
+    // (Heaps'-law unbounded — typos/URLs/numbers), far past the 8 GB
+    // broadcast ceiling on a real corpus; the join is already keyed on
+    // the same exploded shape, so a shuffle join is the scale plan
+    val ordered = toks.join(freq, Seq("w"))
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("__f"), col("w")))).as("__ord"),
         count(lit(1)).as("__sz"))
@@ -457,15 +467,16 @@ object Dedup {
         Seq("__h"), Seq(graft.plans.TopK.desc("__ord"), graft.plans.TopK.asc("doc_id")), k = 1)
       .select(col("doc_id").as("__keep"))
     val unique = df.join(exactWinners, df(idCol) === col("__keep"), "leftsemi")
-    val candidates = minhashLshFast(unique, textCol, idCol, numHashes, bands, shingleN)
-    val verified = jaccardVerify(candidates, unique, textCol, idCol)
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id")
+    val verified = verifiedNearDupPairs(unique, textCol, idCol,
+      threshold, numHashes, bands, shingleN)
     val losers = survivorsBy(unique, verified, idCol, orderCol)
       .filter(col("keep") === 0L).select("doc_id")
     unique.join(losers, unique(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** Shared survivor tail of the one-call dedup pipelines: resolve the
+    * verified pair graph to clusters, drop every doc that is not its
+    * cluster's min-id survivor. */
   private def dropLosers(df: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
     val losers = resolveClusters(verifiedPairs)
       .filter(col("doc_id") =!= col("cluster_id"))
