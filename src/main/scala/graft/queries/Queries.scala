@@ -459,7 +459,35 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79)
+  /** A21: equi-depth quartile bucketing via ntile — "which price tier is
+    * this order in, within its priority class" (the window-function
+    * family q42's exact-rank quartiles and q61's fixed-width histogram
+    * don't cover: equal-COUNT buckets). Deterministic: the window order
+    * includes the unique key so tied prices bucket identically in any
+    * engine. */
+  private lazy val q81 = Q(
+    "q81_ntile_buckets",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("bucket", ntile(4).over(w))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+          NTILE(4) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders)
+      SELECT o_orderpriority, bucket, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      FROM b GROUP BY 1, 2
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79, q81)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

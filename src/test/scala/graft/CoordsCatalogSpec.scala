@@ -99,4 +99,31 @@ class CoordsCatalogSpec extends SparkSpec {
       ax1, ax2, "v", default = 3400.0)
     assert(out.select("looked_up").as[Double].head() == 3900.0)
   }
+
+  test("GridLookup.bilinear interpolates between four corners and degrades to default") {
+    import graft.operators.GridLookup
+    import org.apache.spark.sql.functions._
+    val ax = GridLookup.Axis(crval = 0.0, crpix = 0.0, cdelt = 1.0, n = 10)
+    // grid values = 10*p1 + p2 (a plane — bilinear must reproduce it exactly)
+    val grid = (for { p1 <- 0 to 5; p2 <- 0 to 5 } yield (p1, p2, 10.0 * p1 + p2))
+      .toDF("pix1", "pix2", "v")
+    val pts = Seq(
+      (1L, 2.0, 3.0),    // exactly on a cell: value 23
+      (2L, 2.5, 3.0),    // halfway in x: (23 + 33)/2 = 28
+      (3L, 2.25, 3.75),  // general point: plane -> 10*2.25 + 3.75 = 26.25
+      (4L, 100.0, 100.0), // far outside: all corners default (-7)
+    ).toDF("id", "x", "y")
+    val out = GridLookup.bilinear(pts, grid, col("x"), col("y"),
+        ax, ax, "v", default = -7.0, rowId = col("id"))
+      .select("id", "looked_up_bilinear").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 23.0) < 1e-12)
+    assert(math.abs(out(2L) - 28.0) < 1e-12)
+    assert(math.abs(out(3L) - 26.25) < 1e-12)
+    assert(math.abs(out(4L) - -7.0) < 1e-12)
+    // agreement with nearest at exact cell centers
+    val near = GridLookup.nearest(pts.filter($"id" === 1L), grid, col("x"), col("y"),
+        ax, ax, "v", default = -7.0)
+      .select("looked_up").as[Double].head()
+    assert(near === 23.0)
+  }
 }
