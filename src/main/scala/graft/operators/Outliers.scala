@@ -74,4 +74,42 @@ object Outliers {
       .withColumn("is_outlier", abs(v - col("grp_median")) > lit(k) * col("grp_mad"))
       .drop("__absdev")
   }
+
+  /** Winsorization — the REPAIR member of the robust-stats family
+    * ([[clip]]/[[madClip]] FLAG outliers; training pipelines often want
+    * values clamped to the per-group [pLow, pHigh] exact quantiles
+    * instead, keeping the row but bounding its influence). Quantiles use
+    * the same ceil-rank convention as the q42/q60 estimators (value at
+    * row_number == ceil(n·p) under a tiebroken total order), so the
+    * thresholds are exact order statistics, engine-reproducible, and
+    * never null for p in (0, 1]. Adds `winsorized`, `clamped_low`,
+    * `clamped_high`.
+    *
+    * Cost: one per-group ranked window (the quantile pass) + a join of
+    * the group-sized threshold frame back to the rows — same shape as
+    * [[madClip]], O(n log n) per group. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                tieCol: String, pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow > 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 < pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc, col(tieCol).asc)
+    val cw = Window.partitionBy(groupCol)
+    val qs = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .groupBy(groupCol)
+      .agg(
+        max(when(col("__rn") === ceil(col("__cnt") * pLow), col(valueCol))).as("__qlo"),
+        max(when(col("__rn") === ceil(col("__cnt") * pHigh), col(valueCol))).as("__qhi"))
+    df.join(qs, Seq(groupCol))
+      // explicit CASE (not least/greatest): identical null-free
+      // semantics in every engine, mirrored verbatim in the oracle
+      .withColumn("winsorized",
+        when(col(valueCol) < col("__qlo"), col("__qlo"))
+          .when(col(valueCol) > col("__qhi"), col("__qhi"))
+          .otherwise(col(valueCol)))
+      .withColumn("clamped_low", (col(valueCol) < col("__qlo")).cast("long"))
+      .withColumn("clamped_high", (col(valueCol) > col("__qhi")).cast("long"))
+      .drop("__qlo", "__qhi")
+  }
 }

@@ -704,7 +704,7 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square
@@ -744,6 +744,50 @@ object SignalQueries {
          + CASE WHEN exp_b > 0.0 THEN (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b ELSE 0.0 END)
           AS chi2_contrib
       FROM e
+    """),
+  )
+
+  /** B46: winsorization (`Outliers.winsorize`) — the robust-stats REPAIR
+    * member next to q20/q60's flaggers: values clamp to the per-type
+    * exact [5%, 95%] order statistics (ceil-rank convention), bounding
+    * outlier influence without dropping rows. Decimal sums make the
+    * clamped totals hash-exact. */
+  private lazy val q82 = Q(
+    "q82_winsorize",
+    (s, dir) =>
+      graft.operators.Outliers.winsorize(
+        Tables.events(s, dir).select("event_type", "event_id", "value"),
+        "event_type", "value", "event_id", pLow = 0.05, pHigh = 0.95)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("clamped_low")).cast("long").as("n_clamped_low"),
+          sum(col("clamped_high")).cast("long").as("n_clamped_high"),
+          dsum(col("winsorized")).as("sum_winsorized")),
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events),
+      q AS (
+        SELECT event_type,
+          MAX(CASE WHEN rn = CEIL(cnt * 0.05) THEN value END) AS qlo,
+          MAX(CASE WHEN rn = CEIL(cnt * 0.95) THEN value END) AS qhi
+        FROM r GROUP BY 1),
+      wz AS (
+        SELECT e.event_type,
+          CASE WHEN e.value < q.qlo THEN q.qlo
+               WHEN e.value > q.qhi THEN q.qhi
+               ELSE e.value END AS winsorized,
+          CAST(e.value < q.qlo AS BIGINT) AS cl,
+          CAST(e.value > q.qhi AS BIGINT) AS ch
+        FROM events e JOIN q ON q.event_type = e.event_type)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(cl) AS BIGINT) AS n_clamped_low,
+        CAST(SUM(ch) AS BIGINT) AS n_clamped_high,
+        CAST(SUM(CAST(winsorized AS DECIMAL(38,6))) AS DOUBLE) AS sum_winsorized
+      FROM wz GROUP BY 1
     """),
   )
 

@@ -236,5 +236,10 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.annotateDims(items).collect().head
     assert(out.mime === "video/mp4" && out.duration_ms === 5000L)
     assert(out.width === 640 && out.height === 360)
+
+    // composition: frame sampling over the REAL container duration
+    val frames = Multimodal.sampleFrames(
+      Multimodal.annotateDims(items), everyMs = 1000L, maxFrames = 100)
+    assert(frames.count() === 5L, "5000 ms at 1 fps = 5 sampled frames")
   }
 }
