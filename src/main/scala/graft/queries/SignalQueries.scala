@@ -704,7 +704,7 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square
@@ -744,6 +744,40 @@ object SignalQueries {
          + CASE WHEN exp_b > 0.0 THEN (CAST(n_b AS DOUBLE) - exp_b) * (CAST(n_b AS DOUBLE) - exp_b) / exp_b ELSE 0.0 END)
           AS chi2_contrib
       FROM e
+    """),
+  )
+
+  /** B47: per-group exact mode (top contributor): the most frequent
+    * user per event_type with its count and share — count aggregate,
+    * then the TopKPerKey k=1 bounded heap picks the argmax (one row per
+    * group per partition over the second shuffle; max_by/max(struct)
+    * would plan SortAggregate). Ties break to the smaller user id. */
+  private lazy val q83 = Q(
+    "q83_top_contributor",
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("event_type").agg(sum(col("n")).as("__tot"))
+      graft.plans.TopK.perKey(counts, Seq("event_type"),
+          Seq(graft.plans.TopK.desc("n"), graft.plans.TopK.asc("user_id")), k = 1)
+        .join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          (col("n").cast("double") / col("__tot").cast("double")).as("share"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+      r AS (
+        SELECT event_type, user_id, n,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+        FROM c)
+      SELECT r.event_type, r.user_id, r.n,
+        CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+      FROM r JOIN t ON t.event_type = r.event_type
+      WHERE rn = 1
     """),
   )
 
