@@ -303,6 +303,62 @@ object EventStream {
     * runs `shards`-wide and — because each key lives in exactly one
     * shard — per-key counts never split: results need no merge, only
     * the undercount bound is per-shard. */
+  case class WindowTopK(window_start: Timestamp, rank: Int, event_id: Long,
+                        user_id: Long, value: Double)
+  private[streaming] case class TopKState(heap: Seq[(Double, Long, Long)])
+
+  /** Streaming per-window top-k by VALUE under BOUNDED state — the
+    * leaderboard counterpart to [[windowedHeavyHitters]]' frequency
+    * sketch: each open tumbling window holds at most k (value, event_id,
+    * user_id) entries (a bounded min-heap kept as a sorted Seq — k is
+    * small by definition), flushed in rank order exactly once when the
+    * watermark passes the window end. An exact windowed rank would need
+    * every event of the window in state; this keeps k rows per OPEN
+    * window regardless of event rate. Ties break to the smaller
+    * event_id, so results are deterministic and match the batch
+    * row_number formulation over the same window. */
+  def windowedTopK(events: Dataset[Event], k: Int, windowSeconds: Long,
+                   watermark: String = "30 minutes"): Dataset[WindowTopK] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    import events.sparkSession.implicits._
+    val windowMs = windowSeconds * 1000L
+    // ordering: better = higher value, then smaller event_id
+    def better(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[TopKState, WindowTopK](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStart: Long, rows: Iterator[Event], state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator.flatMap { st =>
+              st.heap.zipWithIndex.map { case ((v, eid, uid), i) =>
+                WindowTopK(new Timestamp(windowStart), i + 1, eid, uid, v)
+              }
+            }
+            state.remove()
+            out
+          } else {
+            var heap = state.getOption.map(_.heap.toVector).getOrElse(Vector.empty)
+            rows.foreach { e =>
+              val cand = (e.value, e.event_id, e.user_id)
+              if (heap.length < k) {
+                heap = (heap :+ cand).sortWith(better)
+              } else if (better(cand, heap.last)) {
+                heap = (heap.init :+ cand).sortWith(better)
+              }
+            }
+            state.update(TopKState(heap))
+            state.setTimeoutTimestamp(
+              math.max(windowStart + windowMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def windowedHeavyHitters(events: Dataset[Event], keyOf: Event => String,
                            windowSeconds: Long, capacity: Int,
                            watermark: String = "30 minutes",

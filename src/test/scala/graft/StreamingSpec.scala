@@ -177,6 +177,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedTopK keeps k rows per window and emits batch-identical ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedTopK(mem.toDS(), k = 2, windowSeconds = 600,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("topk_out").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // window 10:00-10:10
+        Event(1, t("2024-01-01 10:01:00"), 1, "view", 5.0),
+        Event(2, t("2024-01-01 10:02:00"), 2, "view", 9.0),
+        Event(3, t("2024-01-01 10:03:00"), 3, "view", 7.0),
+        Event(4, t("2024-01-01 10:04:00"), 4, "view", 9.0), // tie: higher id loses
+      )
+      q.processAllAvailable()
+      // a late-but-in-watermark straggler that belongs in the top-2
+      mem.addData(Event(5, t("2024-01-01 10:05:00"), 5, "view", 8.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, t("2024-01-01 12:00:00"), 99, "view", 0.0)) // close windows
+      q.processAllAvailable()
+      val got = spark.sql("SELECT rank, event_id, value FROM topk_out WHERE user_id <> 99")
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      // top-2 of {5,9,7,9,8}: event 2 (9.0, id 2 beats id 4 on tie), then 4
+      assert(got === Seq((1, 2L, 9.0), (2, 4L, 9.0)))
+    } finally q.stop()
+  }
+
   test("streaming session_window emits merged sessions at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
