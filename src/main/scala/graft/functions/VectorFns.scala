@@ -33,6 +33,17 @@ object VectorFns {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
+  /** Unit-normalize a vector (codegen'd builtins only). Pre-normalizing
+    * the stored embeddings turns every ANN cosine into a plain dot —
+    * halving per-candidate work and dropping the norm columns from the
+    * scan. A zero vector stays zero (null division would poison every
+    * downstream dot). */
+  def normalize(a: Column): Column = {
+    val nrm = sqrt(dot(a, a))
+    when(nrm === 0.0, a.cast("array<double>"))
+      .otherwise(transform(a.cast("array<double>"), x => x / nrm))
+  }
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 

@@ -104,4 +104,26 @@ class VectorScaleSpec extends SparkSpec {
     assert(out.distinct.size == out.size)
     assert(out.size <= 5)
   }
+
+  test("normalize makes cosine a plain dot; zero vectors stay zero") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .withColumn("u", VectorFns.normalize(col("embedding")))
+    // unit norm
+    val norms = e.select(sqrt(VectorFns.dot(col("u"), col("u")))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    // cosine(a, b) == dot(normalize(a), normalize(b))
+    val pairs = e.select(col("vec_id").as("ai"), col("embedding").as("ea"), col("u").as("ua"))
+      .crossJoin(e.select(col("vec_id").as("bi"), col("embedding").as("eb"), col("u").as("ub")))
+      .filter(col("ai") < col("bi")).limit(200)
+      .select(VectorFns.cosine(col("ea"), col("eb")).as("c"),
+        VectorFns.dot(col("ua"), col("ub")).as("d"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (c, d) => assert(math.abs(c - d) < 1e-9) }
+    val z = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
+      .select(VectorFns.normalize(col("v"))).as[Seq[Double]].head()
+    assert(z === Seq(0.0, 0.0))
+  }
 }
