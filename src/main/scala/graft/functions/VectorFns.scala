@@ -33,16 +33,24 @@ object VectorFns {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
-  /** Unit-normalize a vector (codegen'd builtins only). Pre-normalizing
-    * the stored embeddings turns every ANN cosine into a plain dot —
-    * halving per-candidate work and dropping the norm columns from the
-    * scan. A zero vector stays zero (null division would poison every
-    * downstream dot). */
-  def normalize(a: Column): Column = {
-    val nrm = sqrt(dot(a, a))
-    when(nrm === 0.0, a.cast("array<double>"))
-      .otherwise(transform(a.cast("array<double>"), x => x / nrm))
-  }
+  /** Unit-normalize a vector column into `outCol`. Pre-normalizing the
+    * stored embeddings turns every ANN cosine into a plain dot — halving
+    * per-candidate work and dropping the norm columns from the scan. A
+    * zero vector stays zero (null division would poison every downstream
+    * dot).
+    *
+    * DataFrame-level ON PURPOSE: the norm must be a materialized per-row
+    * column so the divide lambda references it as an attribute — a pure
+    * Column form would embed the sqrt(dot(a,a)) subtree inside the
+    * transform lambda, and higher-order lambdas re-evaluate embedded
+    * subtrees PER ELEMENT (an O(d²) normalization for d-dim vectors). */
+  def normalized(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                 outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(outCol,
+        when(col("__nrm") === 0.0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / col("__nrm"))))
+      .drop("__nrm")
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

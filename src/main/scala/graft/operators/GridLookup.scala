@@ -61,48 +61,44 @@ object GridLookup {
     * surrounding cells removes it, the standard refinement when the map
     * resolution is coarse relative to the coordinate precision).
     *
-    * Each fact row joins its FOUR corner cells in one broadcast join
-    * (the corner offsets explode map-side, so the fact scan is still a
-    * single pass), then one aggregate recombines the corner values with
-    * the usual (1−dx)(1−dy)… weights. Any missing/blanked/out-of-range
-    * corner degrades that row to `default` weight-share — rows fully
-    * inside a populated grid interpolate exactly; a row with ALL corners
-    * missing returns `default`. */
+    * Four broadcast joins (one per corner cell) keep the fact scan a
+    * SINGLE pass — no explode, no re-aggregation, no row-id contract.
+    * A missing/blanked/out-of-range corner contributes `default` at its
+    * weight; null/NaN coordinates fall back to `default` entirely, the
+    * same degradation [[nearest]] gives them. Adds
+    * `looked_up_bilinear`. */
   def bilinear(df: DataFrame, grid: DataFrame, x: Column, y: Column,
-               ax1: Axis, ax2: Axis, gridValueCol: String, default: Double,
-               rowId: Column): DataFrame = {
-    val g = broadcast(grid.select(
-      col("pix1").as("__p1"), col("pix2").as("__p2"),
-      col(gridValueCol).as("__gv")))
-    val fp1 = toFracPixel(x, ax1)
-    val fp2 = toFracPixel(y, ax2)
+               ax1: Axis, ax2: Axis, gridValueCol: String, default: Double): DataFrame = {
     val base = df
-      .withColumn("__rid", rowId)
-      .withColumn("__f1", fp1).withColumn("__f2", fp2)
-      .withColumn("__i1", floor(col("__f1")).cast("int"))
-      .withColumn("__i2", floor(col("__f2")).cast("int"))
-      .withColumn("__d1", col("__f1") - col("__i1"))
-      .withColumn("__d2", col("__f2") - col("__i2"))
-    val corners = base.select(
-      col("__rid"), col("__i1"), col("__i2"), col("__d1"), col("__d2"),
-      explode(array(
-        struct(lit(0).as("o1"), lit(0).as("o2")),
-        struct(lit(0).as("o1"), lit(1).as("o2")),
-        struct(lit(1).as("o1"), lit(0).as("o2")),
-        struct(lit(1).as("o1"), lit(1).as("o2")))).as("__c"))
-      .select(col("__rid"),
-        (col("__i1") + col("__c.o1")).as("__p1"),
-        (col("__i2") + col("__c.o2")).as("__p2"),
-        // weight = product of (1-d) for offset 0, d for offset 1, per axis
-        ((when(col("__c.o1") === 0, lit(1.0) - col("__d1")).otherwise(col("__d1"))) *
-          (when(col("__c.o2") === 0, lit(1.0) - col("__d2")).otherwise(col("__d2"))))
-          .as("__w"))
-    val contrib = corners
-      .join(g, Seq("__p1", "__p2"), "left")
-      .groupBy("__rid")
-      .agg(sum(col("__w") * coalesce(col("__gv"), lit(default))).as("__interp"))
-    base.join(contrib, Seq("__rid"))
-      .withColumn("looked_up_bilinear", col("__interp"))
-      .drop("__rid", "__f1", "__f2", "__i1", "__i2", "__d1", "__d2", "__interp")
+      .withColumn("__i1", floor(toFracPixel(x, ax1)).cast("int"))
+      .withColumn("__i2", floor(toFracPixel(y, ax2)).cast("int"))
+      .withColumn("__d1", toFracPixel(x, ax1) - col("__i1"))
+      .withColumn("__d2", toFracPixel(y, ax2) - col("__i2"))
+    val joined = Seq((0, 0), (0, 1), (1, 0), (1, 1)).foldLeft(base) {
+      case (acc, (o1, o2)) =>
+        val g = broadcast(grid.select(
+          col("pix1").as(s"__cp1_${o1}_$o2"), col("pix2").as(s"__cp2_${o1}_$o2"),
+          col(gridValueCol).as(s"__cv_${o1}_$o2")))
+        acc.join(g,
+          col(s"__cp1_${o1}_$o2") === col("__i1") + o1 &&
+            col(s"__cp2_${o1}_$o2") === col("__i2") + o2,
+          "left")
+    }
+    def w(o1: Int, o2: Int): Column =
+      (if (o1 == 0) lit(1.0) - col("__d1") else col("__d1")) *
+        (if (o2 == 0) lit(1.0) - col("__d2") else col("__d2"))
+    val interp = Seq((0, 0), (0, 1), (1, 0), (1, 1)).map { case (o1, o2) =>
+      w(o1, o2) * coalesce(col(s"__cv_${o1}_$o2"), lit(default))
+    }.reduce(_ + _)
+    val dropCols = Seq("__i1", "__i2", "__d1", "__d2") ++
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)).flatMap { case (o1, o2) =>
+        Seq(s"__cp1_${o1}_$o2", s"__cp2_${o1}_$o2", s"__cv_${o1}_$o2")
+      }
+    joined
+      // null/NaN coordinates make the weights null → whole-row default,
+      // matching nearest's fallback rather than poisoning downstream math
+      .withColumn("looked_up_bilinear",
+        coalesce(when(interp.isNaN, lit(default)).otherwise(interp), lit(default)))
+      .drop(dropCols: _*)
   }
 }

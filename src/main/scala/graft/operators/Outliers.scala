@@ -94,22 +94,27 @@ object Outliers {
       s"need 0 < pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc, col(tieCol).asc)
     val cw = Window.partitionBy(groupCol)
-    val qs = df
+    // null values must not rank into the quantile window (Spark sorts
+    // nulls FIRST, DuckDB LAST — the same parity hazard withMedian
+    // filters); they pass through unclamped below
+    val qs = df.filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__cnt", count(lit(1)).over(cw))
       .groupBy(groupCol)
       .agg(
         max(when(col("__rn") === ceil(col("__cnt") * pLow), col(valueCol))).as("__qlo"),
         max(when(col("__rn") === ceil(col("__cnt") * pHigh), col(valueCol))).as("__qhi"))
-    df.join(qs, Seq(groupCol))
+    df.join(qs, Seq(groupCol), "left")
       // explicit CASE (not least/greatest): identical null-free
       // semantics in every engine, mirrored verbatim in the oracle
       .withColumn("winsorized",
         when(col(valueCol) < col("__qlo"), col("__qlo"))
           .when(col(valueCol) > col("__qhi"), col("__qhi"))
           .otherwise(col(valueCol)))
-      .withColumn("clamped_low", (col(valueCol) < col("__qlo")).cast("long"))
-      .withColumn("clamped_high", (col(valueCol) > col("__qhi")).cast("long"))
+      .withColumn("clamped_low",
+        coalesce((col(valueCol) < col("__qlo")).cast("long"), lit(0L)))
+      .withColumn("clamped_high",
+        coalesce((col(valueCol) > col("__qhi")).cast("long"), lit(0L)))
       .drop("__qlo", "__qhi")
   }
 }

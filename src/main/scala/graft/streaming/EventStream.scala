@@ -284,25 +284,6 @@ object EventStream {
   /** Misra-Gries summary state for one open (window, shard). */
   case class HHState(counters: Map[String, Long], total: Long)
 
-  /** Streaming per-window heavy hitters with BOUNDED state: the exact
-    * `groupBy(window, key).count()` form needs one state entry per
-    * distinct key per open window — fine for event types, fatal for a
-    * high-cardinality key (user ids, URLs). This keeps at most
-    * `capacity` Misra-Gries counters per (window, shard): increment a
-    * present key, insert while there's room, otherwise decrement ALL
-    * counters (evicting zeros) — every surviving count undercounts
-    * truth by at most group_total/(capacity+1), so any key with
-    * frequency above that bound is GUARANTEED to survive. Each window
-    * flushes exactly once, when the watermark passes its end (late rows
-    * beyond the watermark were already dropped, so no post-flush
-    * reopen — unlike [[funnel]]'s idle-horizon episodes).
-    *
-    * `shards` is the parallelism lever: grouping by window alone would
-    * funnel the whole stream through ONE task per open window. Keys
-    * hash into `shards` independent summaries, so the stateful stage
-    * runs `shards`-wide and — because each key lives in exactly one
-    * shard — per-key counts never split: results need no merge, only
-    * the undercount bound is per-shard. */
   case class WindowTopK(window_start: Timestamp, rank: Int, event_id: Long,
                         user_id: Long, value: Double)
   private[streaming] case class TopKState(heap: Seq[(Double, Long, Long)])
@@ -359,6 +340,25 @@ object EventStream {
       }
   }
 
+  /** Streaming per-window heavy hitters with BOUNDED state: the exact
+    * `groupBy(window, key).count()` form needs one state entry per
+    * distinct key per open window — fine for event types, fatal for a
+    * high-cardinality key (user ids, URLs). This keeps at most
+    * `capacity` Misra-Gries counters per (window, shard): increment a
+    * present key, insert while there's room, otherwise decrement ALL
+    * counters (evicting zeros) — every surviving count undercounts
+    * truth by at most group_total/(capacity+1), so any key with
+    * frequency above that bound is GUARANTEED to survive. Each window
+    * flushes exactly once, when the watermark passes its end (late rows
+    * beyond the watermark were already dropped, so no post-flush
+    * reopen — unlike [[funnel]]'s idle-horizon episodes).
+    *
+    * `shards` is the parallelism lever: grouping by window alone would
+    * funnel the whole stream through ONE task per open window. Keys
+    * hash into `shards` independent summaries, so the stateful stage
+    * runs `shards`-wide and — because each key lives in exactly one
+    * shard — per-key counts never split: results need no merge, only
+    * the undercount bound is per-shard. */
   def windowedHeavyHitters(events: Dataset[Event], keyOf: Event => String,
                            windowSeconds: Long, capacity: Int,
                            watermark: String = "30 minutes",

@@ -114,12 +114,18 @@ class CoordsCatalogSpec extends SparkSpec {
       (4L, 100.0, 100.0), // far outside: all corners default (-7)
     ).toDF("id", "x", "y")
     val out = GridLookup.bilinear(pts, grid, col("x"), col("y"),
-        ax, ax, "v", default = -7.0, rowId = col("id"))
+        ax, ax, "v", default = -7.0)
       .select("id", "looked_up_bilinear").as[(Long, Double)].collect().toMap
     assert(math.abs(out(1L) - 23.0) < 1e-12)
     assert(math.abs(out(2L) - 28.0) < 1e-12)
     assert(math.abs(out(3L) - 26.25) < 1e-12)
     assert(math.abs(out(4L) - -7.0) < 1e-12)
+    // null coordinate → default (matches nearest's degradation), not null
+    val nullPt = Seq((9L, Option.empty[Double], Option(3.0))).toDF("id", "x", "y")
+    val nv = GridLookup.bilinear(nullPt, grid, col("x"), col("y"),
+        ax, ax, "v", default = -7.0)
+      .select("looked_up_bilinear").as[Double].head()
+    assert(nv === -7.0)
     // agreement with nearest at exact cell centers
     val near = GridLookup.nearest(pts.filter($"id" === 1L), grid, col("x"), col("y"),
         ax, ax, "v", default = -7.0)

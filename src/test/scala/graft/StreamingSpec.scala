@@ -193,15 +193,17 @@ class StreamingSpec extends SparkSpec {
         Event(4, t("2024-01-01 10:04:00"), 4, "view", 9.0), // tie: higher id loses
       )
       q.processAllAvailable()
-      // a late-but-in-watermark straggler that belongs in the top-2
-      mem.addData(Event(5, t("2024-01-01 10:05:00"), 5, "view", 8.0))
+      // a late-but-in-watermark straggler that DISPLACES into the top-2
+      mem.addData(Event(5, t("2024-01-01 10:05:00"), 5, "view", 10.0))
       q.processAllAvailable()
       mem.addData(Event(9, t("2024-01-01 12:00:00"), 99, "view", 0.0)) // close windows
       q.processAllAvailable()
       val got = spark.sql("SELECT rank, event_id, value FROM topk_out WHERE user_id <> 99")
         .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
-      // top-2 of {5,9,7,9,8}: event 2 (9.0, id 2 beats id 4 on tie), then 4
-      assert(got === Seq((1, 2L, 9.0), (2, 4L, 9.0)))
+      // top-2 of {5,9,7,9,10}: the straggler 10.0 leads, then event 2
+      // (9.0, id 2 beats id 4 on the tie) — the cross-batch displacement
+      // path is what this pins
+      assert(got === Seq((1, 5L, 10.0), (2, 2L, 9.0)))
     } finally q.stop()
   }
 

@@ -108,9 +108,9 @@ class VectorScaleSpec extends SparkSpec {
   test("normalize makes cosine a plain dot; zero vectors stay zero") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFns
-    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .limit(50)
-      .withColumn("u", VectorFns.normalize(col("embedding")))
+    val e = VectorFns.normalized(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50),
+      "embedding", "u")
     // unit norm
     val norms = e.select(sqrt(VectorFns.dot(col("u"), col("u")))).as[Double].collect()
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
@@ -122,8 +122,8 @@ class VectorScaleSpec extends SparkSpec {
         VectorFns.dot(col("ua"), col("ub")).as("d"))
       .as[(Double, Double)].collect()
     pairs.foreach { case (c, d) => assert(math.abs(c - d) < 1e-9) }
-    val z = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
-      .select(VectorFns.normalize(col("v"))).as[Seq[Double]].head()
+    val z = VectorFns.normalized(Seq((1L, Array(0.0, 0.0))).toDF("id", "v"), "v", "u")
+      .select("u").as[Seq[Double]].head()
     assert(z === Seq(0.0, 0.0))
   }
 }
