@@ -3,25 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Distributed byte-pair-encoding tokenizer TRAINING — the vocabulary is
-  * itself a training-data-pipeline product (Sennrich et al.'s word-level
-  * BPE: learn merges on the corpus' word-frequency table, then tokenize
-  * with them). `TextFns.bpeTokenCount` estimates with a fixed heuristic;
-  * this learns real corpus-fitted merges.
+/** Byte-pair-encoding tokenizer TRAINING — the vocabulary is itself a
+  * training-data-pipeline product (Sennrich et al.'s word-level BPE:
+  * learn merges on the corpus' word-frequency table, then tokenize with
+  * them). `TextFns.bpeTokenCount` estimates with a fixed heuristic; this
+  * learns real corpus-fitted merges.
   *
-  * Scale shape per merge round (the classic formulation maps cleanly):
-  *  - state = the DISTINCT-WORD table (word symbols, frequency) — corpus
-  *    scale drops out after the first count (a 100 TB corpus has ~10⁷
-  *    distinct words);
-  *  - pair counting = one explode over adjacent symbol pairs + a
-  *    map-side-combining weighted count; only the argmax pair crosses to
-  *    the driver (TakeOrderedAndProject, deterministic lexicographic
-  *    tiebreak);
-  *  - the merge itself is a per-row symbol rewrite (mapPartitions-class
-  *    work on the word table, not the corpus).
-  * State is localCheckpoint'd each round: an iterative map chain would
-  * otherwise re-execute all prior rounds at round k (the lineage trap
-  * documented on Dedup.resolveClusters).
+  * Scale shape: the corpus-sized work is ONE job — the distinct-word
+  * frequency count (a 100 TB corpus has ~10⁷ distinct words ≈ 10²-10³ MB,
+  * Heaps' law). The merge loop itself runs over that word table, and a
+  * 32k-merge vocabulary means 32k sequential rounds — as 32k Spark jobs
+  * that is hours of pure scheduler overhead on a ~100 MB table, so:
+  *
+  *  - `train` collects the word table to the driver when its estimated
+  *    footprint fits `driverByteBudget` and runs the merge loop there
+  *    with INCREMENTAL pair-delta updates (only the words containing the
+  *    merged pair are touched per round — the standard fast-BPE shape);
+  *  - when the vocabulary genuinely doesn't fit, it falls back LOUDLY to
+  *    the distributed loop (one pair-count job + argmax + rewrite per
+  *    round, state localCheckpoint'd so round k doesn't re-execute all
+  *    prior rounds — the lineage trap documented on
+  *    Dedup.resolveClusters).
+  *
+  * Both paths produce identical merges: the argmax tiebreak is
+  * (freq desc, pair asc) with pair order compared BY CODE POINT — the
+  * order Spark's UTF8String binary comparison yields — not by UTF-16
+  * code unit (String.compareTo), which disagrees for astral-plane
+  * symbols vs [U+E000, U+FFFF].
   */
 object Bpe {
 
@@ -64,22 +72,183 @@ object Bpe {
     }
   }
 
+  /** Compare strings by code point — the order Spark's UTF8String binary
+    * (UTF-8 byte) comparison produces. String.compareTo would disagree
+    * for astral-plane symbols, and the driver loop's tiebreak must match
+    * the distributed loop's `orderBy(col("a").asc)` exactly. */
+  private[operators] def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** Learn `numMerges` merges from the corpus (stop early when the best
-    * remaining pair's weighted frequency drops below `minFreq`). */
+    * remaining pair's weighted frequency drops below `minFreq`).
+    *
+    * `driverByteBudget`: the word-frequency table (the post-count state,
+    * NOT the corpus) is collected to the driver and merged there when its
+    * estimated heap footprint fits; set 0 to force the distributed loop.
+    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minFreq: Long = 2L): Model = {
+            minFreq: Long = 2L,
+            driverByteBudget: Long = 512L << 20): Model = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val spark = df.sparkSession
     import spark.implicits._
 
-    // corpus → distinct-word frequency table with per-character symbols;
-    // this is the ONLY corpus-sized job
-    var vocab: Dataset[(Seq[String], Long)] = df
+    // corpus → distinct-word frequency table; this is the ONLY
+    // corpus-sized job
+    val wordFreq = df
       .select(explode(graft.functions.TextFns.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+      .localCheckpoint()
+
+    // Size guard: one tiny agg over the (already word-sized) table. The
+    // driver-side state is per-SYMBOL boxed strings, so estimate ~48 B
+    // per character (String + char[] + Vector slot) + ~200 B per word
+    // (entry + pair-index membership) — deliberately pessimistic.
+    val (nWords, nChars) = wordFreq
+      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+      .as[(Long, Long)].head()
+    val estBytes = nChars * 48L + nWords * 200L
+
+    if (estBytes <= driverByteBudget) {
+      trainDriver(wordFreq.collect(), numMerges, minFreq)
+    } else {
+      // Loud fallback: per-round Spark jobs are hours of scheduler
+      // overhead at real vocab sizes — only correct when the word table
+      // genuinely can't be collected.
+      System.err.println(
+        s"[graft.Bpe] word-frequency table est. $estBytes B exceeds driver " +
+        s"budget $driverByteBudget B ($nWords words); falling back to the " +
+        "distributed per-round merge loop (one Spark job per merge)")
+      trainDistributed(wordFreq, numMerges, minFreq)
+    }
+  }
+
+  /** Driver-side merge loop with incremental pair-delta updates: per
+    * round, only the words that CONTAIN the merged pair are rewritten,
+    * and only the pairs those rewrites created/destroyed have their
+    * counts adjusted — no full recount. Classic fast-BPE shape; the
+    * argmax scan is O(live pairs) with the code-point tiebreak. */
+  private[operators] def trainDriver(wordFreq: Array[(String, Long)],
+                                     numMerges: Int, minFreq: Long): Model = {
+    import scala.collection.mutable
+    val words = wordFreq.map { case (w, _) => mutable.ArrayBuffer(symbols(w): _*) }
+    val freqs = wordFreq.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def addPair(p: (String, String), n: Long, wi: Int): Unit = {
+      val c = pairCounts.getOrElse(p, 0L) + n
+      if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+      pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        addPair((syms(i), syms(i + 1)), freqs(wi), wi)
+        i += 1
+      }
+      wi += 1
+    }
+
+    def better(f1: Long, p1: (String, String), f2: Long, p2: (String, String)): Boolean =
+      f1 > f2 || (f1 == f2 && {
+        val c = cpCompare(p1._1, p2._1)
+        c < 0 || (c == 0 && cpCompare(p1._2, p2._2) < 0)
+      })
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      var bestPair: (String, String) = null
+      var bestFreq = 0L
+      pairCounts.foreach { case (p, f) =>
+        if (bestPair == null || better(f, p, bestFreq, bestPair)) {
+          bestPair = p; bestFreq = f
+        }
+      }
+      if (bestPair == null || bestFreq < minFreq) continue = false
+      else {
+        merges += bestPair
+        val (a, b) = bestPair
+        val merged = a + b
+        val affected = pairWords.getOrElse(bestPair, mutable.BitSet.empty).toArray
+        affected.foreach { wi =>
+          val old = words(wi)
+          val out = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < old.length) {
+            if (i < old.length - 1 && old(i) == a && old(i + 1) == b) {
+              out += merged; i += 2
+            } else { out += old(i); i += 1 }
+          }
+          // pair-delta: multiset difference of adjacent pairs, weighted
+          // by this word's corpus frequency
+          val delta = mutable.HashMap.empty[(String, String), Long]
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            delta(p) = delta.getOrElse(p, 0L) - freqs(wi)
+            j += 1
+          }
+          j = 0
+          while (j < out.length - 1) {
+            val p = (out(j), out(j + 1))
+            delta(p) = delta.getOrElse(p, 0L) + freqs(wi)
+            j += 1
+          }
+          delta.foreach { case (p, d) =>
+            if (d != 0L) {
+              val c = pairCounts.getOrElse(p, 0L) + d
+              if (c <= 0L) pairCounts.remove(p) else pairCounts(p) = c
+            }
+          }
+          // membership: drop this word from pairs it no longer contains,
+          // add it to pairs the rewrite created
+          val newSet = mutable.HashSet.empty[(String, String)]
+          j = 0
+          while (j < out.length - 1) { newSet += ((out(j), out(j + 1))); j += 1 }
+          j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            if (!newSet.contains(p)) pairWords.get(p).foreach { s =>
+              s -= wi
+              if (s.isEmpty) pairWords.remove(p)
+            }
+            j += 1
+          }
+          newSet.foreach(p => pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi)
+          words(wi) = out
+        }
+        pairCounts.remove(bestPair)
+        pairWords.remove(bestPair)
+      }
+    }
+    Model(merges.toSeq)
+  }
+
+  /** Distributed per-round merge loop — the fallback for vocabularies
+    * that exceed the driver budget. One pair-count job + global argmax +
+    * symbol rewrite per round; state localCheckpoint'd each round. */
+  private[operators] def trainDistributed(wordFreq: Dataset[(String, Long)],
+                                          numMerges: Int, minFreq: Long): Model = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = wordFreq
       .map { case (w, n) => (symbols(w): Seq[String], n) }
       .localCheckpoint()
 

@@ -77,4 +77,58 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(corpus.repartition(2), "text", numMerges = 8, minFreq = 2).merges
     assert(a === b)
   }
+
+  test("distributed fallback (budget 0) matches the reference too") {
+    val got = Bpe.train(corpus, "text", numMerges = 10, minFreq = 2,
+      driverByteBudget = 0L).merges
+    assert(got === referenceBpe(wordFreq, numMerges = 10, minFreq = 2))
+  }
+
+  /** Deterministic pseudo-random corpus: 400 distinct 8-12 char words,
+    * each seen 3 times, so hundreds of merges exist above minFreq=2. */
+  private def syntheticCorpus(seed: Long): org.apache.spark.sql.DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val words = (0 until 400).map { _ =>
+      val len = 8 + rnd.nextInt(5)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = (words ++ words ++ words).grouped(40).map(_.mkString(" ")).toSeq
+    docs.toDF("text")
+  }
+
+  test("driver merge loop matches the distributed loop at 256 merges, >=10x faster per merge") {
+    val df = syntheticCorpus(42L).localCheckpoint()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths once so neither pays first-plan codegen in the
+    // timed window
+    Bpe.train(df, "text", numMerges = 2, minFreq = 2)
+    Bpe.train(df, "text", numMerges = 2, minFreq = 2, driverByteBudget = 0L)
+    val (fast, tFast) = timed(Bpe.train(df, "text", numMerges = 256, minFreq = 2))
+    val (slow, tSlow) = timed(Bpe.train(df, "text", numMerges = 256, minFreq = 2,
+      driverByteBudget = 0L))
+    assert(fast.merges.length === 256)
+    assert(fast.merges === slow.merges)
+    info(f"driver loop ${tFast}%.2fs vs distributed ${tSlow}%.2fs (${tSlow / tFast}%.0fx)")
+    assert(tSlow / tFast >= 10.0,
+      f"expected >=10x speedup, got ${tSlow / tFast}%.1fx ($tFast%.2fs vs $tSlow%.2fs)")
+  }
+
+  test("unicode astral symbols: driver and distributed paths agree (code-point tiebreak)") {
+    // U+10400 (astral) vs U+FFFD: UTF-16 code-unit order and code-point
+    // order DISAGREE on these two, so a String.compareTo tiebreak in
+    // either path would diverge
+    val astral = new String(Character.toChars(0x10400))
+    val bmp = "�"
+    val docs = Seq(
+      s"${astral}x ${astral}x ${bmp}x ${bmp}x",
+    ).toDF("text")
+    val a = Bpe.train(docs, "text", numMerges = 2, minFreq = 2).merges
+    val b = Bpe.train(docs, "text", numMerges = 2, minFreq = 2,
+      driverByteBudget = 0L).merges
+    assert(a === b)
+    // both pairs have freq 2; code-point order puts U+FFFD before U+10400
+    assert(a.head === ((bmp, "x")))
+  }
 }
