@@ -76,32 +76,42 @@ object TextQueries {
     )
   }
 
-  /** C4: word-set Jaccard on blocked candidate pairs (same source + same
-    * token count — a cheap, oracle-expressible blocking; pairs with no
-    * common word get 0). The verify stage is `Dedup.jaccardVerify`, whose
-    * production input is `minhashLsh` candidates — attribute blocking
-    * like this goes quadratic at scale (see DedupKnnSpec's LSH→verify
-    * pipeline test). */
+  /** C4: word-set Jaccard verification of MinHash-LSH candidate pairs —
+    * the full production near-dup pipeline (q31's candidate stage →
+    * `Dedup.jaccardVerify`), oracle-checked end to end. The LSH blocking
+    * keeps candidates ~linear in corpus size at any scale; the oracle
+    * mirrors q31's md5-band construction and the verify arithmetic. */
   private val q33 = Q(
     "q33_ngram_jaccard",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("ntok", TextFns.tokenCount(col("text")))
-      val a = d.select(col("doc_id").as("a_id"), col("source"), col("ntok"))
-      val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
-      val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.jaccardVerify(pairs, d, "text", "doc_id")
         .select("a_id", "b_id", "jaccard")
     },
     Some("""
-      WITH d AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS ntok FROM documents),
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
+      sig AS (
+        SELECT doc,
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig),
+      pairs AS (
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM bands x JOIN bands y ON x.bd = y.bd AND x.doc < y.doc),
       wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       wc AS (SELECT doc_id, COUNT(*) AS nw FROM wd GROUP BY 1),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id),
       inter AS (
         SELECT p.a_id, p.b_id, COUNT(*) AS inter
         FROM pairs p
@@ -887,30 +897,46 @@ object TextQueries {
     """),
   )
 
-  /** C49: edit-distance verify on blocked candidate pairs
+  /** C49: edit-distance verify on MinHash-LSH candidate pairs
     * (`Dedup.editVerify`) — the order-sensitive companion to q33's
-    * word-set Jaccard (which scores shuffled texts 1.0). Same cheap
-    * oracle-expressible blocking as q33 (source + token count); the
-    * production input is LSH candidates. O(len²) per pair is the verify
-    * stage's budget, never a corpus-wide cost. */
+    * word-set Jaccard (which scores shuffled texts 1.0). Candidate stage
+    * = q31's md5-band LSH, mirrored in the oracle, so the pipeline is
+    * ~linear in corpus size; O(len²) per pair is the verify stage's
+    * budget, never a corpus-wide cost. */
   private val q73 = Q(
     "q73_edit_verify",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("ntok", TextFns.tokenCount(col("text")))
-      val a = d.select(col("doc_id").as("a_id"), col("source"), col("ntok"))
-      val b = d.select(col("doc_id").as("b_id"), col("source"), col("ntok"))
-      val pairs = a.join(b, Seq("source", "ntok")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.editVerify(pairs, d, "text", "doc_id", maxDist = 64)
         .select("a_id", "b_id", "edit_dist", "edit_sim")
     },
     Some("""
-      WITH d AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS ntok FROM documents),
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
+      sig AS (
+        SELECT doc,
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig),
+      cand AS (
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM bands x JOIN bands y ON x.bd = y.bd AND x.doc < y.doc),
       pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.text AS ta, b.text AS tb
-        FROM d a JOIN d b ON a.source = b.source AND a.ntok = b.ntok AND a.doc_id < b.doc_id),
+        SELECT c.a_id, c.b_id, da.text AS ta, db.text AS tb
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.a_id
+        JOIN documents db ON db.doc_id = c.b_id),
       l AS (
         SELECT a_id, b_id, ta, tb,
           CASE WHEN levenshtein(ta, tb) > 64 THEN 65
