@@ -62,4 +62,46 @@ object Signal {
     * Integer-counting form — exact and order-independent. */
   def zapFraction(cond: Column): Column =
     (sum(cond.cast("long")).cast("double") / count(lit(1))).cast("double")
+
+  // -------------------------------------------------------------------
+  // Stokes profile alignment (scripts/make_stokes_movie.py) — per-row
+  // array math over a binned profile column. HOF lambdas (transform /
+  // zip_with) run interpreted, but the arrays are nbin-sized (10²-10³)
+  // per row, so the cost rides the row count, not the corpus bytes; the
+  // shuffle-level work (the profile binning itself) stays codegen'd.
+  // -------------------------------------------------------------------
+
+  /** Left-rotation count (in [0, n)) that puts the profile's FIRST argmax
+    * at the phase-0.5 bin — `prof.find_max_phase() - 0.5` followed by
+    * `rotate_phase` (make_stokes_movie.py:21-23), in bin space. */
+  def alignShift(arr: Column): Column = {
+    val n = size(arr).cast("long")
+    val k = array_position(arr, array_max(arr)) // 1-based first argmax
+    val tgt = floor(n / lit(2L)).cast("long") + lit(1L) // 1-based phase-0.5 bin
+    pmod(k - tgt, n)
+  }
+
+  /** Circularly left-rotate a profile by `s` bins (s in [0, size)). */
+  def rotateProfile(arr: Column, s: Column): Column = {
+    val si = s.cast("int")
+    concat(slice(arr, si + lit(1), size(arr) - si), slice(arr, lit(1), si))
+  }
+
+  /** Min-max normalize a profile (`normalise_profile`,
+    * make_stokes_movie.py:28-30); a flat profile (max == min) maps to
+    * all-zero instead of dividing by zero. */
+  def minMaxNormalize(arr: Column): Column = {
+    val mn = array_min(arr)
+    val mx = array_max(arr)
+    transform(arr, x => when(mx === mn, lit(0.0)).otherwise((x - mn) / (mx - mn)))
+  }
+
+  /** Linear-polarization profile √(Q²+U²) (make_stokes_movie.py:50). */
+  def linearPol(q: Column, u: Column): Column =
+    zip_with(q, u, (a, b) => sqrt(a * a + b * b))
+
+  /** Scale every bin by 1/m — the `profile / noramlise_by` step
+    * (make_stokes_movie.py:48-51). */
+  def scaleProfile(arr: Column, m: Column): Column =
+    transform(arr, _ / m)
 }

@@ -703,8 +703,106 @@ object SignalQueries {
     """),
   )
 
+  /** B48: Stokes profile alignment (`make_stokes_movie.py:10-55`) — the
+    * last reference script with no engine analog. Per user, four binned
+    * "Stokes" profiles (I/Q/U/V built from deterministic event
+    * aggregates) are circularly rotated so I's argmax lands at phase 0.5
+    * (`find_max_phase() - 0.5` + `rotate_phase`), scaled by max(I)
+    * (`noramlise_by`), combined into total / linear √(Q²+U²) / circular
+    * components, and exploded to per-phase-bin rows with the
+    * residual-vs-mean-profile panel the movie renders. Low-S/N profiles
+    * are dropped (`sn_min` analog: peak < 50). Scale shape: one binned
+    * aggregate (map-side combining) + one per-user array assembly; the
+    * array math is per-row, nbin-bounded. */
+  private lazy val q87 = Q(
+    "q87_stokes_align",
+    (s, dir) => {
+      import graft.functions.{Signal => Sig}
+      val nbin = 16
+      val binned = Tables.events(s, dir)
+        .withColumn("bin", pmod(col("event_id"), lit(nbin.toLong)))
+        .groupBy("user_id", "bin")
+        .agg(
+          dsum(abs(col("value"))).as("i"),
+          dsum(col("value")).as("q"),
+          dsum(col("value") * lit(0.5)).as("u"),
+          max(col("value")).as("v"))
+      val prof = binned
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          col("bin"), col("i"), col("q"), col("u"), col("v")))).as("rows"))
+        .select(col("user_id"),
+          transform(col("rows"), r => r("i")).as("ip"),
+          transform(col("rows"), r => r("q")).as("qp"),
+          transform(col("rows"), r => r("u")).as("up"),
+          transform(col("rows"), r => r("v")).as("vp"))
+      val aligned = prof
+        .withColumn("m", array_max(col("ip")))
+        .filter(col("m") >= lit(50.0))
+        .withColumn("s", Sig.alignShift(col("ip")))
+        .select(col("user_id"), col("s"), col("m"),
+          Sig.rotateProfile(col("ip"), col("s")).as("ip"),
+          Sig.rotateProfile(col("qp"), col("s")).as("qp"),
+          Sig.rotateProfile(col("up"), col("s")).as("up"),
+          Sig.rotateProfile(col("vp"), col("s")).as("vp"))
+      val comps = aligned.select(col("user_id"), col("s").as("shift_bins"),
+        Sig.scaleProfile(col("ip"), col("m")).as("total"),
+        Sig.scaleProfile(Sig.linearPol(col("qp"), col("up")), col("m")).as("linear"),
+        Sig.scaleProfile(col("vp"), col("m")).as("circular"))
+      val exploded = comps
+        .select(col("user_id"), col("shift_bins"),
+          posexplode(arrays_zip(col("total"), col("linear"), col("circular"))))
+        .select(col("user_id"), col("shift_bins"),
+          col("pos").cast("long").as("phase_bin"),
+          col("col")("total").as("total"),
+          col("col")("linear").as("linear"),
+          col("col")("circular").as("circular"))
+      val byBin = Window.partitionBy(col("phase_bin"))
+      exploded.withColumn("total_resid",
+        col("total") -
+          (sum(col("total").cast("decimal(38,6)")).over(byBin).cast("double")
+            / count(lit(1)).over(byBin)))
+    },
+    Some("""
+      WITH b AS (
+        SELECT user_id, event_id % 16 AS bin,
+          CAST(SUM(CAST(ABS(value) AS DECIMAL(38,6))) AS DOUBLE) AS i,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS q,
+          CAST(SUM(CAST(value * 0.5 AS DECIMAL(38,6))) AS DOUBLE) AS u,
+          MAX(value) AS v
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT user_id,
+          list(i ORDER BY bin) AS ip, list(q ORDER BY bin) AS qp,
+          list(u ORDER BY bin) AS up, list(v ORDER BY bin) AS vp
+        FROM b GROUP BY 1),
+      a AS (
+        SELECT user_id, len(ip) AS n, list_max(ip) AS m,
+          ((list_position(ip, list_max(ip)) - (len(ip) // 2 + 1)) % len(ip)
+            + len(ip)) % len(ip) AS s
+        FROM p WHERE list_max(ip) >= 50.0),
+      r AS (
+        SELECT a.user_id, a.s, a.m, a.n,
+          list_concat(p.ip[a.s+1:a.n], p.ip[1:a.s]) AS ip,
+          list_concat(p.qp[a.s+1:a.n], p.qp[1:a.s]) AS qp,
+          list_concat(p.up[a.s+1:a.n], p.up[1:a.s]) AS up,
+          list_concat(p.vp[a.s+1:a.n], p.vp[1:a.s]) AS vp
+        FROM a JOIN p USING (user_id)),
+      e AS (
+        SELECT user_id, s AS shift_bins, i - 1 AS phase_bin,
+          ip[i] / m AS total,
+          sqrt(qp[i]*qp[i] + up[i]*up[i]) / m AS linear,
+          vp[i] / m AS circular
+        FROM r, LATERAL unnest(generate_series(1, n)) t(i))
+      SELECT user_id, shift_bins, phase_bin, total, linear, circular,
+        total - CAST(SUM(CAST(total AS DECIMAL(38,6))) OVER (PARTITION BY phase_bin) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY phase_bin) AS total_resid
+      FROM e
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square

@@ -55,4 +55,44 @@ class SignalSpec extends SparkSpec {
     val got = df.agg(Signal.zapFraction(col("v") === 0.0)).as[Double].head()
     assert(got == 0.5)
   }
+
+  test("alignShift + rotateProfile put the argmax at the phase-0.5 bin") {
+    // Hand-computed: n=8, argmax index 1 (0-based), target bin 4 →
+    // left-rotate by (2-5 mod 8)=5; after rotation the max sits at index 4.
+    val profiles = Seq(
+      Seq(1.0, 9.0, 2.0, 3.0, 0.0, 4.0, 5.0, 6.0), // even n, interior max
+      Seq(7.0, 1.0, 2.0, 3.0, 4.0),                // odd n, max at index 0
+      Seq(2.0, 2.0, 5.0, 5.0),                     // tie → FIRST argmax (ref .argmax())
+    )
+    val df = profiles.toDF("p")
+      .withColumn("s", Signal.alignShift(col("p")))
+      .withColumn("r", Signal.rotateProfile(col("p"), col("s")))
+    val rows = df.select("s", "r").as[(Long, Seq[Double])].collect().toSeq
+    rows.foreach { case (_, r) =>
+      val mid = r.size / 2
+      assert(r(mid) == r.max, s"argmax not centered in $r")
+    }
+    // Rotation is a permutation: multiset preserved, explicit value check.
+    assert(rows.head._2 == Seq(4.0, 5.0, 6.0, 1.0, 9.0, 2.0, 3.0, 0.0))
+    assert(rows.head._1 == 5L)
+    // Tie case: first argmax (index 2) lands at mid, not the later one.
+    assert(rows(2)._2 == Seq(2.0, 2.0, 5.0, 5.0))
+  }
+
+  test("minMaxNormalize maps to [0,1]; flat profile maps to zeros") {
+    val df = Seq(Seq(2.0, 4.0, 6.0), Seq(3.0, 3.0, 3.0)).toDF("p")
+      .withColumn("n", Signal.minMaxNormalize(col("p")))
+    val got = df.select("n").as[Seq[Double]].collect().toSeq
+    assert(got(0) == Seq(0.0, 0.5, 1.0))
+    assert(got(1) == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("linearPol and scaleProfile implement sqrt(Q^2+U^2) and 1/m scaling") {
+    val df = Seq((Seq(3.0, 0.0), Seq(4.0, 2.0))).toDF("q", "u")
+      .withColumn("l", Signal.linearPol(col("q"), col("u")))
+      .withColumn("sc", Signal.scaleProfile(col("l"), lit(2.0)))
+    val (l, sc) = df.select("l", "sc").as[(Seq[Double], Seq[Double])].head()
+    assert(l == Seq(5.0, 2.0))
+    assert(sc == Seq(2.5, 1.0))
+  }
 }
