@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.sources.FitsFile
+import graft.sources.FitsFile._
+
+/** FITS card-header + binary-table parsing (dlyfix_fits.py:75,89,133)
+  * against a hand-built PSRFITS-style fixture: primary header with typed
+  * values, COMMENT/HISTORY cards and a CONTINUE long string, plus a
+  * BINTABLE extension named HISTORY with two big-endian rows. */
+class FitsFileSpec extends SparkSpec {
+
+  private def card(text: String): String = text.padTo(80, ' ')
+  private def kv(key: String, value: String, comment: Option[String] = None): String = {
+    // Reference output format: "%s=% 22s" % (key.ljust(8), val)
+    val base = key.padTo(8, ' ') + "=" + value.reverse.padTo(21, ' ').reverse
+    card(comment.fold(base)(c => s"$base / $c"))
+  }
+
+  private def block(cards: Seq[String]): Array[Byte] = {
+    val text = cards.mkString
+    val padded = text + " " * (BlockSize - text.length % BlockSize match {
+      case BlockSize => 0
+      case r         => r
+    })
+    padded.getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** Primary header: >36 cards so the END lands in a SECOND 2880 block
+    * (exercises the multi-block walk of readfitsheader). */
+  private lazy val primary: Array[Byte] = {
+    val filler = (1 to 30).map(i => kv(s"PAD$i", i.toString))
+    block(Seq(
+      kv("SIMPLE", "T", Some("conforms to FITS")),
+      kv("BITPIX", "8"),
+      kv("NAXIS", "0"),
+      kv("OBSFREQ", "1283.582"),
+      kv("SCALE", "1.0D3"),
+      kv("SRC_NAME", "'J0437-4715'", Some("source / name")),
+      kv("LONGSTR", "'part one &'"),
+      card("CONTINUE  'part two'"),
+      card("COMMENT this is a comment card"),
+      card("HISTORY first history line"),
+    ) ++ filler ++ Seq(card("END")))
+  }
+
+  private val rowSize = 8 + 2 + 8 // 8A + 1I + 1D
+  private lazy val historyExt: Array[Byte] = {
+    val hdr = block(Seq(
+      kv("XTENSION", "'BINTABLE'"),
+      kv("BITPIX", "8"),
+      kv("NAXIS", "2"),
+      kv("NAXIS1", rowSize.toString),
+      kv("NAXIS2", "2"),
+      kv("EXTVER", "1"),
+      kv("EXTNAME", "'HISTORY '"),
+      kv("TTYPE1", "'DATE_PRO'"),
+      kv("TFORM1", "'8A'"),
+      kv("TTYPE2", "'NPOL    '"),
+      kv("TFORM2", "'1I'"),
+      kv("TTYPE3", "'DM      '"),
+      kv("TFORM3", "'1D'"),
+      card("END")))
+    val data = ByteBuffer.allocate(BlockSize)
+    data.put("20200101".getBytes(StandardCharsets.US_ASCII))
+      .putShort(4.toShort).putDouble(2.64476)
+    data.put("20200102".getBytes(StandardCharsets.US_ASCII))
+      .putShort(1.toShort).putDouble(2.64481)
+    hdr ++ data.array()
+  }
+
+  private lazy val fixture: Array[Byte] = primary ++ historyExt
+
+  test("readHeader walks multi-block headers and coerces typed values") {
+    val Some((cards, next)) = readHeader(fixture, 0): @unchecked
+    assert(next == 2 * BlockSize) // 40 cards + END → two blocks
+    val merged = mergeContinuations(cards)
+    assert(get(merged, "SIMPLE").flatMap(_.boolValue).contains(true))
+    assert(get(merged, "BITPIX").flatMap(_.longValue).contains(8L))
+    assert(get(merged, "OBSFREQ").flatMap(_.doubleValue).contains(1283.582))
+    assert(get(merged, "SCALE").flatMap(_.doubleValue).contains(1000.0)) // Fortran D exponent
+    assert(get(merged, "SRC_NAME").flatMap(_.strValue).contains("J0437-4715"))
+    assert(get(merged, "SRC_NAME").flatMap(_.comment).contains("source / name"))
+    assert(get(merged, "LONGSTR").flatMap(_.strValue).contains("part one part two"))
+    assert(merged.exists(c => c.key == "COMMENT" && c.raw.trim == "this is a comment card"))
+    assert(merged.exists(c => c.key == "HISTORY" && c.raw.trim == "first history line"))
+  }
+
+  test("slash inside a quoted string is not a comment separator") {
+    val (cards, _) = parseBlock(block(Seq(
+      kv("PATH", "'a/b/c   '", Some("real comment")), card("END"))), 0)
+    val c = get(cards, "PATH").get
+    assert(c.strValue.contains("a/b/c"))
+    assert(c.comment.contains("real comment"))
+  }
+
+  test("binTableSchema + parseTable decode the HISTORY extension rows") {
+    val hdus = readHdus(fixture)
+    assert(hdus.map(_._1) == Seq(0, 1))
+    val ext = hdus(1)._2
+    assert(get(ext, "XTENSION").flatMap(_.strValue).contains("BINTABLE"))
+    val schema = binTableSchema(ext).get
+    assert(schema.cols.map(c => (c.name, c.code, c.repeat)) ==
+      Seq(("DATE_PRO", 'A', 8), ("NPOL", 'I', 1), ("DM", 'D', 1)))
+    assert(schema.rowSize == rowSize && schema.nrow == 2)
+    val dataOff = fixture.length - BlockSize
+    val rows = parseTable(schema, fixture, dataOff)
+    assert(rows(0) == Map("DATE_PRO" -> "20200101", "NPOL" -> 4.toShort, "DM" -> 2.64476))
+    assert(rows(1) == Map("DATE_PRO" -> "20200102", "NPOL" -> 1.toShort, "DM" -> 2.64481))
+  }
+
+  test("namedTable finds the extension by EXTNAME") {
+    val rows = namedTable(fixture, "HISTORY")
+    assert(rows.map(_("DATE_PRO")) == Seq("20200101", "20200102"))
+  }
+
+  test("extDataSize rounds data up to whole 2880 blocks") {
+    val ext = readHdus(fixture)(1)._2
+    assert(extDataSize(ext) == BlockSize) // 2 rows × 18 B → one padded block
+  }
+
+  test("distributed load explodes cards over binaryFile") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits").toFile
+    try {
+      Files.write(Paths.get(dir.toString, "a.fits"), fixture)
+      Files.write(Paths.get(dir.toString, "b.fits"), primary)
+      val df = FitsFile.load(spark, dir.toString).cache()
+      assert(df.where($"key" === "SRC_NAME").count() == 2)
+      // only a.fits has the extension HDU
+      val dm = df.where($"hdu" === 1 && $"key" === "NAXIS2").select("long_value")
+        .as[Option[Long]].collect().toSeq
+      assert(dm == Seq(Some(2L)))
+      // typed columns survive the explode
+      val freq = df.where($"key" === "OBSFREQ").select("double_value")
+        .as[Option[Double]].collect().toSeq
+      assert(freq == Seq(Some(1283.582), Some(1283.582)))
+      df.unpersist()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+}
