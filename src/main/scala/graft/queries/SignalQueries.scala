@@ -124,26 +124,40 @@ object SignalQueries {
     """),
   )
 
-  /** B6: cumulative windowed aggregation over time — cumulative S/N curve
-    * (`generate_SNR_images`, scripts/generate_images_results.py:32).
-    * Decimal cumulative sum keeps the running total exact. */
+  /** B6: cumulative windowed aggregation over time — cumulative AND
+    * per-subint S/N curves (`generate_SNR_images`,
+    * scripts/generate_images_results.py:70-85 emits snr_single next to
+    * snr_cumulative). Decimal cumulative sum keeps the running total
+    * exact; the single-subint term is the exact cum-minus-lag difference
+    * of that decimal sum, so both engines see bit-identical doubles. */
   private val q16 = Q(
     "q16_cumulative_snr",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
-        .withColumn("cum_value", sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+        .withColumn("cum_dec", sum(col("value").cast("decimal(38,6)")).over(wc))
+        .withColumn("cum_value", col("cum_dec").cast("double"))
         .withColumn("snr_cumulative", sqrt(col("cum_value")))
-        .select("event_id", "user_id", "cum_value", "snr_cumulative")
+        .withColumn("snr_single",
+          sqrt((col("cum_dec") - coalesce(lag(col("cum_dec"), 1).over(w),
+            lit(0).cast("decimal(38,6)"))).cast("double")))
+        .select("event_id", "user_id", "cum_value", "snr_cumulative", "snr_single")
     },
     Some("""
+      WITH c AS (
+        SELECT event_id, user_id, ts,
+          SUM(CAST(value AS DECIMAL(38,6))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+        FROM events)
       SELECT event_id, user_id,
-        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS cum_value,
-        SQRT(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)) AS snr_cumulative
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        CAST(cum_dec AS DOUBLE) AS cum_value,
+        SQRT(CAST(cum_dec AS DOUBLE)) AS snr_cumulative,
+        SQRT(CAST(cum_dec - COALESCE(
+          LAG(cum_dec) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          CAST(0 AS DECIMAL(38,6))) AS DOUBLE)) AS snr_single
+      FROM c
     """),
   )
 
