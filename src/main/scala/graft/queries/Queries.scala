@@ -487,7 +487,104 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79, q81)
+  /** A18: MERGE INTO materialization (`Upsert.applyChangeLog`) — a prior
+    * snapshot (first half of the month, no change-op) merged with a
+    * change log (second half; 'error' events are tombstone deletes,
+    * everything else an upsert). The greatest (ts, event_id) per user
+    * wins; a winning delete drops the key unless a later change revives
+    * it. Same TopKPerKey k=1 bounded-heap shape as q67 — compacting a
+    * day's log against a 100 TB snapshot never sorts a partition. The
+    * oracle is the row_number formulation with the same null-safe
+    * winner-op delete filter. */
+  private lazy val q85 = Q(
+    "q85_apply_changelog",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "value", "event_type")
+      val snapshot = ev.filter(dayofmonth(col("ts")) <= 14)
+        .withColumn("op", lit(null).cast("string")).drop("event_type")
+      val changes = ev.filter(dayofmonth(col("ts")) >= 15)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .drop("event_type")
+      graft.operators.Upsert.applyChangeLog(
+        snapshot, changes,
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        opCol = "op")
+    },
+    Some("""
+      WITH a AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN EXTRACT(DAY FROM ts) >= 15
+               THEN (CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END)
+               ELSE NULL END AS op
+        FROM events),
+      w AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM a)
+      SELECT user_id, ts, event_id, value, op
+      FROM w WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+    """),
+  )
+
+  /** B22→oracle: bilinear 2D grid interpolation (`GridLookup.bilinear`) —
+    * continuous coordinates blend the four surrounding grid cells with
+    * (1-d)(1-d) weights, missing corners contributing the default. The
+    * grid is a broadcast dim (≤ n² cells); the fact scan stays one pass
+    * with four broadcast joins, no explode/shuffle. Coordinates and the
+    * grid both derive deterministically from events so the DuckDB oracle
+    * mirrors cell-for-cell; the addition order of the four corner terms
+    * matches the operator's left-assoc reduce for bit-identical doubles. */
+  private lazy val q86 = Q(
+    "q86_grid_bilinear",
+    (s, dir) => {
+      import graft.operators.GridLookup
+      val ev = Tables.events(s, dir)
+      val grid = ev
+        .groupBy(pmod(col("event_id"), lit(8L)).cast("int").as("pix1"),
+                 pmod(floor(col("event_id") / lit(8L)), lit(8L)).cast("int").as("pix2"))
+        .agg(davg(col("value")).as("gv"))
+      val facts = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          (pmod(col("event_id"), lit(64L)) / lit(10.0) + lit(0.05)).as("x"),
+          (pmod(col("event_id"), lit(49L)) / lit(10.0) + lit(0.03)).as("y"))
+      val ax = GridLookup.Axis(crval = 0.0, crpix = 0.0, cdelt = 1.0, n = 8)
+      GridLookup.bilinear(facts, grid, col("x"), col("y"), ax, ax,
+          gridValueCol = "gv", default = 0.0)
+        .select("event_id", "user_id", "x", "y", "looked_up_bilinear")
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(event_id % 8 AS INT) AS pix1,
+               CAST((event_id // 8) % 8 AS INT) AS pix2,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(value) AS DOUBLE) AS gv
+        FROM events GROUP BY 1, 2),
+      f AS (
+        SELECT event_id, user_id,
+          (event_id % 64) / 10.0 + 0.05 AS x,
+          (event_id % 49) / 10.0 + 0.03 AS y
+        FROM events WHERE event_type = 'click'),
+      b AS (
+        SELECT event_id, user_id, x, y,
+          CAST(FLOOR(x) AS INT) AS i1, CAST(FLOOR(y) AS INT) AS i2,
+          x - CAST(FLOOR(x) AS INT) AS d1, y - CAST(FLOOR(y) AS INT) AS d2
+        FROM f)
+      SELECT b.event_id, b.user_id, b.x, b.y,
+        (1.0 - d1) * (1.0 - d2) * COALESCE(g00.gv, 0.0)
+          + (1.0 - d1) * d2 * COALESCE(g01.gv, 0.0)
+          + d1 * (1.0 - d2) * COALESCE(g10.gv, 0.0)
+          + d1 * d2 * COALESCE(g11.gv, 0.0) AS looked_up_bilinear
+      FROM b
+      LEFT JOIN g g00 ON g00.pix1 = b.i1     AND g00.pix2 = b.i2
+      LEFT JOIN g g01 ON g01.pix1 = b.i1     AND g01.pix2 = b.i2 + 1
+      LEFT JOIN g g10 ON g10.pix1 = b.i1 + 1 AND g10.pix2 = b.i2
+      LEFT JOIN g g11 ON g11.pix1 = b.i1 + 1 AND g11.pix2 = b.i2 + 1
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79, q81, q85, q86)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all
