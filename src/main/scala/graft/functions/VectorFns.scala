@@ -45,12 +45,16 @@ object VectorFns {
     * transform lambda, and higher-order lambdas re-evaluate embedded
     * subtrees PER ELEMENT (an O(d²) normalization for d-dim vectors). */
   def normalized(df: org.apache.spark.sql.DataFrame, vecCol: String,
-                 outCol: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+                 outCol: String): org.apache.spark.sql.DataFrame = {
+    // collision-free temp name: never clobber/drop a user column
+    val nrm = Iterator.from(0).map(i => s"__nrm$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(nrm, sqrt(dot(col(vecCol), col(vecCol))))
       .withColumn(outCol,
-        when(col("__nrm") === 0.0, col(vecCol).cast("array<double>"))
-          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / col("__nrm"))))
-      .drop("__nrm")
+        when(col(nrm) === 0.0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / col(nrm))))
+      .drop(nrm)
+  }
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -254,9 +254,10 @@ object Corpus {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
 
-    // cached: the explode+distinct shuffle over the benchmark feeds THREE
-    // consumers (the sizing count, the bloom build, and the exact-verify
-    // join at query time) — without the cache each would recompute it
+    // cached: the explode+distinct shuffle over the benchmark feeds the
+    // sizing count, the bloom build, and the verify-dim materialization
+    // below — without the cache each would recompute it; released before
+    // return (no session-lifetime residency)
     val benchShingles = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
       .distinct()
@@ -289,6 +290,17 @@ object Corpus {
         Literal(nShingles), Literal(nBits)).toAggregateExpression())
     val bloomBytes = benchShingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
 
+    // Materialize the verify dim and RELEASE the cache now: the returned
+    // plan's exact-verify join broadcasts these shingles anyway, so
+    // pinning them as a local dataset costs what the broadcast already
+    // costs — while leaving the cached shuffle resident for the session
+    // would accumulate across repeated calls. Size is bounded by the
+    // maxNumItems guard above.
+    val shingleSeq = benchShingles.collect().map(_.getString(0)).toSeq
+    benchShingles.unpersist()
+    import corpus.sparkSession.implicits._
+    val verifyDim = corpus.sparkSession.createDataset(shingleSeq).toDF("__s")
+
     // map-only prefilter: short-circuit on the first might-contain hit
     def mightContain(s: Column): Column = Bridge.column(
       BloomFilterMightContain(
@@ -301,7 +313,7 @@ object Corpus {
     // exact verify on the (tiny) candidate set only — false positives die here
     val hits = candidates
       .select(col(idCol), explode(col("__sh")).as("__s"))
-      .join(broadcast(benchShingles), Seq("__s"), "leftsemi")
+      .join(broadcast(verifyDim), Seq("__s"), "leftsemi")
       .select(idCol).distinct()
       .withColumn("__c", lit(1L))
     corpus.join(hits, Seq(idCol), "left")

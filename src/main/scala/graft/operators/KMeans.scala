@@ -97,9 +97,20 @@ object KMeans {
       val finalAssign = Quantize.assignCodes(rows, finalCb, "vec")
         .join(broadcast(finalCb.select(col("code"), col("centroid"))), Seq("code"))
         .withColumn("d2", Quantize.sqDist(col("vec"), col("centroid")))
-      val inertia = finalAssign
-        .agg(coalesce(sum(col("d2").cast("decimal(38,18)")).cast("double"), lit(0.0)))
-        .head().getDouble(0)
+      // decimal(38,6) leaves 10^32 of integer headroom (38,18 overflowed
+      // to null at ~10^20, silently reporting inertia = 0.0 — the
+      // statistic callers use to pick k); a null sum over a non-empty
+      // input now fails loudly instead of coalescing
+      val inertiaRow = finalAssign
+        .agg(sum(col("d2").cast("decimal(38,6)")).cast("double"),
+          count(lit(1)))
+        .head()
+      val inertia =
+        if (inertiaRow.getLong(1) == 0L) 0.0
+        else if (inertiaRow.isNullAt(0))
+          sys.error("KMeans inertia sum overflowed decimal(38,6) — " +
+            "distances too large; scale the input vectors")
+        else inertiaRow.getDouble(0)
       val sizes = finalAssign.groupBy("code").agg(count(lit(1)).as("size"))
       val out = finalCb
         .join(sizes, Seq("code"), "left")

@@ -912,10 +912,12 @@ object SignalQueries {
           dsum(col("winsorized")).as("sum_winsorized")),
     Some("""
       WITH r AS (
+        -- nulls must not rank into the quantile window (they pass through
+        -- unclamped below), mirroring the operator's null handling
         SELECT event_type, event_id, value,
           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
           COUNT(*) OVER (PARTITION BY event_type) AS cnt
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       q AS (
         SELECT event_type,
           MAX(CASE WHEN rn = CEIL(cnt * 0.05) THEN value END) AS qlo,
@@ -926,9 +928,9 @@ object SignalQueries {
           CASE WHEN e.value < q.qlo THEN q.qlo
                WHEN e.value > q.qhi THEN q.qhi
                ELSE e.value END AS winsorized,
-          CAST(e.value < q.qlo AS BIGINT) AS cl,
-          CAST(e.value > q.qhi AS BIGINT) AS ch
-        FROM events e JOIN q ON q.event_type = e.event_type)
+          COALESCE(CAST(e.value < q.qlo AS BIGINT), 0) AS cl,
+          COALESCE(CAST(e.value > q.qhi AS BIGINT), 0) AS ch
+        FROM events e LEFT JOIN q ON q.event_type = e.event_type)
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(cl) AS BIGINT) AS n_clamped_low,
         CAST(SUM(ch) AS BIGINT) AS n_clamped_high,
