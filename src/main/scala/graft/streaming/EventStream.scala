@@ -114,9 +114,15 @@ object EventStream {
     * `neardup_in.rows_in` (docs entering the dedup) and
     * `neardup_out.rows_out` (docs surviving it) through
     * `StreamingQueryProgress.observedMetrics` — `rows_in − rows_out` is
-    * the per-batch drop count, so a drop rate creeping toward the
-    * fingerprint space's birthday bound (unrelated docs colliding) shows
-    * up in monitoring instead of silently discarding data. */
+    * the per-batch drop count — plus
+    * `neardup_collisions.fp_collision_hint`: distinct texts minus
+    * distinct fingerprints in the batch, i.e. how many DISTINCT
+    * documents collapsed onto an already-taken fingerprint. Exact
+    * repeats don't move it; a hint creeping up with a steady input mix
+    * is the birthday bound degrading (unrelated docs colliding) — the
+    * false-drop monitor round-3/4 review asked for. HLL-approximate at
+    * huge batch cardinalities, exact at the cardinalities where single
+    * collisions are countable. */
   def deduplicatedNear(docs: DataFrame, textCol: String, bits: Int = 32,
                        watermark: String = "30 minutes"): DataFrame =
     docs
@@ -124,6 +130,9 @@ object EventStream {
       .observe("neardup_in", count(lit(1)).as("rows_in"))
       .withColumn("__simhash", graft.expressions.SimHashBits.of(
         array_distinct(graft.functions.TextFns.words(col(textCol))), bits))
+      .observe("neardup_collisions",
+        (approx_count_distinct(xxhash64(col(textCol))) -
+          approx_count_distinct(col("__simhash"))).as("fp_collision_hint"))
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
       .observe("neardup_out", count(lit(1)).as("rows_out"))

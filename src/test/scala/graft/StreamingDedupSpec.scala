@@ -58,6 +58,10 @@ class StreamingDedupSpec extends SparkSpec {
           .map(_.getAs[Long](field)).sum
       assert(metricSum("neardup_in", "rows_in") == 3L)
       assert(metricSum("neardup_out", "rows_out") == 2L)
+      // the engineered collision (docs 1/2: distinct texts, one
+      // fingerprint) is visible as a candidate-collision count: 3
+      // distinct texts − 2 distinct fingerprints = 1
+      assert(metricSum("neardup_collisions", "fp_collision_hint") == 1L)
     } finally q.stop()
   }
 
