@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   * via the packed-long ArgMaxPack HASH aggregate, the update is one
   * map-side-combining decimal-mean aggregate, and exactly one job runs
   * per round. The vectors themselves never leave the executors.
-  * Deterministic: smallest-id init (TakeOrderedAndProject, not a
-  * single-partition window sort), exact decimal means, ties to the
+  * Deterministic: k-means|| init seeded by id-hash (fixed-seed hash
+  * "randomness", no RNG state), exact decimal means, ties to the
   * smaller cluster id.
   */
 object KMeans {
@@ -52,12 +52,12 @@ object KMeans {
     val rows = df.select(col(idCol).as("id"), lit(0).as("subspace"),
       col(vecCol).cast("array<double>").as("vec")).cache()
     try {
-      // deterministic init: the k smallest ids via per-partition bounded
-      // heaps (TakeOrderedAndProject) — never a single-partition sort
-      var centroids: Array[(Int, Seq[Double])] = rows
-        .orderBy("id").limit(k)
-        .select(col("vec")).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+      // deterministic k-means|| init (Bahmani et al. 2012, arXiv:1203.6402)
+      // with fixed-seed hash "randomness" — same determinism contract as
+      // the rest of the loop, far better seeding than first-k-ids
+      // (which could land every seed inside one blob)
+      var centroids: Array[(Int, Seq[Double])] = initParallel(rows, k)
+        .zipWithIndex.map { case (v, i) => (i, v) }
       require(centroids.nonEmpty, "KMeans.fit: input has no rows — no centroid is definable")
 
       def codebookDf(cents: Array[(Int, Seq[Double])]): DataFrame = {
@@ -118,6 +118,101 @@ object KMeans {
           coalesce(col("size"), lit(0L)).as("size"))
       Model(out, iter, converged, inertia)
     } finally rows.unpersist()
+  }
+
+  /** Deterministic k-means|| seeding over cached rows of
+    * (id, subspace=0, vec) — the distributed k-means++ variant
+    * (Bahmani et al.): a few oversampling rounds draw ~2k candidates
+    * each with probability ∝ their squared distance to the current
+    * candidate set, then the candidates (weighted by how many points
+    * they'd own) reduce to k centers driver-side.
+    *
+    * "Randomness" is fixed-seed hashing so runs are bit-reproducible:
+    * the first candidate is the row with the smallest xxhash64(id); a
+    * round-r draw keeps a point when pmod(xxhash64(id, r), 10⁹)/10⁹ <
+    * min(1, l·d²/φ) with φ the decimal-exact d² total (a double-sum φ
+    * would be partition-order-dependent and could flip borderline
+    * draws). The driver-side reduction is greedy weighted
+    * farthest-point (argmax w·d², ties to the lowest candidate index) —
+    * the deterministic stand-in for weighted k-means++ sampling.
+    *
+    * Cost: `rounds` × (one broadcast-join min-d² aggregate + one tiny
+    * candidate collect) + one weighting pass — ~4 extra jobs, candidate
+    * set ≈ 1 + rounds·2k vectors on the driver. May return fewer than k
+    * centers when the data has fewer distinct useful seeds (duplicate
+    * or zero-weight candidates), matching the capped first-k-ids
+    * behavior it replaces. */
+  private def initParallel(rows: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    def candidatesDf(cands: IndexedSeq[Seq[Double]]): DataFrame =
+      cands.zipWithIndex.map { case (v, i) => (i, v) }.toDF("code", "centroid")
+        .withColumn("subspace", lit(0))
+        .select(col("subspace"), col("code"), col("centroid"))
+
+    val first = rows
+      .select(col("vec"), xxhash64(col("id")).as("__h"))
+      .orderBy(col("__h"), col("vec")).limit(1)
+      .select("vec").collect()
+    if (first.isEmpty) return Array.empty
+    var cands: Vector[Seq[Double]] = Vector(first(0).getSeq[Double](0).toVector)
+
+    val l = 2.0 * k
+    var r = 1
+    var saturated = false
+    while (r <= rounds && !saturated) {
+      val cb = broadcast(candidatesDf(cands).select(col("subspace"), col("centroid")))
+      val d2s = rows.join(cb, Seq("subspace"))
+        .withColumn("__cd2", Quantize.sqDist(col("vec"), col("centroid")))
+        .groupBy(col("id"), col("vec"))
+        .agg(min(col("__cd2")).as("d2"))
+      val phi = d2s
+        .agg(coalesce(sum(col("d2").cast("decimal(38,6)")).cast("double"), lit(0.0)))
+        .head().getDouble(0)
+      if (phi <= 0.0) saturated = true // every point sits ON a candidate
+      else {
+        val u = pmod(xxhash64(col("id"), lit(r)), lit(1000000000L))
+          .cast("double") / lit(1e9)
+        // sort the draw so candidate indices don't depend on collect()
+        // partition order — keeps the whole init bit-reproducible
+        cands ++= d2s
+          .filter(u < least(lit(1.0), lit(l) * col("d2") / lit(phi)))
+          .select("vec").collect().map(_.getSeq[Double](0).toVector)
+          .sortBy(_.mkString(","))
+      }
+      r += 1
+    }
+
+    // weight candidates by the points they'd own, then greedy weighted
+    // farthest-point down to k
+    val weights = Quantize.assignCodes(rows, candidatesDf(cands), "vec")
+      .groupBy("code").agg(count(lit(1)).as("w"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val cArr = cands.toArray
+    val wArr = cArr.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray
+
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val firstIdx = cArr.indices.maxBy(i => (wArr(i), -i))
+    val chosen = scala.collection.mutable.ArrayBuffer(firstIdx)
+    val bestD2 = cArr.indices.map(i => sq(cArr(i), cArr(firstIdx))).toArray
+    var more = true
+    while (chosen.size < k && more) {
+      val next = cArr.indices.maxBy(i => (wArr(i) * bestD2(i), -i))
+      if (wArr(next) * bestD2(next) <= 0.0) more = false // only dups/deadweight left
+      else {
+        chosen += next
+        var i = 0
+        while (i < cArr.length) {
+          bestD2(i) = math.min(bestD2(i), sq(cArr(i), cArr(next))); i += 1
+        }
+      }
+    }
+    chosen.map(cArr).toArray
   }
 
   /** Nearest-centroid assignment of (possibly new) vectors against a

@@ -51,6 +51,30 @@ class KMeansSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("k-means|| init spreads seeds across blobs (first-k-ids would start all in one)") {
+    // three well-separated blobs; the three SMALLEST ids all sit in blob A,
+    // so the replaced first-k-ids init would have seeded every center in
+    // one blob — k-means|| must still recover one cluster per blob with
+    // the optimal inertia
+    val blobs = Seq(
+      (1L, Array(0.0, 0.2)), (2L, Array(0.2, 0.0)), (3L, Array(0.1, 0.1)),
+      (4L, Array(100.0, 0.1)), (5L, Array(100.2, 0.3)),
+      (6L, Array(0.1, 100.0)), (7L, Array(0.3, 100.2)),
+    ).toDF("id", "vec")
+    val m = KMeans.fit(blobs, "id", "vec", k = 3, maxIters = 15, tol = 1e-9)
+    val sizes = m.centroids.select("size").as[Long].collect().sorted.toSeq
+    assert(sizes === Seq(2L, 2L, 3L), s"one cluster per blob, got $sizes")
+    // optimal inertia: exact within-blob SSE of the three blobs
+    def sse(pts: Seq[(Double, Double)]): Double = {
+      val mx = pts.map(_._1).sum / pts.size
+      val my = pts.map(_._2).sum / pts.size
+      pts.map { case (x, y) => math.pow(x - mx, 2) + math.pow(y - my, 2) }.sum
+    }
+    val optimal = sse(Seq((0.0, 0.2), (0.2, 0.0), (0.1, 0.1))) +
+      sse(Seq((100.0, 0.1), (100.2, 0.3))) + sse(Seq((0.1, 100.0), (0.3, 100.2)))
+    assert(m.inertia <= optimal + 1e-9, s"inertia ${m.inertia} worse than optimal $optimal")
+  }
+
   test("k larger than distinct points keeps empty clusters at their init") {
     val tiny = Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("id", "vec")
     val m = KMeans.fit(tiny, "id", "vec", k = 3, maxIters = 5)
