@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+import graft.plans.{AsOfJoinMergeExec, TopKPerKeyExec}
+import graft.queries.Queries
+
+/** Plan-shape regression guards for the most expensive catalog queries:
+  * the invariants PLANS.md documents, asserted so a future rewrite can't
+  * silently regress them. sparkPlan (not executedPlan) — AQE wraps the
+  * unexecuted tree and `collect` over it would pass vacuously. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sparkPlan(name: String): SparkPlan =
+    Queries.queryMap(name)(spark, dir).queryExecution.sparkPlan
+
+  test("q80 similarity join: prefix-filtered shuffle joins, never a nested-loop/cartesian plan") {
+    val sp = sparkPlan("q80_similarity_join")
+    assert(sp.collect { case e: BroadcastNestedLoopJoinExec => e }.isEmpty,
+      "q80 must not plan BroadcastNestedLoopJoin")
+    assert(sp.collect { case e: CartesianProductExec => e }.isEmpty,
+      "q80 must not plan a cartesian product")
+  }
+
+  test("q38/q39/q46 top-k: exactly one pruning mechanism (TopKPerKey), window rewritten away") {
+    for (q <- Seq("q38_cosine_topk", "q39_ann_buckets", "q46_ivf_search")) {
+      val sp = sparkPlan(q)
+      assert(sp.collect { case e: TopKPerKeyExec => e }.nonEmpty,
+        s"$q: expected the rank-filter → TopKPerKey rewrite to fire")
+      assert(sp.collect { case e: WindowExec => e }.isEmpty,
+        s"$q: WindowExec must be replaced, not kept above TopKPerKey")
+      assert(sp.collect { case e: WindowGroupLimitExec => e }.isEmpty,
+        s"$q: built-in group-limit pruning must not stack on TopKPerKey")
+    }
+  }
+
+  test("q22 as-of join: custom sorted-merge exec, no sorts beyond the per-side merge order") {
+    val sp = sparkPlan("q22_asof_join")
+    assert(sp.collect { case e: AsOfJoinMergeExec => e }.nonEmpty,
+      "q22 must plan AsOfJoinMergeExec")
+    val sorts = sp.collect { case e: SortExec => e }
+    assert(sorts.size <= 2,
+      s"at most one EnsureRequirements sort per merge side, got ${sorts.size}")
+  }
+
+  test("q47 dedup clusters: returned plan reads checkpointed round state, not round replay") {
+    // the iterative min-label resolution runs eagerly inside the build;
+    // the DataFrame it returns must scan the localCheckpoint blocks
+    // (LogicalRDD) instead of carrying the whole per-round lineage
+    val df = Queries.queryMap("q47_dedup_clusters")(spark, dir)
+    val rdds = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }
+    assert(rdds.nonEmpty, "q47 lineage must be truncated via localCheckpoint")
+  }
+
+  test("q04 dimension rollup: dims broadcast, never shuffled") {
+    val sp = sparkPlan("q04_dim_rollup")
+    assert(sp.collect { case e: BroadcastHashJoinExec => e }.nonEmpty,
+      "q04's dimension joins must plan BroadcastHashJoin")
+  }
+}
