@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
@@ -86,6 +87,97 @@ object RangeJoin {
       .join(ivs, keyCond)
       .filter(axis(points, pointCol).between(axis(intervals, startCol), axis(intervals, endCol)))
       .drop("__bin")
+  }
+
+  /** Decomposable aggregates (COUNT(*) + SUMs of point columns) over all
+    * (point, interval-containing-it) pairs, grouped by interval columns,
+    * WITHOUT materializing the pairs. `pointInInterval().groupBy(g)
+    * .agg(count, sum)` is linear in the pair count, which densifying
+    * data makes quadratic (10× points × 10× intervals on the same time
+    * axis = 100× pairs); this is linear in |points| + |intervals|.
+    *
+    * Shape: each interval [s, e] becomes two boundary rows — (+1, t=e)
+    * and (−1, t=s−1) — unioned with the points. A cumulative sum ordered
+    * by t then reads, at each boundary, the prefix aggregate of all
+    * points ≤ t, so an interval's net contribution is prefix(e) −
+    * prefix(s−1) = the aggregate over points in [s, e] (closed, integer
+    * axis). The prefix is computed in two levels so no global sort
+    * exists: a within-bin cumulative window (parallel across `binWidth`
+    * bins) plus a bins-sized prefix of per-bin totals joined back.
+    * Cost: one hash shuffle of the union by bin + one window sort per
+    * bin + one tiny bins-table window + the final groupBy — every stage
+    * linear and partition-parallel. The bins-table window runs on a
+    * single partition, which bounds binWidth from below: pick it so bin
+    * count stays ≪ |points| (thousands-to-millions is fine).
+    *
+    * Output: `groupKeys` ++ `n_pairs` (pair count) ++ `sum_<c>` for each
+    * of `sumCols`, with groups that matched zero points dropped (inner
+    * pair-join semantics). Sum columns keep Spark's native sum typing
+    * (long→long, decimal widening), so results are bit-identical to the
+    * pair-join form for exact types.
+    */
+  def aggregatePointsInIntervals(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      groupKeys: Seq[String],
+      sumCols: Seq[String] = Nil,
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(groupKeys.nonEmpty, "need at least one interval group column")
+    val p = axis(points, pointCol)
+    val s = axis(intervals, startCol)
+    val e = axis(intervals, endCol)
+
+    // Union schema: __t axis, __k orders boundaries AFTER coincident
+    // points (prefix at t is inclusive of points at t), __sign ±1 on
+    // boundaries / 0 on points, per-group null padding on points.
+    val ptRows = points
+      .filter(p.isNotNull)
+      .select(
+        Seq(p.as("__t"), lit(0).as("__k"), lit(0).as("__sign"), lit(1L).as("__cnt")) ++
+          sumCols.map(c => points(c).as(s"__v_$c")) ++
+          groupKeys.map(k => lit(null).cast(intervals.schema(k).dataType).as(s"__g_$k")): _*)
+    val ivs = intervals.filter(s <= e)
+    def boundary(t: Column, sign: Int) = ivs.select(
+      Seq(t.as("__t"), lit(1).as("__k"), lit(sign).as("__sign"), lit(0L).as("__cnt")) ++
+        sumCols.map(c => lit(null).cast(points.schema(c).dataType).as(s"__v_$c")) ++
+        groupKeys.map(k => ivs(k).as(s"__g_$k")): _*)
+    val union = ptRows.unionByName(boundary(e, 1)).unionByName(boundary(s - 1, -1))
+      .withColumn("__bin", binId(col("__t"), binWidth))
+
+    val win = Window.partitionBy("__bin").orderBy("__t", "__k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrefix = union
+      .withColumn("__pc", sum(col("__cnt")).over(win))
+      .withColumns(sumCols.map(c => s"__pv_$c" -> sum(col(s"__v_$c")).over(win)).toMap)
+
+    // Bin-level exclusive prefix: totals per bin, then a running sum over
+    // the (small) bins table, joined back so each boundary's prefix
+    // becomes global. AQE broadcasts the bins side when it is tiny.
+    val binWin = Window.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val binPrefix = union.groupBy("__bin")
+      .agg(sum(col("__cnt")).as("__bc"),
+        sumCols.map(c => sum(col(s"__v_$c")).as(s"__bv_$c")): _*)
+      .select(
+        Seq(col("__bin"), coalesce(sum(col("__bc")).over(binWin), lit(0L)).as("__cb")) ++
+          sumCols.map(c => sum(col(s"__bv_$c")).over(binWin).as(s"__cb_$c")): _*)
+
+    withPrefix
+      .filter(col("__sign") =!= 0)
+      .join(binPrefix, "__bin")
+      .groupBy(groupKeys.map(k => col(s"__g_$k").as(k)): _*)
+      .agg(
+        sum(col("__sign") * (col("__pc") + col("__cb"))).as("n_pairs"),
+        sumCols.map(c =>
+          sum(col("__sign") *
+            (coalesce(col(s"__pv_$c"), lit(0)) + coalesce(col(s"__cb_$c"), lit(0))))
+            .as(s"sum_$c")): _*)
+      .filter(col("n_pairs") > 0)
   }
 
   /** All pairs of left/right rows whose closed intervals overlap

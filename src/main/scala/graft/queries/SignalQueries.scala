@@ -574,6 +574,49 @@ object SignalQueries {
     """),
   )
 
+  /** B35b: the same aggregate-over-containment rollup as q56, computed by
+    * `RangeJoin.aggregatePointsInIntervals` WITHOUT materializing the
+    * (event, interval) pairs — each interval becomes ±prefix-sum
+    * boundaries and a two-level bin-partitioned cumulative sum reads the
+    * per-interval aggregate directly. q56's pair join is linear in pair
+    * count (quadratic when both sides densify on a fixed time axis:
+    * SCALING.md measured 100× pairs at 10× data); this form is linear in
+    * input rows. The oracle is the identical pair-join SQL, so a hash
+    * match proves the rewrite exact, not approximately equal. */
+  private val q88 = Q(
+    "q88_interval_agg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        expr("timestamp_micros(788918400000000 + (unix_micros(ts) - 1704067200000000) * 80)").as("mts"),
+      )
+      val iv = Tables.orders(s, dir).select(
+        col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp").as("valid_from"),
+        expr("timestamp_micros(unix_micros(cast(o_orderdate as timestamp)) + 172800000000)").as("valid_to"),
+      )
+      graft.operators.RangeJoin
+        .aggregatePointsInIntervals(ev, iv, "mts", "valid_from", "valid_to",
+          binWidth = 2L * 86400L * 1000000L,
+          groupKeys = Seq("o_orderpriority"), sumCols = Seq("user_id"))
+        .select(col("o_orderpriority"), col("n_pairs"), col("sum_user_id").as("sum_user"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id,
+          make_timestamp(788918400000000 + (epoch_us(ts) - 1704067200000000) * 80) AS mts
+        FROM events),
+      iv AS (
+        SELECT o_orderpriority, o_orderdate AS valid_from,
+          o_orderdate + INTERVAL 2 DAY AS valid_to
+        FROM orders)
+      SELECT o_orderpriority, COUNT(*) AS n_pairs,
+        CAST(SUM(user_id) AS BIGINT) AS sum_user
+      FROM ev JOIN iv ON ev.mts BETWEEN iv.valid_from AND iv.valid_to
+      GROUP BY 1
+    """),
+  )
+
   /** B36: MAD clipping (`Outliers.madClip`) — robust median/MAD outlier
     * flags per event type, the estimator MeerGuard-style RFI excision
     * wants when spikes inflate σ (q20's sigma-clip is the parametric
@@ -816,7 +859,7 @@ object SignalQueries {
   )
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square

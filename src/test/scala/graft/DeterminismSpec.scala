@@ -37,7 +37,10 @@ class DeterminismSpec extends SparkSpec {
       "q67_latest_snapshot", "q68_scd2_intervals", "q69_decontaminate_bloom",
       "q70_hybrid_rrf", "q71_cohort_retention", "q72_zipf_slope", "q73_edit_verify",
       "q74_category_drift", "q75_cube", "q76_session_window", "q78_snapshot_diff",
-      "q80_similarity_join", "q81_ntile_buckets", "q82_winsorize", "q83_top_contributor")
+      "q80_similarity_join", "q81_ntile_buckets", "q82_winsorize", "q83_top_contributor",
+      // round-5: two-level prefix-sum interval aggregation (bin window +
+      // single-partition bins-table window + final groupBy)
+      "q88_interval_agg")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)

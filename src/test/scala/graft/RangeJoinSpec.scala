@@ -84,6 +84,44 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("aggregatePointsInIntervals matches pair-join + groupBy across bin widths") {
+    // value column with nulls (sum must skip them, like the pair join's)
+    val pts = points.withColumn("v",
+      when(col("p_id") % 7 === 0, lit(null)).otherwise(col("p_id") * 3 + 1))
+    val expected = pts.crossJoin(intervals)
+      .filter(col("p").between(col("s"), col("e")))
+      .groupBy("i_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("v").as("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val got = RangeJoin.aggregatePointsInIntervals(
+          pts, intervals, "p", "s", "e", binWidth = w,
+          groupKeys = Seq("i_id"), sumCols = Seq("v"))
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate groups at binWidth=$w")
+      assert(got.toSet == expected, s"binWidth=$w")
+    }
+  }
+
+  test("aggregatePointsInIntervals drops zero-match groups and empty intervals") {
+    val pts = Seq((1L, 7L)).toDF("p_id", "p")
+    val iv = Seq((1L, 10L, 5L), (2L, 0L, 20L), (3L, 100L, 200L)).toDF("i_id", "s", "e")
+    val got = RangeJoin.aggregatePointsInIntervals(
+        pts, iv, "p", "s", "e", binWidth = 4, groupKeys = Seq("i_id"))
+      .select("i_id", "n_pairs").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)))
+  }
+
+  test("aggregatePointsInIntervals closed-boundary inclusivity at bin edges") {
+    // points exactly on start/end, boundaries exactly on bin edges
+    val pts = Seq((1L, 0L), (2L, 4L), (3L, 8L), (4L, 9L)).toDF("p_id", "p")
+    val iv = Seq((1L, 0L, 8L), (2L, 4L, 4L)).toDF("i_id", "s", "e")
+    val got = RangeJoin.aggregatePointsInIntervals(
+        pts, iv, "p", "s", "e", binWidth = 4, groupKeys = Seq("i_id"))
+      .select("i_id", "n_pairs").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("range join plans an equi-join, not BroadcastNestedLoopJoin") {
     val df = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = 100)
     val bnl = df.queryExecution.sparkPlan.collect { case b: BroadcastNestedLoopJoinExec => b }
