@@ -563,4 +563,81 @@ object Dedup {
       .select("doc_id")
     newDocs.join(dropNew, newDocs(idCol) === dropNew("doc_id"), "left_anti")
   }
+
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid by
+    * cosine, then search for pairs above `threshold` ONLY inside a
+    * cluster. The data-adaptive counterpart to [[byEmbedding]]'s random
+    * hyperplanes: k-means centroids follow the corpus's density, so hot
+    * regions split across many centroids instead of hashing into one
+    * overloaded bucket, and `k` tunes candidate cost directly
+    * (Σ|cluster|² vs n²).
+    *
+    * `centroids`: (`cluster`: Int, `centroid`: array<double>) — from
+    * [[KMeans.fit]] (see [[semanticDedupAuto]]) or any externally trained
+    * coarse quantizer (the IVF codebook double-serves here).
+    *
+    * Scale shape: centroids are k×d doubles broadcast to every task; the
+    * assignment is one map pass planned as a packed-long HASH aggregate
+    * (ArgMaxPack — see q44's precision note: near-ties within ~2^-48
+    * relative break toward the larger cluster id); the only shuffle is
+    * the cluster-keyed pair self-join. A skewed giant cluster is the
+    * signal to raise k — the same contract as IVF list sizing.
+    */
+  def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    labelBits: Int = 10): DataFrame = {
+    val assigned = assignNearest(df, vecCol, idCol, centroids, labelBits)
+    val a = assigned.select(col("cluster"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = assigned.select(col("cluster"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("cluster", "a_id", "b_id", "cosine")
+  }
+
+  /** Nearest-centroid assignment by cosine: (id, vec, cluster). Broadcast
+    * centroids with precomputed norms; argmax as the ArgMaxPack hash
+    * aggregate (max(struct) would fall back to SortAggregate). */
+  private def assignNearest(df: DataFrame, vecCol: String, idCol: String,
+                            centroids: DataFrame, labelBits: Int): DataFrame = {
+    val cents = centroids.select(col("cluster").cast("int").as("cluster"),
+      col("centroid").cast("array<double>").as("centroid"))
+      .withColumn("nrm_c", sqrt(VectorFns.dot(col("centroid"), col("centroid"))))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm_v", sqrt(VectorFns.dot(col("vec"), col("vec"))))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorFns.dot(col("vec"), col("centroid")) / (col("nrm_v") * col("nrm_c")))
+      .groupBy("id")
+      .agg(
+        max(graft.expressions.ArgMaxPack.of(col("ccos"), col("cluster"), labelBits)).as("__p"),
+        first(col("vec")).as("vec"))
+      .select(col("id"),
+        graft.expressions.ArgMaxPack.unpackLabel(col("__p"), labelBits).as("cluster"),
+        col("vec"))
+  }
+
+  /** [[dedupCorpus]] with SemDeDup blocking: semantic pairs above
+    * `threshold` → connected components → min-id survivor per cluster →
+    * the corpus with semantic duplicates dropped. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    centroids: DataFrame, threshold: Double,
+                    labelBits: Int = 10): DataFrame =
+    dropLosers(df,
+      semanticPairs(df, vecCol, idCol, centroids, threshold, labelBits)
+        .select("a_id", "b_id"), idCol)
+
+  /** [[semanticDedup]] end to end: train the coarse clustering with
+    * deterministic k-means|| Lloyd ([[KMeans.fit]]), then dedup inside
+    * its clusters. One extra pass per Lloyd round; everything else
+    * identical to the pre-trained path. */
+  def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+                        k: Int, threshold: Double,
+                        maxIters: Int = 10): DataFrame = {
+    val model = KMeans.fit(df, idCol, vecCol, k, maxIters)
+    val labelBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+    semanticDedup(df, vecCol, idCol,
+      model.centroids.select("cluster", "centroid"), threshold, labelBits)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring (SURVEY.md §2.C) — the rung above
+  * surface heuristics (q35) on the quality ladder: score each document by
+  * its average log-probability under a word-bigram model trained on a
+  * reference corpus, the CCNet/KenLM filtering recipe (Wenzek et al. 2020,
+  * arXiv:1911.00359) re-expressed relationally. Low `avg_lp` = text the
+  * reference corpus finds surprising (spam, keyboard mash, wrong
+  * language); filtering thresholds are set per corpus on the score
+  * distribution.
+  *
+  * Model = plain count tables, not a binary artifact: `P(w | w_prev) =
+  * (c(w_prev, w) + 1) / (c(w_prev) + V)` with add-one smoothing over the
+  * training vocabulary V — every quantity an exact integer count, so
+  * scores are engine-reproducible (the one float op, ln, happens on
+  * identical double inputs everywhere).
+  *
+  * Scale shape: training is two corpus-sized groupBy counts (map-side
+  * combining; bigram table ≈ corpus token count in the worst case, keyed
+  * shuffle). Scoring builds each doc's bigram list with a zero-shuffle
+  * array zip (no self-join, no window), then joins model counts on the
+  * bigram/unigram key — both model tables are Heaps'-law unbounded, so
+  * they are deliberately NOT broadcast; AQE may still choose to when a
+  * small model fits. One final groupBy(doc) folds the per-term decimal sums.
+  */
+object LangModel {
+
+  /** Trained model: `unigrams` (w, c), `bigrams` (w_prev, w, c), `vocab`
+    * = distinct-word count (the smoothing denominator offset). */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame, vocab: Long)
+
+  /** Count tables from a whitespace-tokenized training corpus. The one
+    * driver-side value is `vocab` (a scalar count — unavoidable and
+    * cheap); the count tables stay distributed. */
+  def train(corpus: DataFrame, textCol: String): Model = {
+    val words = corpus.select(posexplode(split(col(textCol), " ")).as(Seq("__p", "w")))
+    val unigrams = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val bigrams = corpus
+      .select(explode(bigramArray(textCol)).as("bg"))
+      .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
+      .groupBy("w_prev", "w").agg(count(lit(1)).as("c"))
+    Model(unigrams, bigrams, unigrams.count())
+  }
+
+  /** (w_prev, w) struct array of a doc's adjacent word pairs — built by
+    * zipping the split array with its own tail: a pure map stage, where a
+    * (pos, pos+1) self-join or a lag window would shuffle every token. */
+  private def bigramArray(textCol: String) = {
+    val ws = split(col(textCol), " ")
+    filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w_prev"), b.as("w"))),
+      s => s.getField("w").isNotNull)
+  }
+
+  /** Per-doc average bigram log-probability under `m`: (`idCol`,
+    * `n_terms`, `avg_lp`). Docs with fewer than two words score NULL
+    * (`n_terms` 0). Unseen bigrams/prevs fall back to the smoothed floor
+    * (count 0). Per-term logs are rounded to DECIMAL(38,6) before the
+    * order-insensitive decimal sum — the q72 recipe: ln's ≤1-ulp
+    * cross-engine wobble dies at the cast, the sum is then exact. */
+  def score(docs: DataFrame, textCol: String, idCol: String, m: Model): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("__id"), explode(bigramArray(textCol)).as("bg"))
+      .select(col("__id"), col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
+    val lp = terms
+      .join(m.bigrams.withColumnRenamed("c", "__cab"), Seq("w_prev", "w"), "left")
+      .join(m.unigrams.select(col("w").as("w_prev"), col("c").as("__ca")), Seq("w_prev"), "left")
+      .withColumn("__lp",
+        log((coalesce(col("__cab"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("__ca"), lit(0L)) + lit(m.vocab)).cast("double"))
+          .cast("decimal(38,6)"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"), sum(col("__lp")).as("__s"))
+    docs.select(col(idCol))
+      .join(lp, docs(idCol) === lp("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_terms"),
+        when(col("__n") > 0, col("__s").cast("double") / col("__n")).as("avg_lp"))
+  }
+}

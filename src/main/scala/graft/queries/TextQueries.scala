@@ -1046,6 +1046,190 @@ object TextQueries {
     """),
   )
 
+  /** C41→oracle: within-doc duplicate "line" removal
+    * (`TextClean.dedupLines`) — first occurrence kept, order preserved,
+    * reassembled into one text. The test corpus is flat word-separated
+    * text (no newlines), so the demo runs the operator's generic
+    * separator at word granularity: same explode → (id, line)-keyed
+    * min-pos aggregate → order-preserving reassembly the newline form
+    * takes, fully oracle-mirrorable (string_agg ORDER BY pos). */
+  private val q90 = Q(
+    "q90_dedup_lines",
+    (s, dir) =>
+      graft.operators.TextClean.dedupLines(
+        Tables.documents(s, dir), "text", "doc_id", sep = " "),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      lines AS (
+        SELECT doc_id, ws[i] AS line, i - 1 AS pos
+        FROM w, LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+      first AS (SELECT doc_id, line, MIN(pos) AS pos FROM lines GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
+          COUNT(*) AS kept
+        FROM first GROUP BY 1),
+      orig AS (SELECT doc_id, len(string_split(text, ' ')) AS orig FROM documents)
+      SELECT o.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+        CAST(o.orig - COALESCE(a.kept, 0) AS BIGINT) AS n_dropped
+      FROM orig o LEFT JOIN agg a ON a.doc_id = o.doc_id
+    """),
+  )
+
+  /** C56: bigram-LM quality scoring (`operators.LangModel`) — the CCNet
+    * recipe: train word-bigram counts on the corpus, score every doc by
+    * average smoothed log-probability. Model counts stay relational so
+    * the oracle rebuilds them exactly; per-term ln rounds to
+    * DECIMAL(38,6) before the order-free sum (q72 recipe). */
+  private val q91 = Q(
+    "q91_lm_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = graft.operators.LangModel.train(docs, "text")
+      graft.operators.LangModel.score(docs, "text", "doc_id", m)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uni AS (
+        SELECT ws[i] AS wd, COUNT(*) AS c
+        FROM w, LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+        GROUP BY 1),
+      v AS (SELECT COUNT(*) AS v FROM uni),
+      bi AS (
+        SELECT ws[i] AS wp, ws[i + 1] AS wn, COUNT(*) AS c
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT doc_id, ws[i] AS wp, ws[i + 1] AS wn
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+      lp AS (
+        SELECT t.doc_id,
+          CAST(ln((bi.c + 1) / CAST(uni.c + v.v AS DOUBLE)) AS DECIMAL(38,6)) AS lp
+        FROM terms t
+        JOIN bi ON bi.wp = t.wp AND bi.wn = t.wn
+        JOIN uni ON uni.wd = t.wp
+        CROSS JOIN v),
+      agg AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS s FROM lp GROUP BY 1)
+      SELECT d.doc_id, COALESCE(a.n, 0) AS n_terms,
+        CASE WHEN a.n > 0 THEN CAST(a.s AS DOUBLE) / a.n END AS avg_lp
+      FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """),
+  )
+
+  /** C25→oracle: the WHOLE near-dup pipeline (`exact` pre-stage → md5
+    * MinHash-LSH candidates → Jaccard verify ≥ 0.5 → connected
+    * components → min-id survivor → losers dropped), end to end on the
+    * documents table — the one-call `dedupCorpus` semantics with the
+    * oracle-parity md5 candidate stage spelled out. Threshold compares
+    * are exact in both engines (integer intersection/union counts →
+    * identical doubles). */
+  private val q92 = Q(
+    "q92_dedup_corpus",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+      val unique = docs.join(
+        Dedup.exact(docs, "text", "doc_id").select(col("keep_id")),
+        docs("doc_id") === col("keep_id"), "leftsemi")
+      val pairs = Dedup.jaccardVerify(
+          Dedup.minhashLsh(unique, "text", "doc_id"), unique, "text", "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select("a_id", "b_id")
+      val keep = Dedup.survivors(unique, pairs, "doc_id").filter(col("keep") === 1L)
+      docs.join(keep.select("doc_id"), Seq("doc_id"), "leftsemi")
+        .select("doc_id", "lang", "source")
+    },
+    Some("""
+      WITH RECURSIVE uq AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k FROM documents GROUP BY 1) e
+          ON d.doc_id = e.k),
+      sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM uq
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
+      sig AS (
+        SELECT doc,
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig),
+      cand AS (
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM bands x JOIN bands y ON x.bd = y.bd AND x.doc < y.doc),
+      wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM uq),
+      wc AS (SELECT doc_id, COUNT(*) AS nw FROM wd GROUP BY 1),
+      inter AS (
+        SELECT p.a_id, p.b_id, COUNT(*) AS i
+        FROM cand p
+        JOIN wd wa ON wa.doc_id = p.a_id
+        JOIN wd wb ON wb.doc_id = p.b_id AND wb.w = wa.w
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT p.a_id, p.b_id
+        FROM cand p
+        JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        JOIN wc ca ON ca.doc_id = p.a_id
+        JOIN wc cb ON cb.doc_id = p.b_id
+        WHERE CAST(i.i AS DOUBLE) / CAST(ca.nw + cb.nw - i.i AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1),
+      losers AS (SELECT node FROM cl WHERE node <> cluster_id)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      JOIN uq ON uq.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """),
+  )
+
+  /** C41→oracle (cross-corpus half): boilerplate "line" removal
+    * (`TextClean.dropBoilerplateLines`) — drop every line occurring in
+    * more than `maxDocs` distinct docs, keep the rest in order. Word
+    * granularity on the flat test corpus (see q90); with the 40-word
+    * synthetic vocabulary, common words cross the 400-doc bar exactly
+    * like nav-bar lines cross it in a crawl. */
+  private val q93 = Q(
+    "q93_boilerplate",
+    (s, dir) =>
+      graft.operators.TextClean.dropBoilerplateLines(
+        Tables.documents(s, dir), "text", "doc_id", maxDocs = 400, sep = " "),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      lines AS (
+        SELECT doc_id, ws[i] AS line, i - 1 AS pos
+        FROM w, LATERAL unnest(generate_series(1, len(ws))) AS u(i)),
+      boiler AS (
+        SELECT line FROM (
+          SELECT line, COUNT(DISTINCT doc_id) AS d FROM lines GROUP BY 1)
+        WHERE d > 400),
+      kept AS (
+        SELECT doc_id, line, pos FROM lines
+        WHERE line NOT IN (SELECT line FROM boiler)),
+      agg AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
+          COUNT(*) AS kept
+        FROM kept GROUP BY 1),
+      orig AS (SELECT doc_id, len(string_split(text, ' ')) AS orig FROM documents)
+      SELECT o.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+        CAST(o.orig - COALESCE(a.kept, 0) AS BIGINT) AS n_dropped
+      FROM orig o LEFT JOIN agg a ON a.doc_id = o.doc_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80)
+    q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
+    q90, q91, q92, q93)
 }

@@ -311,5 +311,89 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46)
+  /** C55: SemDeDup semantic dedup (`Dedup.semanticDedup`, Abbas et al.
+    * 2023) — nearest-centroid clustering blocks the candidate space, then
+    * within-cluster cosine ≥ τ pairs resolve to connected components and
+    * a min-id survivor per component. Centroids here are the exact
+    * per-label means (the q43 construction) so the oracle can rebuild
+    * them; production trains them with `KMeans.fit`
+    * (`Dedup.semanticDedupAuto`). Threshold contract: τ=0.4 sits ≥ 6e-4
+    * from every pair cosine at the verified SFs while the engines agree
+    * to ~1e-10, so the filter can't diverge (same argument as q38's
+    * rank gaps). */
+  private val q89 = Q(
+    "q89_semantic_dedup",
+    (s, dir) => {
+      val centroids = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+        .groupBy("label", "pos")
+        .agg(davg(col("comp").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          f => f.getField("c")).as("centroid"))
+        .select(col("label").as("cluster"), col("centroid"))
+      val e = Tables.embeddings(s, dir)
+      val pairs = graft.operators.Dedup.semanticPairs(
+        e, "embedding", "vec_id", centroids, threshold = 0.4, labelBits = 4)
+      graft.operators.Dedup.survivors(e, pairs.select("a_id", "b_id"), "vec_id")
+        .withColumnRenamed("doc_id", "vec_id")
+    },
+    Some(s"""
+      WITH RECURSIVE cent AS (
+        SELECT label AS assigned, i - 1 AS pos,
+          CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(embedding[i]) AS c
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cnorm AS (
+        SELECT assigned, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
+        FROM cent GROUP BY 1),
+      $normsCte,
+      dots AS (
+        SELECT e.vec_id, cent.assigned,
+          CAST(SUM(CAST(CAST(e.embedding[cent.pos + 1] AS DOUBLE) * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent
+        GROUP BY 1, 2),
+      ccos AS (
+        SELECT dots.vec_id, dots.assigned, dot / (norms.nrm * cnorm.nrm_c) AS cosine
+        FROM dots
+        JOIN norms ON norms.vec_id = dots.vec_id
+        JOIN cnorm ON cnorm.assigned = dots.assigned),
+      rnk AS (
+        SELECT vec_id, assigned,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, assigned DESC) AS rn
+        FROM ccos),
+      asgn AS (SELECT vec_id, assigned AS cl FROM rnk WHERE rn = 1),
+      cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM asgn a JOIN asgn b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+        JOIN norms na ON na.vec_id = c.a_id
+        JOIN norms nb ON nb.vec_id = c.b_id,
+        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
+        GROUP BY 1, 2, na.nrm, nb.nrm
+        HAVING CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+          / (na.nrm * nb.nrm) >= 0.4),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
+      SELECT emb.vec_id,
+        COALESCE(cl.cluster_id, emb.vec_id) AS cluster_id,
+        CAST(emb.vec_id = COALESCE(cl.cluster_id, emb.vec_id) AS BIGINT) AS keep
+      FROM embeddings emb LEFT JOIN cl ON cl.node = emb.vec_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89)
 }
