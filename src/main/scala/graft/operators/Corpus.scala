@@ -248,9 +248,6 @@ object Corpus {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
                          idCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
     import graft.functions.TextFns
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
 
@@ -272,23 +269,7 @@ object Corpus {
       benchShingles.unpersist()
       return corpus.withColumn("contaminated", lit(0L))
     }
-    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nShingles, fpp)
-    // BloomFilterAggregate silently CLAMPS to the runtime-filter conf
-    // maxima, which would quietly deliver a far worse fpp than requested
-    // — fail loudly instead and tell the caller which knob to raise
-    val conf = corpus.sparkSession.conf
-    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    require(nShingles <= maxItems && nBits <= maxBits,
-      s"decontaminateBloom: benchmark has $nShingles distinct shingles needing $nBits bits at fpp=$fpp, " +
-        s"but spark.sql.optimizer.runtime.bloomFilter.{maxNumItems=$maxItems, maxNumBits=$maxBits} " +
-        "would silently clamp the filter (worse fpp than requested) — raise those confs or fpp")
-    val hashed = Bridge.column(new XxHash64(Seq(Bridge.expression(col("__s")))))
-    val bloomAgg = Bridge.column(
-      new BloomFilterAggregate(
-        Bridge.expression(hashed),
-        Literal(nShingles), Literal(nBits)).toAggregateExpression())
-    val bloomBytes = benchShingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bloomBytes = buildBloomBytes(benchShingles, nShingles, fpp)
 
     // Materialize the verify dim and RELEASE the cache now: the returned
     // plan's exact-verify join broadcasts these shingles anyway, so
@@ -302,13 +283,9 @@ object Corpus {
     val verifyDim = corpus.sparkSession.createDataset(shingleSeq).toDF("__s")
 
     // map-only prefilter: short-circuit on the first might-contain hit
-    def mightContain(s: Column): Column = Bridge.column(
-      BloomFilterMightContain(
-        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-        new XxHash64(Seq(Bridge.expression(s)))))
     val candidates = corpus
       .select(col(idCol), TextFns.shingles(col(textCol), n).as("__sh"))
-      .filter(exists(col("__sh"), mightContain))
+      .filter(exists(col("__sh"), s => mightContainCol(bloomBytes, s)))
 
     // exact verify on the (tiny) candidate set only — false positives die here
     val hits = candidates
@@ -319,6 +296,46 @@ object Corpus {
     corpus.join(hits, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("__c"), lit(0L)))
       .drop("__c")
+  }
+
+  /** Guarded Bloom build over a distinct-shingle frame (one string column
+    * `__s`) — shared by the batch prefilter above and the streaming
+    * tagger (`EventStream.decontaminatedBloom`). BloomFilterAggregate
+    * silently CLAMPS to the runtime-filter conf maxima, which would
+    * quietly deliver a far worse fpp than requested — fail loudly
+    * instead and tell the caller which knob to raise. */
+  private[graft] def buildBloomBytes(shingles: DataFrame, nShingles: Long,
+                                     fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nShingles, fpp)
+    val conf = shingles.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(nShingles <= maxItems && nBits <= maxBits,
+      s"buildBloomBytes: $nShingles distinct shingles need $nBits bits at fpp=$fpp, " +
+        s"but spark.sql.optimizer.runtime.bloomFilter.{maxNumItems=$maxItems, maxNumBits=$maxBits} " +
+        "would silently clamp the filter (worse fpp than requested) — raise those confs or fpp")
+    val hashed = Bridge.column(new XxHash64(Seq(Bridge.expression(col("__s")))))
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(hashed),
+        Literal(nShingles), Literal(nBits)).toAggregateExpression())
+    shingles.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd might-contain probe of a driver-built Bloom filter — a
+    * pure map-side column (the filter travels as a literal with the task
+    * binary; no join, no state). */
+  private[graft] def mightContainCol(bloomBytes: Array[Byte],
+                                     s: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(Bridge.expression(s)))))
   }
 
   /** Token-budget shard packing: within each `groupCol` (ordered by

@@ -622,4 +622,61 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming per-window approximate distinct count under BOUNDED state:
+    * one Apache DataSketches HLL sketch per OPEN tumbling window (fixed
+    * ~KB at `lgConfigK`, the same sketch family as the batch
+    * `Profile.distinctSketches` — stream and batch estimates agree and
+    * their sketches union), where exact `COUNT(DISTINCT key)` state
+    * grows with the window's distinct-key population (fatal for user-id
+    * / URL cardinalities). Append mode: each window emits exactly once
+    * when the watermark passes its end, with the estimate AND the
+    * binary sketch (mergeable downstream — union windows into
+    * days/weeks without rescanning the stream). */
+  def windowedDistinct(events: DataFrame, keyCol: String,
+                       windowDur: String = "10 minutes",
+                       watermark: String = "30 minutes",
+                       lgConfigK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("distinct_sketch"))
+      .select(col("window"),
+        hll_sketch_estimate(col("distinct_sketch")).as("n_distinct_est"),
+        col("distinct_sketch"))
+
+  /** Streaming benchmark-decontamination tagger: flag documents on a
+    * live stream whose word shingles might overlap the (static) eval
+    * benchmark — the streaming face of `Corpus.decontaminateBloom`. The
+    * benchmark collapses to a driver-built Bloom filter ONCE at stream
+    * construction (~1.2 bytes/shingle at 1% fpp); the stream side is a
+    * pure STATELESS map (`exists` short-circuits on the first
+    * might-contain hit), so throughput is line-rate and there is no
+    * state store at all.
+    *
+    * `maybe_contaminated` is a PREFILTER verdict: false ⇒ provably
+    * clean (Bloom filters have no false negatives), true ⇒ contaminated
+    * OR an ~fpp false positive. Route the (rare) positives to the batch
+    * exact verify (`Corpus.decontaminate`) for adjudication — the
+    * tag-then-adjudicate split keeps the stream stateless while the
+    * final decision stays exact. */
+  def decontaminatedBloom(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, n: Int = 8,
+                          fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFns
+    import graft.operators.Corpus
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchShingles = benchmark
+      .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
+      .distinct()
+    val nShingles = benchShingles.count()
+    if (nShingles == 0L) docs.withColumn("maybe_contaminated", lit(false))
+    else {
+      val bloomBytes = Corpus.buildBloomBytes(benchShingles, nShingles, fpp)
+      docs.withColumn("maybe_contaminated",
+        exists(TextFns.shingles(col(textCol), n),
+          s => Corpus.mightContainCol(bloomBytes, s)))
+    }
+  }
 }
