@@ -29,4 +29,30 @@ object Downsample {
       sum(col(valueCol).cast("decimal(38,6)")).over(w).cast("double") /
         count(col(valueCol)).over(w))
   }
+
+  /** Trailing TIME-range rolling aggregate: per key, sum/count of
+    * `valueCol` over the last `windowSeconds` of EVENT TIME up to and
+    * including each row — the wall-clock companion to [[boxcar]]'s
+    * row-count frame (a row-frame is wrong when event cadence varies:
+    * 5 rows is 5 seconds for a hot key and 5 days for a cold one). Adds
+    * `roll_sum`, `roll_n`. Rows sharing the same timestamp share one
+    * frame (RANGE semantics), so results are set-deterministic; the
+    * decimal accumulator makes the sum frame-order-exact.
+    *
+    * Scale shape: one key-partitioned sort window — the same shuffle
+    * every per-key window here costs; no self-join (the naive
+    * time-window form is `events ⋈ events ON ts BETWEEN` — quadratic
+    * per key). */
+  def rollingRange(df: DataFrame, key: String, ts: String, valueCol: String,
+                   windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 0, s"windowSeconds must be >= 0, got $windowSeconds")
+    val us = windowSeconds * 1000000L
+    val w = Window.partitionBy(key).orderBy(col("__us"))
+      .rangeBetween(-us, Window.currentRow)
+    df.withColumn("__us", unix_micros(col(ts).cast("timestamp")))
+      .withColumn("roll_sum",
+        sum(col(valueCol).cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("roll_n", count(col(valueCol)).over(w))
+      .drop("__us")
+  }
 }

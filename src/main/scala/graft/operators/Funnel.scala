@@ -53,4 +53,39 @@ object Funnel {
     counts.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.step"), col("__r.step_idx"), col("__r.n_users"))
   }
+
+  /** Regex pattern matching over each key's time-ordered event-type
+    * sequence — the MATCH_RECOGNIZE-shaped generalization of [[steps]]:
+    * where the funnel asks "did the FIRST occurrences happen in order",
+    * this counts EVERY (non-overlapping, left-to-right) occurrence of an
+    * arbitrary event-type pattern ("view click purchase", "error+
+    * signup", …). Each named pattern adds a long count column.
+    *
+    * The sequence is deterministic: events sort by (`tsCol`, `tieCol`)
+    * — a unique tiebreak — inside an array_sort, so shuffle order can't
+    * reorder ties. Patterns are matched on the space-joined type string;
+    * keep them within the RE2-compatible subset (no lookaround) if an
+    * oracle must mirror them.
+    *
+    * Scale shape: one groupBy(key) collecting the type sequence — state
+    * is per-key sequence-sized, the right shape when per-key event
+    * counts are bounded (sessions, days); for unbounded keys compose
+    * with a time/session window first ([[Sessionize]], q76). No
+    * self-join, no window sort beyond the per-key array sort. */
+  def sequencePattern(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, typeCol: String,
+                      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "at least one (name, regex) pattern required")
+    val seqCol = array_join(
+      transform(
+        array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))),
+        s => s.getField("__t")),
+      " ")
+    val patCols = patterns.map { case (name, regex) =>
+      regexp_count(col("__seq"), lit(regex)).cast("long").as(name)
+    }
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), seqCol.as("__seq"))
+      .select(col(keyCol) +: col("n_events") +: patCols: _*)
+  }
 }

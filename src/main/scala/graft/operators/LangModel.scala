@@ -81,4 +81,45 @@ object LangModel {
         coalesce(col("__n"), lit(0L)).as("n_terms"),
         when(col("__n") > 0, col("__s").cast("double") / col("__n")).as("avg_lp"))
   }
+
+  /** Top-k word collocations by pointwise mutual information:
+    * PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over adjacent word pairs with
+    * c(a,b) ≥ `minCount` (rare pairs have unstable PMI — the standard
+    * floor). High-PMI pairs are the corpus's multi-word expressions
+    * ("new york", "machine learning"); a drifting PMI head is a
+    * template-flood signal next to q72's Zipf slope.
+    *
+    * Engine-reproducible ordering: counts are exact integers, the ratio
+    * is computed in IEEE doubles from identical operands, and PMI rounds
+    * to DECIMAL(38,6) BEFORE ranking — so the top-k cut falls on the
+    * same pairs in any engine (ties break by the pair itself). Counts
+    * multiply as doubles, not longs: at 10¹³ tokens N·c(a,b) overflows
+    * long but stays an exact-enough deterministic double.
+    *
+    * Scale shape: one bigram count shuffle + two unigram-keyed joins
+    * (vocab-sized, NOT broadcast — Heaps' law), then a bounded-heap
+    * global top-k (TakeOrderedAndProject), never a full sort. */
+  def pmiTop(corpus: DataFrame, textCol: String, k: Int,
+             minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = corpus
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = corpus
+      .select(explode(bigramArray(textCol)).as("bg"))
+      .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
+      .groupBy("w_prev", "w").agg(count(lit(1)).as("c_pair"))
+    val n = bi.agg(sum(col("c_pair"))).head().getLong(0)
+    bi.filter(col("c_pair") >= minCount)
+      .join(uni.select(col("w").as("w_prev"), col("c").as("__ca")), Seq("w_prev"))
+      .join(uni.select(col("w"), col("c").as("__cb")), Seq("w"))
+      .withColumn("pmi",
+        log(col("c_pair").cast("double") * lit(n.toDouble) /
+            (col("__ca").cast("double") * col("__cb").cast("double")))
+          .cast("decimal(38,6)").cast("double"))
+      .select("w_prev", "w", "c_pair", "pmi")
+      .orderBy(col("pmi").desc, col("w_prev"), col("w"))
+      .limit(k)
+  }
 }

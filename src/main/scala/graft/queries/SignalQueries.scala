@@ -858,8 +858,67 @@ object SignalQueries {
     """),
   )
 
+  /** B51: trailing TIME-range rolling aggregate
+    * (`Downsample.rollingRange`) — each event's sum/count over its key's
+    * last hour of EVENT TIME (RANGE frame on epoch micros), the
+    * variable-cadence companion to q29's fixed-row boxcar; rolled up per
+    * type with decimal-exact averages. The naive form is a per-key
+    * time-window self join (quadratic per key); this is one
+    * key-partitioned sort window. */
+  private val q95 = Q(
+    "q95_rolling_window",
+    (s, dir) =>
+      Downsample.rollingRange(Tables.events(s, dir), "user_id", "ts", "value",
+          windowSeconds = 3600L)
+        .groupBy("event_type")
+        .agg(davg(col("roll_sum")).as("avg_roll_sum"),
+          (sum(col("roll_n")).cast("double") / count(lit(1))).as("avg_roll_n"),
+          count(lit(1)).as("n")),
+    Some("""
+      WITH r AS (
+        SELECT event_type,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum,
+          COUNT(value) OVER w AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      SELECT event_type,
+        CAST(SUM(CAST(roll_sum AS DECIMAL(38,6))) AS DOUBLE) / COUNT(roll_sum) AS avg_roll_sum,
+        CAST(SUM(roll_n) AS DOUBLE) / COUNT(*) AS avg_roll_n,
+        COUNT(*) AS n
+      FROM r GROUP BY 1
+    """),
+  )
+
+  /** B52: event-sequence pattern matching (`Funnel.sequencePattern`) —
+    * per-user counts of regex patterns over the time-ordered event-type
+    * sequence (the MATCH_RECOGNIZE shape): every non-overlapping
+    * "view click purchase" conversion triple and "error+ signup"
+    * retry-then-convert run. Patterns stay in the Java∩RE2 regex subset
+    * so the DuckDB mirror (string_agg ORDER BY ts, event_id +
+    * regexp_extract_all) matches occurrence-for-occurrence. */
+  private val q96 = Q(
+    "q96_event_pattern",
+    (s, dir) =>
+      graft.operators.Funnel.sequencePattern(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        Seq("n_triple" -> "view click purchase",
+            "n_err_retry" -> "error (error )*signup")),
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(len(regexp_extract_all(
+          string_agg(event_type, ' ' ORDER BY ts, event_id),
+          'view click purchase')) AS BIGINT) AS n_triple,
+        CAST(len(regexp_extract_all(
+          string_agg(event_type, ' ' ORDER BY ts, event_id),
+          'error (error )*signup')) AS BIGINT) AS n_err_retry
+      FROM events GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
+    q95, q96)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square

@@ -1229,7 +1229,43 @@ object TextQueries {
     """),
   )
 
+  /** C57: top-k collocations by pointwise mutual information
+    * (`LangModel.pmiTop`) — the corpus's multi-word expressions; PMI
+    * rounds to DECIMAL(38,6) BEFORE the rank so the top-k cut is
+    * engine-identical (counts exact, ratio from identical doubles,
+    * ties break by the pair). */
+  private val q94 = Q(
+    "q94_pmi_bigrams",
+    (s, dir) =>
+      graft.operators.LangModel.pmiTop(Tables.documents(s, dir), "text",
+        k = 50, minCount = 5L),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      uni AS (
+        SELECT ws[i] AS wd, COUNT(*) AS c
+        FROM w, LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+        GROUP BY 1),
+      bi AS (
+        SELECT ws[i] AS wp, ws[i + 1] AS wn, COUNT(*) AS c_pair
+        FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      n AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS n FROM bi),
+      p AS (
+        SELECT bi.wp AS w_prev, bi.wn AS w, bi.c_pair,
+          CAST(CAST(ln(CAST(bi.c_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+              / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+        FROM bi
+        JOIN uni ua ON ua.wd = bi.wp
+        JOIN uni ub ON ub.wd = bi.wn
+        CROSS JOIN n
+        WHERE bi.c_pair >= 5)
+      SELECT w_prev, w, c_pair, pmi FROM p
+      ORDER BY pmi DESC, w_prev, w
+      LIMIT 50
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93)
+    q90, q91, q92, q93, q94)
 }

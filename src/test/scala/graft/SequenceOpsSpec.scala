@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Downsample, Funnel, LangModel}
+
+/** Downsample.rollingRange (time-RANGE rolling aggregate), LangModel.pmiTop
+  * (PMI collocations), Funnel.sequencePattern (event-sequence regex). */
+class SequenceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(epochSec: Long) = new Timestamp(epochSec * 1000L)
+
+  test("rollingRange sums the trailing time window, inclusive of equal timestamps") {
+    val df = Seq(
+      (1L, t(0), 1.0), (1L, t(10), 2.0), (1L, t(3600), 4.0),
+      (1L, t(3601), 8.0), (1L, t(7300), 16.0),
+      (2L, t(5), 1.0), (2L, t(5), 2.0), // equal ts share one frame
+    ).toDF("user_id", "ts", "value")
+    val got = Downsample.rollingRange(df, "user_id", "ts", "value", 3600L)
+      .select("user_id", "value", "roll_sum", "roll_n")
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1.0, 1.0, 1L),    // only itself
+      (1L, 2.0, 3.0, 2L),    // t0 + t10
+      (1L, 4.0, 7.0, 3L),    // t0 still inside [0, 3600]
+      (1L, 8.0, 14.0, 3L),   // t0 aged out, t10..t3601
+      (1L, 16.0, 16.0, 1L),  // everything aged out
+      (2L, 1.0, 3.0, 2L),    // RANGE: same-instant rows share the frame
+      (2L, 2.0, 3.0, 2L),
+    ))
+  }
+
+  test("pmiTop ranks hand-computed PMI with deterministic tie order") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: (a,b)=3 (b,a)=1 (b,c)=1, N=5; unigrams a=3 b=3 c=1
+    val got = LangModel.pmiTop(corpus, "text", k = 2, minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+    def r6(x: Double) =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val pmiAB = r6(math.log(3.0 * 5 / (3 * 3)))
+    val pmiBC = r6(math.log(1.0 * 5 / (3 * 1)))
+    assert(pmiAB === pmiBC, "fixture engineered as an exact rounded tie")
+    // tie breaks by (w_prev, w): (a,b) before (b,c); (b,a) has lower PMI
+    assert(got.toSeq === Seq(("a", "b", 3L, pmiAB), ("b", "c", 1L, pmiBC)))
+  }
+
+  test("sequencePattern counts non-overlapping regex matches on the time-ordered sequence") {
+    // inserted OUT of time order; sort must restore view,click,purchase,view,click
+    val df = Seq(
+      (103L, t(30), 1L, "purchase"),
+      (101L, t(10), 1L, "view"),
+      (105L, t(50), 1L, "click"),
+      (102L, t(20), 1L, "click"),
+      (104L, t(40), 1L, "view"),
+      (201L, t(10), 2L, "error"),
+      (202L, t(20), 2L, "error"),
+      (203L, t(30), 2L, "signup"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
+        Seq("n_triple" -> "view click purchase", "n_vc" -> "view click",
+            "n_err" -> "error (error )*signup"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows(1L) === ((5L, 1L, 2L, 0L)))
+    assert(rows(2L) === ((3L, 0L, 0L, 1L)), "greedy error+ run collapses to one match")
+  }
+
+  test("sequencePattern ties on identical timestamps break by the tiebreak column") {
+    val df = Seq(
+      (2L, t(10), 1L, "click"),
+      (1L, t(10), 1L, "view"), // same ts — event_id must decide order
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
+        Seq("n_vc" -> "view click"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.head === ((1L, 2L, 1L)))
+  }
+}
