@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021,
+  * arXiv:2112.11446 §A1.1) — the rule-based filtering pass between
+  * cleaning and dedup in a training-data pipeline. Each rule is a named
+  * boolean column so pipelines can FILTER on `keep` or AUDIT per-rule
+  * failure rates per source (a source failing one rule at 40% is a
+  * scraper bug, not forty percent bad prose).
+  *
+  * Every rule is integer/rational arithmetic over the whitespace
+  * tokenization — deterministic and engine-reproducible (ratios compare
+  * as IEEE doubles of exact integer operands, identical everywhere).
+  * Line-shaped Gopher rules (bullet-line %, ellipsis-line %) live with
+  * the line operators ([[TextClean.dropBoilerplateLines]] /
+  * `dedupLines`); word-repetition rules are q45's repetition operator.
+  *
+  * Scale shape: a pure map stage — one codegen'd projection, no shuffle,
+  * no UDF; at 100 TB this is embarrassingly parallel and pushdown-safe.
+  */
+object QualityRules {
+
+  /** Rule thresholds; defaults follow the paper's reported bounds. */
+  final case class Params(
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordFraction: Double = 0.8,
+      minStopwords: Long = 2L,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+
+  /** Adds per-rule booleans (`rule_*`), their diagnostics (`n_words`,
+    * `mean_word_len`, `symbol_ratio`, `alpha_word_frac`, `n_stopwords`)
+    * and the conjunction `keep`. */
+  def gopher(df: DataFrame, textCol: String, p: Params = Params()): DataFrame = {
+    require(p.minWords >= 1 && p.maxWords >= p.minWords, "bad word-count bounds")
+    require(p.stopwords.nonEmpty, "stopword list must be non-empty")
+    val ws = split(col(textCol), " ")
+    val nWords = size(ws).cast("long")
+    // mean word length from code-point counts: total chars minus the
+    // n-1 separators, over n words (one length() call, no per-word pass)
+    val meanLen = (length(col(textCol)) - (nWords - lit(1L))).cast("double") / nWords
+    // '#' and ellipsis are the paper's symbol set
+    val nSymbols = TextFnsSymbolCount(col(textCol))
+    val symbolRatio = nSymbols.cast("double") / nWords
+    val alphaFrac =
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val nStop = size(filter(ws, w => w.isInCollection(p.stopwords))).cast("long")
+
+    val ruleWc = nWords >= p.minWords && nWords <= p.maxWords
+    val ruleMwl = meanLen >= p.minMeanWordLen && meanLen <= p.maxMeanWordLen
+    val ruleSym = symbolRatio <= p.maxSymbolRatio
+    val ruleAlpha = alphaFrac >= p.minAlphaWordFraction
+    val ruleStop = nStop >= p.minStopwords
+
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("rule_word_count", ruleWc)
+      .withColumn("rule_mean_word_len", ruleMwl)
+      .withColumn("rule_symbol_ratio", ruleSym)
+      .withColumn("rule_alpha_words", ruleAlpha)
+      .withColumn("rule_stopwords", ruleStop)
+      .withColumn("keep", ruleWc && ruleMwl && ruleSym && ruleAlpha && ruleStop)
+  }
+
+  /** '#' plus ellipsis occurrences ('…' or '...'), counted left-to-right
+    * non-overlapping — the Unicode ellipsis is one code point, the ASCII
+    * form three, so a regexp alternation keeps both engines' counts
+    * aligned. */
+  private def TextFnsSymbolCount(text: Column): Column =
+    regexp_count(text, lit("#|…|\\.\\.\\."))
+}

@@ -1265,7 +1265,47 @@ object TextQueries {
     """),
   )
 
+  /** C58: Gopher-style quality-rule bundle (`QualityRules.gopher`) —
+    * per-rule booleans + diagnostics + the conjunction `keep`, all
+    * integer/rational arithmetic (engine-exact compares). Thresholds
+    * tuned to the synthetic corpus so every rule exercises both
+    * outcomes where the data allows. */
+  private val q97 = Q(
+    "q97_gopher_rules",
+    (s, dir) =>
+      graft.operators.QualityRules.gopher(
+        Tables.documents(s, dir).select("doc_id", "text"), "text",
+        graft.operators.QualityRules.Params(
+          minWords = 20L, maxWords = 90L,
+          minMeanWordLen = 3.0, maxMeanWordLen = 4.75,
+          maxSymbolRatio = 0.1, minAlphaWordFraction = 0.8,
+          minStopwords = 2L, stopwords = Seq("a", "the")))
+        .drop("text"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents),
+      d AS (
+        SELECT doc_id, n_words,
+          CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+          CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS DOUBLE) / n_words AS symbol_ratio,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words AS alpha_word_frac,
+          CAST(len(list_filter(ws, w -> w IN ('a', 'the'))) AS BIGINT) AS n_stopwords
+        FROM f)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stopwords,
+        (n_words >= 20 AND n_words <= 90) AS rule_word_count,
+        (mean_word_len >= 3.0 AND mean_word_len <= 4.75) AS rule_mean_word_len,
+        (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+        (alpha_word_frac >= 0.8) AS rule_alpha_words,
+        (n_stopwords >= 2) AS rule_stopwords,
+        ((n_words >= 20 AND n_words <= 90) AND (mean_word_len >= 3.0 AND mean_word_len <= 4.75)
+          AND (symbol_ratio <= 0.1) AND (alpha_word_frac >= 0.8) AND (n_stopwords >= 2)) AS keep
+      FROM d
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94)
+    q90, q91, q92, q93, q94, q97)
 }
