@@ -916,9 +916,33 @@ object SignalQueries {
     """),
   )
 
+  /** B53: telemetry debounce (`Sessionize.debounce`) — drop events whose
+    * same-(user, type) predecessor is less than a day older: retried
+    * sends / double-fire suppression. Lag-based (order-deterministic,
+    * one window pass) rather than greedy-chain (sequential; the
+    * streaming D4 operator owns that semantics). */
+  private val q98 = Q(
+    "q98_debounce",
+    (s, dir) =>
+      Sessionize.debounce(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts",
+          horizonSeconds = 86400L, tiebreak = Seq("event_id"))
+        .select("event_id", "user_id", "event_type"),
+    Some("""
+      WITH g AS (
+        SELECT event_id, user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      SELECT event_id, user_id, event_type FROM g
+      WHERE gap_us IS NULL OR gap_us >= 86400000000
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96)
+    q95, q96, q98)
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square

@@ -66,6 +66,23 @@ class SequenceOpsSpec extends SparkSpec {
     assert(rows(2L) === ((3L, 0L, 0L, 1L)), "greedy error+ run collapses to one match")
   }
 
+  test("debounce keeps rows whose same-key predecessor is at least the horizon older") {
+    val df = Seq(
+      (1L, t(0), 1L, "click"),    // kept (no predecessor)
+      (2L, t(30), 1L, "click"),   // dropped (30s < 60s after event 1)
+      (3L, t(60), 1L, "click"),   // kept (exactly 60s after event 2's ts... 30s) — dropped
+      (4L, t(120), 1L, "click"),  // 60s after event 3 → kept
+      (5L, t(10), 1L, "view"),    // different type: own chain, kept
+      (6L, t(15), 2L, "click"),   // different user, kept
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val kept = graft.operators.Sessionize.debounce(
+        df, Seq("user_id", "event_type"), "ts", 60L, Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    // lag semantics: each row compares to its PHYSICAL predecessor —
+    // event 3 is 30s after event 2 (dropped row still anchors the lag)
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
   test("sequencePattern ties on identical timestamps break by the tiebreak column") {
     val df = Seq(
       (2L, t(10), 1L, "click"),
