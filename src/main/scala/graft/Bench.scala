@@ -42,9 +42,12 @@ object Bench {
     // timed pass below measures steady-state execution throughput (the
     // thing comparable to a baseline engine) instead of first-compile
     // latency.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try checksum(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").toSet.contains(name)) }
+      .foreach { case (_, fn) =>
+        try checksum(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
 
     // Best-of-N per query (N=3 default: with 32 local threads a single
     // timed pass has multi-hundred-ms scheduler/GC noise per query; round
@@ -53,6 +56,9 @@ object Bench {
     // garbage from 45 earlier queries from being collected INSIDE a
     // later query's timing window.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // optional comma-separated name filter for local iteration on one
+    // query's timing (the driver never sets it — full catalog runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeAll(queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, Double)] =
       queries.map { case (name, fn) =>
@@ -70,10 +76,14 @@ object Bench {
         }
         name -> times.min
       }
-    val results = timeAll(SparkEntry.queries.toSeq.sortBy(_._1))
+    val results = timeAll(SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1))
     // Production-twin variants (double aggregates vs the oracle-gated
     // decimal path) — reported separately, never summed into "value".
-    val fastDefs = graft.queries.Queries.fastVariants.toSeq.sortBy(_._1)
+    val fastDefs = graft.queries.Queries.fastVariants.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
     fastDefs.foreach { case (_, fn) => try checksum(fn(spark, sfDir)) catch { case _: Throwable => () } }
     val fastResults = timeAll(fastDefs)
     def toJson(rs: Seq[(String, Double)]): String =
@@ -82,7 +92,15 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed_queries":${failed.map(JsonText.quote).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"fast_queries":${toJson(fastResults)},"sf":"$sfDir"$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"fast_queries":${toJson(fastResults)},"sf":"$sfDir"$failedJson}"""
+    println(line)
+    // The driver archives only a 2000-char stdout tail, which truncates
+    // the per-query map — also write the full line where it can be read
+    // whole (overridable; best-effort: a read-only CWD must not fail the
+    // bench run itself).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -251,14 +251,16 @@ object Corpus {
     require(n >= 1, s"n must be >= 1, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
 
-    // cached: the explode+distinct shuffle over the benchmark feeds the
-    // sizing count, the bloom build, and the verify-dim materialization
-    // below — without the cache each would recompute it; released before
-    // return (no session-lifetime residency)
+    // One eager localCheckpoint materializes the explode+distinct shuffle
+    // exactly once and truncates lineage: the sizing count, the bloom
+    // build, and the returned plan's verify join all read the same
+    // executor-resident blocks (never recomputed, never routed through
+    // the driver), and the blocks are freed by the ContextCleaner when
+    // the frame is unreachable — no session-lifetime cache residency.
     val benchShingles = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
       .distinct()
-      .cache()
+      .localCheckpoint()
 
     // Size the filter to the actual distinct-shingle count (one tiny
     // aggregate over the structurally-small benchmark), then build it
@@ -266,21 +268,13 @@ object Corpus {
     // aggregate; an empty benchmark contaminates nothing.
     val nShingles = benchShingles.count()
     if (nShingles == 0L) {
-      benchShingles.unpersist()
       return corpus.withColumn("contaminated", lit(0L))
     }
     val bloomBytes = buildBloomBytes(benchShingles, nShingles, fpp)
 
-    // Materialize the verify dim and RELEASE the cache now: the returned
-    // plan's exact-verify join broadcasts these shingles anyway, so
-    // pinning them as a local dataset costs what the broadcast already
-    // costs — while leaving the cached shuffle resident for the session
-    // would accumulate across repeated calls. Size is bounded by the
-    // maxNumItems guard above.
-    val shingleSeq = benchShingles.collect().map(_.getString(0)).toSeq
-    benchShingles.unpersist()
-    import corpus.sparkSession.implicits._
-    val verifyDim = corpus.sparkSession.createDataset(shingleSeq).toDF("__s")
+    // The exact-verify join broadcasts the checkpointed shingles directly
+    // — distributed end to end, bounded by the maxNumItems guard below.
+    val verifyDim = benchShingles
 
     // map-only prefilter: short-circuit on the first might-contain hit
     val candidates = corpus

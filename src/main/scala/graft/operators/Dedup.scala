@@ -103,7 +103,10 @@ object Dedup {
     * lambdas run interpreted). Values are identical to both prior shapes
     * and the DuckDB oracle. */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame =
-    parallelized(df, idCol).select(
+    // null text has no word set, hence no fingerprint: drop the row
+    // (mirrors the oracle, where unnest of a null split yields no rows)
+    // instead of emitting a null-simhash group
+    parallelized(df.filter(col(textCol).isNotNull), idCol).select(
       col(idCol).as("doc_id"),
       graft.expressions.SimHashBits.of(
         array_distinct(TextFns.words(col(textCol))), bits).as("simhash"))
@@ -596,10 +599,44 @@ object Dedup {
       .select("cluster", "a_id", "b_id", "cosine")
   }
 
+  /** Data-scaled exact-mean codebook for [[semanticPairs]] when a label
+    * column (or any coarse category) exists: B = ceil(n / (L·S)) id-blocks
+    * per label, centroid = exact decimal mean of each (label, id mod B)
+    * group. Because B grows linearly with the corpus at fixed target
+    * population S, max-cluster population stays bounded and Σ|cluster|²
+    * (the candidate-pair cost) grows ~linearly in n — the parameterization
+    * q89 practices and SemanticScaleSpec pins. Deterministic and
+    * SQL-mirrorable (unlike a trained codebook); for unlabeled corpora use
+    * [[semanticDedupAuto]], whose k-means k should scale the same way
+    * (k ≈ n/S). Returns the (cluster, centroid) frame plus the labelBits
+    * to pass to [[semanticPairs]]. */
+  def blockCentroids(df: DataFrame, vecCol: String, idCol: String,
+                     labelCol: String, targetClusterSize: Int = 25): (DataFrame, Int) = {
+    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1, got $targetClusterSize")
+    import graft.functions.Num.davg
+    val sizes = df.agg(count(lit(1)).as("n"), countDistinct(col(labelCol)).as("l")).head()
+    val (n, l) = (sizes.getLong(0), sizes.getLong(1))
+    require(l > 0, "blockCentroids: empty input")
+    val b = math.max(1L, math.ceil(n.toDouble / (l * targetClusterSize.toDouble)).toLong)
+    val nClusters = l * b
+    val labelBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nClusters - 1)))
+    val cents = df
+      .select(col(labelCol).as("__lab"), (col(idCol) % b).cast("int").as("__blk"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__comp")))
+      .groupBy("__lab", "__blk", "__pos")
+      .agg(davg(col("__comp").cast("double")).as("__c"))
+      .groupBy("__lab", "__blk")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+        f => f.getField("__c")).as("centroid"))
+      .select((col("__lab").cast("long") * b + col("__blk")).cast("int").as("cluster"),
+        col("centroid"))
+    (cents, labelBits)
+  }
+
   /** Nearest-centroid assignment by cosine: (id, vec, cluster). Broadcast
     * centroids with precomputed norms; argmax as the ArgMaxPack hash
     * aggregate (max(struct) would fall back to SortAggregate). */
-  private def assignNearest(df: DataFrame, vecCol: String, idCol: String,
+  private[graft] def assignNearest(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, labelBits: Int): DataFrame = {
     val cents = centroids.select(col("cluster").cast("int").as("cluster"),
       col("centroid").cast("array<double>").as("centroid"))
@@ -635,7 +672,10 @@ object Dedup {
   def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
                         k: Int, threshold: Double,
                         maxIters: Int = 10): DataFrame = {
-    val model = KMeans.fit(df, idCol, vecCol, k, maxIters)
+    // blocking codebook: skip fit's inertia/size diagnostics (two corpus
+    // passes nothing downstream reads) and settle for 2 seeding rounds
+    val model = KMeans.fit(df, idCol, vecCol, k, maxIters,
+      diagnostics = false, seedRounds = 2)
     val labelBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
     semanticDedup(df, vecCol, idCol,
       model.centroids.select("cluster", "centroid"), threshold, labelBits)

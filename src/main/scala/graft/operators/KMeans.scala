@@ -37,15 +37,50 @@ object KMeans {
   final case class Model(centroids: DataFrame, iterations: Int,
                          converged: Boolean, inertia: Double)
 
+  /** Argmin assignment against DRIVER-HELD centroids as ONE projection:
+    * per row, d² to every centroid and the argmin are computed inside a
+    * single transform + array_min over a LITERAL centroid array — no
+    * join, no re-aggregation, row count never grows. The join-shaped
+    * alternative (Quantize.assignCodes) materializes n×k wide rows and
+    * hash-aggregates them keyed on the full vector — hundreds of MB of
+    * array churn per Lloyd round at corpus scale. d² is the same
+    * |v|²−2v·c+|c|² expression sqDist builds, and array_min on
+    * struct(d2, code) ties to the smaller code, so assignments are
+    * bit-identical to assignCodes'. Centroid literal is k×dim doubles in
+    * the plan — fine for driver-held k (the Model contract), not for
+    * codebooks that only exist distributed. */
+  private def localAssign(rows: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
+    val centLit = typedLit(cents.map(_._2).toSeq)
+    val codeLit = typedLit(cents.map(_._1).toSeq)
+    val best = array_min(transform(sequence(lit(0), lit(cents.length - 1)), i => {
+      val cent = element_at(centLit, i + 1)
+      struct(Quantize.sqDist(col("vec"), cent).as("d2"),
+        element_at(codeLit, i + 1).as("code"))
+    }))
+    rows.withColumn("__best", best)
+      .withColumn("code", col("__best.code"))
+      .withColumn("d2", col("__best.d2"))
+      .drop("__best")
+  }
+
   /** One Lloyd pass per iteration until the max centroid shift < `tol`
     * or `maxIters` is hit. Input vectors are cached for the loop and
     * unpersisted before return. Throws on empty input (no centroid is
-    * definable). */
+    * definable).
+    *
+    * `diagnostics = false` skips the final inertia and per-cluster-size
+    * passes (two extra corpus-sized jobs) for callers that only need the
+    * codebook — e.g. a dedup/IVF blocking prefilter; the Model then
+    * carries inertia = NaN and size = -1. `seedRounds` tunes the
+    * k-means|| oversampling rounds (each is a corpus pass; 2 is plenty
+    * for a blocking codebook, the default 3 for analysis clusterings). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-          maxIters: Int = 20, tol: Double = 1e-6): Model = {
+          maxIters: Int = 20, tol: Double = 1e-6,
+          diagnostics: Boolean = true, seedRounds: Int = 3): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tol >= 0, s"tol must be >= 0, got $tol")
+    require(seedRounds >= 1, s"seedRounds must be >= 1, got $seedRounds")
     val spark = df.sparkSession
 
     // shape rows for Quantize.assignCodes: a single subspace 0
@@ -56,7 +91,7 @@ object KMeans {
       // with fixed-seed hash "randomness" — same determinism contract as
       // the rest of the loop, far better seeding than first-k-ids
       // (which could land every seed inside one blob)
-      var centroids: Array[(Int, Seq[Double])] = initParallel(rows, k)
+      var centroids: Array[(Int, Seq[Double])] = initParallel(rows, k, seedRounds)
         .zipWithIndex.map { case (v, i) => (i, v) }
       require(centroids.nonEmpty, "KMeans.fit: input has no rows — no centroid is definable")
 
@@ -70,7 +105,7 @@ object KMeans {
       var converged = false
       while (iter < maxIters && !converged) {
         iter += 1
-        val assigned = Quantize.assignCodes(rows, codebookDf(centroids), "vec")
+        val assigned = localAssign(rows, centroids)
         val updated: Map[Int, Seq[Double]] =
           Quantize.lloydUpdate(assigned, "vec").collect()
             .map((r: Row) => r.getInt(r.fieldIndex("code")) ->
@@ -94,9 +129,12 @@ object KMeans {
       }
 
       val finalCb = codebookDf(centroids)
-      val finalAssign = Quantize.assignCodes(rows, finalCb, "vec")
-        .join(broadcast(finalCb.select(col("code"), col("centroid"))), Seq("code"))
-        .withColumn("d2", Quantize.sqDist(col("vec"), col("centroid")))
+      if (!diagnostics) {
+        val out = finalCb.select(col("code").as("cluster"), col("centroid"),
+          lit(-1L).as("size"))
+        return Model(out, iter, converged, Double.NaN)
+      }
+      val finalAssign = localAssign(rows, centroids)
       // decimal(38,6) leaves 10^32 of integer headroom (38,18 overflowed
       // to null at ~10^20, silently reporting inertia = 0.0 — the
       // statistic callers use to pick k); a null sum over a non-empty
@@ -143,14 +181,6 @@ object KMeans {
     * or zero-weight candidates), matching the capped first-k-ids
     * behavior it replaces. */
   private def initParallel(rows: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
-    val spark = rows.sparkSession
-    import spark.implicits._
-
-    def candidatesDf(cands: IndexedSeq[Seq[Double]]): DataFrame =
-      cands.zipWithIndex.map { case (v, i) => (i, v) }.toDF("code", "centroid")
-        .withColumn("subspace", lit(0))
-        .select(col("subspace"), col("code"), col("centroid"))
-
     val first = rows
       .select(col("vec"), xxhash64(col("id")).as("__h"))
       .orderBy(col("__h"), col("vec")).limit(1)
@@ -162,11 +192,8 @@ object KMeans {
     var r = 1
     var saturated = false
     while (r <= rounds && !saturated) {
-      val cb = broadcast(candidatesDf(cands).select(col("subspace"), col("centroid")))
-      val d2s = rows.join(cb, Seq("subspace"))
-        .withColumn("__cd2", Quantize.sqDist(col("vec"), col("centroid")))
-        .groupBy(col("id"), col("vec"))
-        .agg(min(col("__cd2")).as("d2"))
+      val d2s = localAssign(rows, cands.zipWithIndex.map { case (v, i) => (i, v) }.toArray)
+        .select(col("id"), col("vec"), col("d2"))
       val phi = d2s
         .agg(coalesce(sum(col("d2").cast("decimal(38,6)")).cast("double"), lit(0.0)))
         .head().getDouble(0)
@@ -186,7 +213,7 @@ object KMeans {
 
     // weight candidates by the points they'd own, then greedy weighted
     // farthest-point down to k
-    val weights = Quantize.assignCodes(rows, candidatesDf(cands), "vec")
+    val weights = localAssign(rows, cands.zipWithIndex.map { case (v, i) => (i, v) }.toArray)
       .groupBy("code").agg(count(lit(1)).as("w"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
     val cArr = cands.toArray
@@ -216,17 +243,16 @@ object KMeans {
   }
 
   /** Nearest-centroid assignment of (possibly new) vectors against a
-    * fitted model: (id, cluster, d2). Broadcast centroids, per-row
-    * argmin, no shuffle of the vector table beyond the id groupBy. */
+    * fitted model: (id, cluster, d2). The k-sized centroid frame is
+    * collected to the driver (the Model contract — centroids live there
+    * between rounds anyway) and assignment is the one-projection
+    * [[localAssign]]: per-row argmin, zero shuffle, zero join blowup. */
   def assign(df: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val rows = df.select(col(idCol).as("id"), lit(0).as("subspace"),
-      col(vecCol).cast("array<double>").as("vec"))
-    val cb = centroids.select(col("cluster").as("code"), col("centroid"))
-      .withColumn("subspace", lit(0))
-    Quantize.assignCodes(rows, cb, "vec")
-      .join(broadcast(cb.drop("subspace")), Seq("code"))
-      .withColumn("d2", Quantize.sqDist(col("vec"), col("centroid")))
-      .select(col("id"), col("code").as("cluster"), col("d2"))
+    val cents = centroids
+      .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val rows = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    localAssign(rows, cents).select(col("id"), col("code").as("cluster"), col("d2"))
   }
 }

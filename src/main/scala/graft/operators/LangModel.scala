@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   * (c(w_prev, w) + 1) / (c(w_prev) + V)` with add-one smoothing over the
   * training vocabulary V — every quantity an exact integer count, so
   * scores are engine-reproducible (the one float op, ln, happens on
-  * identical double inputs everywhere).
+  * identical double inputs everywhere). Denominator note: c(w_prev) is
+  * the TOTAL unigram count of w_prev, which includes document-final
+  * occurrences that never open a bigram — so P(·|w_prev) sums to
+  * slightly under 1 over the vocabulary (a true bigram MLE would use
+  * w_prev's count as a bigram context). The bias is monotone and
+  * identical for every document, so threshold-based filtering on
+  * `avg_lp` is unaffected; kept because the unigram table double-serves
+  * scoring and vocabulary sizing with one count pass.
   *
   * Scale shape: training is two corpus-sized groupBy counts (map-side
   * combining; bigram table ≈ corpus token count in the worst case, keyed
@@ -110,7 +117,14 @@ object LangModel {
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c_pair"))
-    val n = bi.agg(sum(col("c_pair"))).head().getLong(0)
+    // sum over an empty frame is NULL, not 0 — a corpus with no bigrams
+    // (all docs < 2 words) must return an empty result, not NPE
+    val nRow = bi.agg(sum(col("c_pair"))).head()
+    if (nRow.isNullAt(0) || nRow.getLong(0) == 0L) {
+      return bi.select(col("w_prev"), col("w"), col("c_pair"),
+        lit(null).cast("double").as("pmi")).limit(0)
+    }
+    val n = nRow.getLong(0)
     bi.filter(col("c_pair") >= minCount)
       .join(uni.select(col("w").as("w_prev"), col("c").as("__ca")), Seq("w_prev"))
       .join(uni.select(col("w"), col("c").as("__cb")), Seq("w"))

@@ -39,16 +39,22 @@ object QualityRules {
   def gopher(df: DataFrame, textCol: String, p: Params = Params()): DataFrame = {
     require(p.minWords >= 1 && p.maxWords >= p.minWords, "bad word-count bounds")
     require(p.stopwords.nonEmpty, "stopword list must be non-empty")
-    val ws = split(col(textCol), " ")
+    // True whitespace tokenization (Gopher's): split on runs of any
+    // whitespace and drop empties, so consecutive/leading/trailing
+    // spaces and tabs can't inflate n_words or skew the ratios
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val nWords = size(ws).cast("long")
-    // mean word length from code-point counts: total chars minus the
-    // n-1 separators, over n words (one length() call, no per-word pass)
-    val meanLen = (length(col(textCol)) - (nWords - lit(1L))).cast("double") / nWords
+    // mean word length = total word code points / n words — summed over
+    // the words themselves, not inferred from length(text) minus
+    // separators (which assumed exactly single-space separation)
+    val meanLen = when(nWords > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .cast("double") / nWords)
     // '#' and ellipsis are the paper's symbol set
     val nSymbols = TextFnsSymbolCount(col(textCol))
-    val symbolRatio = nSymbols.cast("double") / nWords
-    val alphaFrac =
-      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val symbolRatio = when(nWords > 0, nSymbols.cast("double") / nWords)
+    val alphaFrac = when(nWords > 0,
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
     val nStop = size(filter(ws, w => w.isInCollection(p.stopwords))).cast("long")
 
     val ruleWc = nWords >= p.minWords && nWords <= p.maxWords

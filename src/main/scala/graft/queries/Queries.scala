@@ -270,7 +270,12 @@ object Queries {
     (s, dir) => {
       val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
       val cw = Window.partitionBy("event_type")
+      // quantiles over NON-NULL values only: ranking nulls (Spark sorts
+      // them FIRST ascending, DuckDB LAST) while counting them in n would
+      // both break cross-engine parity and shift every rank off its true
+      // order statistic; n reports the measured (non-null) count
       Tables.events(s, dir)
+        .filter(col("value").isNotNull)
         .withColumn("rn", row_number().over(w))
         .withColumn("cnt", count(lit(1)).over(cw))
         .groupBy("event_type")
@@ -286,7 +291,7 @@ object Queries {
         SELECT event_type, value,
           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
           COUNT(*) OVER (PARTITION BY event_type) AS cnt
-        FROM events)
+        FROM events WHERE value IS NOT NULL)
       SELECT event_type,
         MAX(CASE WHEN rn = CEIL(cnt * 0.25) THEN value END) AS p25,
         MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN value END) AS p50,

@@ -640,7 +640,7 @@ object SignalQueries {
         SELECT event_type, event_id, value,
           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
           COUNT(*) OVER (PARTITION BY event_type) AS cnt
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       med AS (
         SELECT event_type, MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN value END) AS grp_median
         FROM r GROUP BY 1),
@@ -651,7 +651,7 @@ object SignalQueries {
       r2 AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY absdev, event_id) AS rn2,
           COUNT(*) OVER (PARTITION BY event_type) AS cnt2
-        FROM a),
+        FROM a WHERE absdev IS NOT NULL),
       mad AS (
         SELECT event_type, MAX(CASE WHEN rn2 = CEIL(cnt2 * 0.5) THEN absdev END) AS grp_mad
         FROM r2 GROUP BY 1)
@@ -893,28 +893,35 @@ object SignalQueries {
   /** B52: event-sequence pattern matching (`Funnel.sequencePattern`) —
     * per-user counts of regex patterns over the time-ordered event-type
     * sequence (the MATCH_RECOGNIZE shape): every non-overlapping
-    * "view click purchase" conversion triple and "error+ signup"
-    * retry-then-convert run. Patterns stay in the Java∩RE2 regex subset
-    * so the DuckDB mirror (string_agg ORDER BY ts, event_id +
+    * view→click→purchase conversion triple and error+→signup
+    * retry-then-convert run. Patterns are built from `Funnel.tok`
+    * boundary-safe atoms (each type travels as a type token)
+    * and stay in the Java∩RE2 regex subset, so the DuckDB mirror
+    * (string_agg of the same delimited tokens ORDER BY ts, event_id +
     * regexp_extract_all) matches occurrence-for-occurrence. */
-  private val q96 = Q(
-    "q96_event_pattern",
-    (s, dir) =>
-      graft.operators.Funnel.sequencePattern(
-        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
-        Seq("n_triple" -> "view click purchase",
-            "n_err_retry" -> "error (error )*signup")),
-    Some("""
-      SELECT user_id, COUNT(*) AS n_events,
-        CAST(len(regexp_extract_all(
-          string_agg(event_type, ' ' ORDER BY ts, event_id),
-          'view click purchase')) AS BIGINT) AS n_triple,
-        CAST(len(regexp_extract_all(
-          string_agg(event_type, ' ' ORDER BY ts, event_id),
-          'error (error )*signup')) AS BIGINT) AS n_err_retry
-      FROM events GROUP BY 1
-    """),
-  )
+  private val q96 = {
+    import graft.operators.Funnel.tok
+    Q(
+      "q96_event_pattern",
+      (s, dir) =>
+        graft.operators.Funnel.sequencePattern(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+          Seq("n_triple" -> (tok("view") + tok("click") + tok("purchase")),
+              "n_err_retry" -> (tok("error") + "(" + tok("error") + ")*" + tok("signup")))),
+      Some("""
+        WITH s AS (
+          SELECT user_id, COUNT(*) AS n_events,
+            string_agg(chr(1) || event_type || chr(2), '' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY 1)
+        SELECT user_id, n_events,
+          CAST(len(regexp_extract_all(seq,
+            chr(1) || 'view' || chr(2) || chr(1) || 'click' || chr(2) || chr(1) || 'purchase' || chr(2))) AS BIGINT) AS n_triple,
+          CAST(len(regexp_extract_all(seq,
+            chr(1) || 'error' || chr(2) || '(' || chr(1) || 'error' || chr(2) || ')*' || chr(1) || 'signup' || chr(2))) AS BIGINT) AS n_err_retry
+        FROM s
+      """),
+    )
+  }
 
   /** B53: telemetry debounce (`Sessionize.debounce`) — drop events whose
     * same-(user, type) predecessor is less than a day older: retried

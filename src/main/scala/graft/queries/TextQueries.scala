@@ -1283,16 +1283,21 @@ object TextQueries {
         .drop("text"),
     Some("""
       WITH f AS (
-        SELECT doc_id, text, string_split(text, ' ') AS ws,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
         FROM documents),
+      f2 AS (
+        SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n_words FROM f),
       d AS (
         SELECT doc_id, n_words,
-          CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
-          CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS DOUBLE) / n_words AS symbol_ratio,
-          CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words AS alpha_word_frac,
+          CASE WHEN n_words > 0 THEN
+            CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / n_words END AS mean_word_len,
+          CASE WHEN n_words > 0 THEN
+            CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS DOUBLE) / n_words END AS symbol_ratio,
+          CASE WHEN n_words > 0 THEN
+            CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words END AS alpha_word_frac,
           CAST(len(list_filter(ws, w -> w IN ('a', 'the'))) AS BIGINT) AS n_stopwords
-        FROM f)
+        FROM f2)
       SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stopwords,
         (n_words >= 20 AND n_words <= 90) AS rule_word_count,
         (mean_word_len >= 3.0 AND mean_word_len <= 4.75) AS rule_mean_word_len,

@@ -314,36 +314,42 @@ object VectorQueries {
   /** C55: SemDeDup semantic dedup (`Dedup.semanticDedup`, Abbas et al.
     * 2023) — nearest-centroid clustering blocks the candidate space, then
     * within-cluster cosine ≥ τ pairs resolve to connected components and
-    * a min-id survivor per component. Centroids here are the exact
-    * per-label means (the q43 construction) so the oracle can rebuild
-    * them; production trains them with `KMeans.fit`
-    * (`Dedup.semanticDedupAuto`). Threshold contract: τ=0.4 sits ≥ 6e-4
-    * from every pair cosine at the verified SFs while the engines agree
-    * to ~1e-10, so the filter can't diverge (same argument as q38's
+    * a min-id survivor per component.
+    *
+    * Scale-honest parameterization: the codebook size grows LINEARLY with
+    * the corpus — B = ceil(n / (L·S)) id-blocks per label targets a fixed
+    * cluster population S=25, so max-cluster population stays bounded and
+    * candidate pairs grow ~linearly in n (measured: 6.2k pairs at n=500 →
+    * 25.2k at n=2000, 4.06× at 4× data; the fixed-k=L form this replaced
+    * measured 100× pairs at 10× data). Centroids are exact decimal means
+    * over (label, vec_id mod B) groups so the oracle can rebuild them
+    * bit-for-bit; production trains the codebook with `KMeans.fit`
+    * (`Dedup.semanticDedupAuto`, exercised by q89b and the bounded-
+    * population spec). Cross-engine contract: at the verified SFs the
+    * smallest argmax assignment gap is 7.2e-6 and the smallest |cos−τ|
+    * margin is 4.0e-4 while the engines agree to ~1e-10, so neither the
+    * assignment nor the τ=0.4 filter can diverge (same argument as q38's
     * rank gaps). */
   private val q89 = Q(
     "q89_semantic_dedup",
     (s, dir) => {
-      val centroids = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
-        .groupBy("label", "pos")
-        .agg(davg(col("comp").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          f => f.getField("c")).as("centroid"))
-        .select(col("label").as("cluster"), col("centroid"))
       val e = Tables.embeddings(s, dir)
+      val (centroids, labelBits) = graft.operators.Dedup.blockCentroids(
+        e, "embedding", "vec_id", "label", targetClusterSize = 25)
       val pairs = graft.operators.Dedup.semanticPairs(
-        e, "embedding", "vec_id", centroids, threshold = 0.4, labelBits = 4)
+        e, "embedding", "vec_id", centroids, threshold = 0.4, labelBits = labelBits)
       graft.operators.Dedup.survivors(e, pairs.select("a_id", "b_id"), "vec_id")
         .withColumnRenamed("doc_id", "vec_id")
     },
     Some(s"""
-      WITH RECURSIVE cent AS (
-        SELECT label AS assigned, i - 1 AS pos,
+      WITH RECURSIVE prm AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / (COUNT(DISTINCT label) * 25.0)) AS BIGINT)) AS b
+        FROM embeddings),
+      cent AS (
+        SELECT CAST(label AS BIGINT) * prm.b + (vec_id % prm.b) AS assigned, i - 1 AS pos,
           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
             / COUNT(embedding[i]) AS c
-        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        FROM embeddings, prm, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
         GROUP BY 1, 2),
       cnorm AS (
         SELECT assigned, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
@@ -395,5 +401,30 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89)
+  /** C55b: the fully-trained SemDeDup path — deterministic k-means‖
+    * (`KMeans.fit`) trains the codebook, then [[q89]]'s block/verify/
+    * component pipeline runs inside its clusters. Same data-scaled
+    * contract as q89 (k = ceil(n/S), S=25 target population, so k grows
+    * linearly with the corpus and Σ|cluster|² stays ~n·S). Lloyd
+    * iterations are not SQL-expressible, so this is a rows-only catalog
+    * entry; numeric behavior is pinned by KMeansSpec and the bounded-
+    * population SemanticScaleSpec instead. */
+  private val q89b = Q(
+    "q89b_semantic_dedup_auto",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val n = e.count()
+      // k = ceil(n/S): linear-in-n codebook (the scale contract). S=50 and
+      // 3 Lloyd rounds: a blocking codebook doesn't need convergence —
+      // cluster QUALITY only moves recall at the margin, while every extra
+      // Lloyd round is a full assignment pass over the corpus.
+      val k = math.max(2, math.ceil(n / 50.0).toInt)
+      graft.operators.Dedup.semanticDedupAuto(e, "embedding", "vec_id", k,
+          threshold = 0.4, maxIters = 3)
+        .select("vec_id", "label")
+    },
+    None,
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b)
 }

@@ -45,8 +45,25 @@ class QualityRulesSpec extends SparkSpec {
         Seq((1L, "the cat sat")).toDF("doc_id", "text"), "text", p)
       .select("n_words", "mean_word_len", "n_stopwords")
       .as[(Long, Double, Long)].head()
-    // 11 chars - 2 separators = 9 over 3 words
+    // word lengths 3+3+3 = 9 over 3 words
     assert(d === ((3L, 3.0, 1L)))
+  }
+
+  test("irregular whitespace does not inflate n_words or skew the ratios") {
+    // leading/trailing spaces, a double space and a tab: still 3 words
+    val d = QualityRules.gopher(
+        Seq((1L, "  the  cat\tsat ")).toDF("doc_id", "text"), "text", p)
+      .select("n_words", "mean_word_len", "alpha_word_frac", "n_stopwords")
+      .as[(Long, Double, Double, Long)].head()
+    assert(d === ((3L, 3.0, 1.0, 1L)))
+  }
+
+  test("an all-whitespace doc yields zero words and null diagnostics, keep null-false") {
+    val row = QualityRules.gopher(
+        Seq((1L, "   ")).toDF("doc_id", "text"), "text", p)
+      .selectExpr("n_words", "mean_word_len IS NULL", "keep IS NOT TRUE")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(row === ((0L, true, true)))
   }
 
   test("unicode ellipsis counts like the ASCII form") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale contract of the SemDeDup blocking (q89/q89b): the codebook size
+  * must grow with the corpus so max-cluster population stays bounded and
+  * the candidate-pair cost Σ|cluster|² grows ~linearly in n — the fix for
+  * the round-5 finding that a FIXED k turns nearest-centroid blocking
+  * quadratic (measured then: 100× pairs at 10× data). Pins both the
+  * labeled [[Dedup.blockCentroids]] path (q89) and the k-scaling rule the
+  * trained path (q89b, k = ceil(n/S)) follows. */
+class SemanticScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val Labels = 5
+  private val Target = 25 // target cluster population S
+
+  /** Deterministic corpus shaped like the embeddings table: per-label
+    * anchor direction + seeded Gaussian noise. */
+  private def corpus(n: Int): DataFrame = {
+    val rng = new scala.util.Random(42)
+    (0 until n).map { i =>
+      val lab = i % Labels
+      val vec = Array.tabulate(Dim) { d =>
+        val anchor = if (d == lab) 1.0f else 0.0f
+        anchor + 0.35f * rng.nextGaussian().toFloat
+      }
+      (i.toLong, lab, vec)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  /** (number of clusters, max assigned population, Σ|cluster|²) for the
+    * q89 parameterization at corpus size n. */
+  private def stats(n: Int): (Long, Long, Long) = {
+    val df = corpus(n)
+    val (cents, bits) = Dedup.blockCentroids(df, "embedding", "vec_id", "label", Target)
+    val sizes = Dedup.assignNearest(df, "embedding", "vec_id", cents, bits)
+      .groupBy("cluster").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    (cents.count(), sizes.max, sizes.map(c => c * c).sum)
+  }
+
+  test("blockCentroids grows the codebook linearly with the corpus") {
+    val df500 = corpus(500)
+    val (c500, _) = Dedup.blockCentroids(df500, "embedding", "vec_id", "label", Target)
+    val (c2000, _) = Dedup.blockCentroids(corpus(2000), "embedding", "vec_id", "label", Target)
+    // B = ceil(n / (L*S)): 500/(5*25)=4 blocks/label, 2000/(5*25)=16
+    assert(c500.count() === Labels * 4L)
+    assert(c2000.count() === Labels * 16L)
+  }
+
+  test("max-cluster population stays bounded as the corpus grows 4x") {
+    val (_, max500, _) = stats(500)
+    val (_, max2000, _) = stats(2000)
+    // bounded means NOT growing with n: at 4x data the hottest cluster
+    // must stay within skew-slack of the target population, not 4x it
+    assert(max500 <= 6L * Target, s"n=500 max cluster $max500 > ${6 * Target}")
+    assert(max2000 <= 6L * Target, s"n=2000 max cluster $max2000 > ${6 * Target}")
+    assert(max2000 <= 2L * math.max(max500, Target.toLong),
+      s"max population grew with n: $max500 -> $max2000")
+  }
+
+  test("candidate-pair cost grows ~linearly, not quadratically, at 4x data") {
+    val (_, _, sq500) = stats(500)
+    val (_, _, sq2000) = stats(2000)
+    // Σ|c|² is the within-cluster pair cost: linear scaling gives 4x,
+    // the fixed-k quadratic failure gives 16x; allow skew slack to 8x
+    assert(sq2000 < 8L * sq500,
+      s"pair cost grew superlinearly: sigma|c|^2 $sq500 -> $sq2000")
+  }
+
+  test("q89b's k rule matches the same target population") {
+    // k = ceil(n/S) — the rule the catalog entry applies before KMeans.fit
+    assert(math.ceil(500 / 25.0).toInt === 20)
+    assert(math.ceil(2000 / 25.0).toInt === 80)
+  }
+}

@@ -45,7 +45,15 @@ class SequenceOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", "b", 3L, pmiAB), ("b", "c", 1L, pmiBC)))
   }
 
+  test("pmiTop returns an empty frame (same schema) on a corpus with no bigrams") {
+    val corpus = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val got = LangModel.pmiTop(corpus, "text", k = 3, minCount = 1L)
+    assert(got.columns.toSeq === Seq("w_prev", "w", "c_pair", "pmi"))
+    assert(got.count() === 0L)
+  }
+
   test("sequencePattern counts non-overlapping regex matches on the time-ordered sequence") {
+    import Funnel.tok
     // inserted OUT of time order; sort must restore view,click,purchase,view,click
     val df = Seq(
       (103L, t(30), 1L, "purchase"),
@@ -58,12 +66,47 @@ class SequenceOpsSpec extends SparkSpec {
       (203L, t(30), 2L, "signup"),
     ).toDF("event_id", "ts", "user_id", "event_type")
     val rows = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
-        Seq("n_triple" -> "view click purchase", "n_vc" -> "view click",
-            "n_err" -> "error (error )*signup"))
+        Seq("n_triple" -> (tok("view") + tok("click") + tok("purchase")),
+            "n_vc" -> (tok("view") + tok("click")),
+            "n_err" -> (tok("error") + "(" + tok("error") + ")*" + tok("signup"))))
       .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(rows(1L) === ((5L, 1L, 2L, 0L)))
     assert(rows(2L) === ((3L, 0L, 0L, 1L)), "greedy error+ run collapses to one match")
+  }
+
+  test("sequencePattern tok atoms do not match inside longer types or across boundaries") {
+    import Funnel.tok
+    val df = Seq(
+      (1L, t(10), 1L, "preview"), // contains 'view' as a substring
+      (2L, t(20), 1L, "click"),
+      (3L, t(30), 2L, "view"),
+      (4L, t(40), 2L, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
+        Seq("n_vc" -> (tok("view") + tok("click"))))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(rows(1L) === 0L, "'view click' must not match inside 'preview click'")
+    assert(rows(2L) === 1L)
+  }
+
+  test("sequencePattern refuses a key over maxEvents loudly, before collecting it") {
+    import Funnel.tok
+    val df = (1L to 10L).map(i => (i, t(i), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val e = intercept[Exception] {
+      Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
+        Seq("n_v" -> tok("view")), maxEvents = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("maxEvents=5") && m.contains("key 1")),
+      s"expected a loud per-key cap failure, got: ${messages(e).mkString(" | ")}")
+    // under the cap the same input succeeds
+    val ok = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
+      Seq("n_v" -> tok("view")), maxEvents = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(ok.toSeq === Seq((1L, 10L, 10L)))
   }
 
   test("debounce keeps rows whose same-key predecessor is at least the horizon older") {
@@ -89,7 +132,7 @@ class SequenceOpsSpec extends SparkSpec {
       (1L, t(10), 1L, "view"), // same ts — event_id must decide order
     ).toDF("event_id", "ts", "user_id", "event_type")
     val rows = Funnel.sequencePattern(df, "user_id", "ts", "event_id", "event_type",
-        Seq("n_vc" -> "view click"))
+        Seq("n_vc" -> (Funnel.tok("view") + Funnel.tok("click"))))
       .as[(Long, Long, Long)].collect()
     assert(rows.head === ((1L, 2L, 1L)))
   }
