@@ -276,6 +276,188 @@ object FitsFile {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Write-back (fitsline.output dlyfix_fits.py:10, fitsheader.output
+  // :52, binarytable.writerow :216, history_class.output/appendrow
+  // :255-266): the reference's dlyfix doesn't just read archives — it
+  // rewrites them (parse → correct → write). These are the write halves
+  // of the parse functions above, byte-faithful where the reference is
+  // merely self-consistent: an untouched parse→write round trip
+  // reproduces the input bytes exactly, because value cards write their
+  // parsed `raw` field verbatim instead of re-justifying it.
+  // ------------------------------------------------------------------
+
+  /** Render one card to its fixed 80-char line. COMMENT/HISTORY/CONTINUE
+    * write `key + raw`; value cards write `KEY.ljust(8) = raw [/ comment]`
+    * with the raw value field verbatim — see [[fmtValue]] for building a
+    * NEW raw field in the standard fixed-format justification. */
+  def formatCard(c: FitsCard): String = {
+    val line = c.key match {
+      case "END"                               => "END"
+      case "COMMENT" | "HISTORY" | "CONTINUE"  => c.key + c.raw
+      case k =>
+        k.padTo(8, ' ') + "=" + c.raw + c.comment.fold("")(cm => s"/ $cm")
+    }
+    require(line.length <= CardSize, s"FITS card overflows 80 chars: '$line'")
+    line.padTo(CardSize, ' ')
+  }
+
+  /** Fixed-format raw value field for a new/updated card: right-justified
+    * so the value ends at byte 30 of the card (the convention the
+    * reference's `% 22s` format and every PSRFITS writer follow; strings
+    * carry their quotes inside the field). */
+  def fmtValue(v: Any): String = {
+    val s = v match {
+      case b: Boolean => if (b) "T" else "F"
+      case str: String => "'" + str.replace("'", "''") + "'"
+      case other => other.toString
+    }
+    if (s.length >= 21) s else (" " * (21 - s.length)) + s
+  }
+
+  /** Replace the value (and optionally comment) of the first card with
+    * `key`, keeping card order — the reference mutates `fitsline.val` in
+    * place (dlyfix_fits.py:258). Appends a new card if the key is absent. */
+  def setValue(cards: Seq[FitsCard], key: String, value: Any,
+               comment: Option[String] = None): Seq[FitsCard] =
+    if (cards.exists(_.key == key))
+      cards.map(c => if (c.key == key)
+        FitsCard(key, fmtValue(value), comment.orElse(c.comment)) else c)
+    else cards :+ FitsCard(key, fmtValue(value), comment)
+
+  /** Header bytes: every card, an END card, space-padded to whole
+    * 2880-byte blocks (`fitsheader.output`, dlyfix_fits.py:52-60). */
+  def headerBytes(cards: Seq[FitsCard]): Array[Byte] = {
+    val body = cards.filterNot(_.key == "END").map(formatCard).mkString +
+      "END".padTo(CardSize, ' ')
+    padBlock(body.getBytes(StandardCharsets.US_ASCII), ' '.toByte)
+  }
+
+  private def padBlock(b: Array[Byte], pad: Byte): Array[Byte] =
+    if (b.length % BlockSize == 0) b
+    else b ++ Array.fill(BlockSize - b.length % BlockSize)(pad)
+
+  /** Encode one big-endian binary-table row — the inverse of [[parseRow]]
+    * (`binarytable.writerow`, dlyfix_fits.py:216): accepts exactly the
+    * value shapes parseRow produces (String for A, scalar for repeat-1
+    * numerics, Seq for repeat-n and X bit-bytes), plus any widening
+    * integer/float scalar. */
+  def packRow(schema: BinTableSchema, row: Map[String, Any]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(schema.rowSize)
+    def asLong(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"not an integer: $other")
+    }
+    def asDouble(v: Any): Double = v match {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => asLong(other).toDouble
+    }
+    schema.cols.foreach { c =>
+      val v = row.getOrElse(c.name,
+        throw new IllegalArgumentException(s"row missing column '${c.name}'"))
+      c.code match {
+        case 'A' =>
+          val s = v.toString
+          require(s.length <= c.repeat, s"'${c.name}' value '$s' exceeds ${c.repeat}A")
+          bb.put(s.padTo(c.repeat, ' ').getBytes(StandardCharsets.US_ASCII))
+        case code =>
+          val n = if (code == 'X') c.byteSize else c.repeat
+          val vals: Seq[Any] = v match {
+            case s: Seq[_] => s.asInstanceOf[Seq[Any]]
+            case one => Seq(one)
+          }
+          require(vals.length == n, s"'${c.name}' expects $n elements, got ${vals.length}")
+          vals.foreach { x =>
+            code match {
+              case 'B' | 'X' => bb.put((asLong(x) & 0xff).toByte)
+              case 'I'       => bb.putShort(asLong(x).toShort)
+              case 'J'       => bb.putInt(asLong(x).toInt)
+              case 'K'       => bb.putLong(asLong(x))
+              case 'E'       => bb.putFloat(asDouble(x).toFloat)
+              case 'D'       => bb.putDouble(asDouble(x))
+              case other     => throw new IllegalArgumentException(s"unreachable TFORM '$other'")
+            }
+            ()
+          }
+      }
+    }
+    bb.array()
+  }
+
+  /** Table data bytes, space-padded to whole blocks like the reference's
+    * `output().ljust(...)` (`history_class.output`, dlyfix_fits.py:261). */
+  def tableBytes(schema: BinTableSchema, rows: Seq[Map[String, Any]]): Array[Byte] =
+    padBlock(rows.toArray.flatMap(packRow(schema, _)), ' '.toByte)
+
+  /** One HDU with its raw (already block-padded) data extent. */
+  final case class Hdu(cards: Seq[FitsCard], data: Array[Byte]) {
+
+    /** Append one binary-table row and bump NAXIS2, like
+      * `history_class.appendrow` (dlyfix_fits.py:255): re-encodes the
+      * data extent from the parsed rows plus the new one. */
+    def appendTableRow(row: Map[String, Any]): Hdu = {
+      val schema = binTableSchema(cards).getOrElse(
+        throw new IllegalArgumentException("appendTableRow: HDU has no binary table"))
+      val rows = parseTable(schema, data, 0) :+ row
+      Hdu(setValue(cards, "NAXIS2", rows.length.toLong),
+        tableBytes(schema.copy(nrow = rows.length), rows))
+    }
+  }
+
+  /** All HDUs with their data extents — the full-file counterpart of
+    * [[readHdus]], so [[fileBytes]] can reassemble the archive. */
+  def readHdusWithData(bytes: Array[Byte]): Seq[Hdu] = {
+    val out = Seq.newBuilder[Hdu]
+    var off = 0
+    var more = off + BlockSize <= bytes.length
+    while (more) {
+      readHeader(bytes, off) match {
+        case Some((cards, next)) =>
+          val dataEnd = next + extDataSize(cards).toInt
+          out += Hdu(cards, java.util.Arrays.copyOfRange(bytes, next, dataEnd))
+          off = dataEnd
+          more = off + BlockSize <= bytes.length
+        case None => more = false
+      }
+    }
+    out.result()
+  }
+
+  /** Reassemble a whole archive: headers re-rendered, data extents
+    * verbatim. `fileBytes(readHdusWithData(b)) == b` for any file this
+    * parser reads — the dlyfix round-trip contract. */
+  def fileBytes(hdus: Seq[Hdu]): Array[Byte] =
+    hdus.toArray.flatMap(h => headerBytes(h.cards) ++ h.data)
+
+  /** Distributed archive rewrite — the dlyfix shape (parse → correct →
+    * write) over a directory of FITS files: one task per file via
+    * `binaryFile`, each file's corrected bytes written executor-side to
+    * `outDir/<name>`. Returns the number of files written. On a real
+    * cluster `outDir` must be a shared filesystem (the same contract as
+    * any Spark file sink); correction logic runs fully parallel, no
+    * shuffle. Returns the written file names (the only thing that
+    * reaches the driver — a manifest, bounded by file count, never
+    * file contents). */
+  def transformFiles(spark: SparkSession, inPath: String, outDir: String)(
+      f: Seq[Hdu] => Seq[Hdu]): Seq[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(inPath)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val dst = java.nio.file.Paths.get(outDir, name)
+        Option(dst.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
+        java.nio.file.Files.write(dst, fileBytes(f(readHdusWithData(bytes))))
+        name
+      }
+      .collect().toSeq.sorted
+  }
+
   /** One exploded card row for the distributed loader. */
   final case class CardRow(
       source_file: String,

@@ -122,6 +122,80 @@ class FitsFileSpec extends SparkSpec {
     assert(extDataSize(ext) == BlockSize) // 2 rows × 18 B → one padded block
   }
 
+  // ---- write-back (fitsline.output / fitsheader.output / writerow) ----
+
+  test("fileBytes(readHdusWithData) reproduces the archive byte-for-byte") {
+    assert(fileBytes(readHdusWithData(fixture)).sameElements(fixture))
+  }
+
+  test("formatCard emits the reference fixed-format layout for new values") {
+    // kv() builds exactly the reference's card layout — a fresh card must
+    // land on the same bytes
+    assert(formatCard(FitsCard("NPOL", fmtValue(4L), None)) == kv("NPOL", "4"))
+    // with a comment the reference writes `value/ comment` (no space
+    // before the slash — fitsline.output's f"{x}/ {comment}")
+    assert(formatCard(FitsCard("SIMPLE", fmtValue(true), Some("conforms to FITS"))) ==
+      card("SIMPLE".padTo(8, ' ') + "=" + fmtValue(true) + "/ conforms to FITS"))
+    assert(formatCard(FitsCard("SRC_NAME", fmtValue("J0437-4715"), None)) ==
+      kv("SRC_NAME", "'J0437-4715'"))
+  }
+
+  test("parse -> modify a card -> write -> re-parse equality (dlyfix round trip)") {
+    val hdus = readHdusWithData(fixture)
+    val fixed = hdus.updated(0, hdus(0).copy(cards =
+      setValue(hdus(0).cards, "OBSFREQ", 1284.0, Some("delay-corrected"))))
+    val re = readHdus(fileBytes(fixed))
+    assert(get(re(0)._2, "OBSFREQ").flatMap(_.doubleValue).contains(1284.0))
+    assert(get(re(0)._2, "OBSFREQ").flatMap(_.comment).contains("delay-corrected"))
+    // every untouched card survives unchanged, both HDUs
+    assert(get(re(0)._2, "SRC_NAME").flatMap(_.strValue).contains("J0437-4715"))
+    assert(mergeContinuations(re(0)._2).exists(c =>
+      c.key == "LONGSTR" && c.strValue.contains("part one part two")))
+    assert(re(1)._2.map(c => (c.key, c.raw)) == hdus(1).cards.map(c => (c.key, c.raw)))
+  }
+
+  test("packRow inverts parseRow byte-for-byte") {
+    val hdus = readHdusWithData(fixture)
+    val schema = binTableSchema(hdus(1).cards).get
+    val rows = parseTable(schema, hdus(1).data, 0)
+    val packed = rows.toArray.flatMap(packRow(schema, _))
+    assert(packed.sameElements(hdus(1).data.take(2 * schema.rowSize)))
+  }
+
+  test("appendTableRow appends a HISTORY row and bumps NAXIS2 (appendrow)") {
+    val hdus = readHdusWithData(fixture)
+    val appended = hdus.updated(1, hdus(1).appendTableRow(
+      Map("DATE_PRO" -> "20200103", "NPOL" -> 2, "DM" -> 2.649)))
+    val bytes = fileBytes(appended)
+    assert(get(readHdus(bytes)(1)._2, "NAXIS2").flatMap(_.longValue).contains(3L))
+    val rows = namedTable(bytes, "HISTORY")
+    assert(rows.size == 3)
+    assert(rows(2) == Map("DATE_PRO" -> "20200103", "NPOL" -> 2.toShort, "DM" -> 2.649))
+    assert(rows.take(2).map(_("DATE_PRO")) == Seq("20200101", "20200102"))
+  }
+
+  test("transformFiles rewrites a directory of archives, executor-side") {
+    val inDir = Files.createTempDirectory("fits_in").toFile
+    val outDir = Files.createTempDirectory("fits_out").toFile
+    try {
+      Files.write(Paths.get(inDir.toString, "a.fits"), fixture)
+      Files.write(Paths.get(inDir.toString, "b.fits"), fixture)
+      val written = FitsFile.transformFiles(spark, inDir.toString, outDir.toString) { hdus =>
+        hdus.updated(0, hdus(0).copy(cards = setValue(hdus(0).cards, "OBSFREQ", 999.5)))
+          .updated(1, hdus(1).appendTableRow(
+            Map("DATE_PRO" -> "20200104", "NPOL" -> 1, "DM" -> 2.65)))
+      }
+      assert(written == Seq("a.fits", "b.fits"))
+      written.foreach { name =>
+        val bytes = Files.readAllBytes(Paths.get(outDir.toString, name))
+        assert(get(readHdus(bytes)(0)._2, "OBSFREQ").flatMap(_.doubleValue).contains(999.5))
+        assert(namedTable(bytes, "HISTORY").size == 3)
+      }
+    } finally {
+      Seq(inDir, outDir).foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    }
+  }
+
   test("distributed load explodes cards over binaryFile") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits").toFile
