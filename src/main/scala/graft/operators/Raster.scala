@@ -1,0 +1,186 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Raster image products — the engine-level form of the reference's
+  * matplotlib plotting (`generate_SNR_images` scripts/
+  * generate_images_results.py:70-139 plots S/N vs time;
+  * `dynamic_spectra` :163-189 renders the dynspec grid and shrinks the
+  * PNG under a byte budget). JDK-only (`java.awt.image.BufferedImage` +
+  * `javax.imageio`): geometry rendering, no font dependency, so it runs
+  * on any headless executor.
+  *
+  * Scale shape: rendering is per-observation — groupBy(key) →
+  * collect_list of that key's bounded curve/grid (nsub × nchan cells, KB
+  * not GB) → one map call emits the PNG bytes as a binary column. A
+  * million observations render with full cluster parallelism and no
+  * driver involvement; write the frame with any binary-capable sink.
+  */
+object Raster {
+
+  /** Viridis-like perceptual colormap (public anchor points), v ∈ [0,1] →
+    * packed RGB. Out-of-range and NaN clamp to the ends. */
+  def colormap(v: Double): Int = {
+    val anchors = Array(
+      (0.267, 0.005, 0.329), (0.283, 0.141, 0.458), (0.254, 0.265, 0.530),
+      (0.207, 0.372, 0.553), (0.164, 0.471, 0.558), (0.128, 0.567, 0.551),
+      (0.135, 0.659, 0.518), (0.267, 0.749, 0.441), (0.478, 0.821, 0.318),
+      (0.741, 0.873, 0.150), (0.993, 0.906, 0.144))
+    val x = if (v.isNaN) 0.0 else math.min(1.0, math.max(0.0, v))
+    val pos = x * (anchors.length - 1)
+    val i = math.min(anchors.length - 2, pos.toInt)
+    val f = pos - i
+    def ch(a: Double, b: Double): Int = math.round(((a + (b - a) * f) * 255)).toInt
+    val (r0, g0, b0) = anchors(i)
+    val (r1, g1, b1) = anchors(i + 1)
+    (ch(r0, r1) << 16) | (ch(g0, g1) << 8) | ch(b0, b1)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Dynamic-spectrum heatmap: one `cellSize`×`cellSize` block per
+    * (timeIdx, chanIdx) cell, flux normalized to the grid's own min/max
+    * (matplotlib's default autoscaling), missing cells black. Image is
+    * exactly (maxTime+1)·cellSize × (maxChan+1)·cellSize pixels — time on
+    * x like the reference's plot, channel 0 at the BOTTOM row (origin
+    * lower-left, the psrflux convention). */
+  def heatmapPng(cells: Seq[(Int, Int, Double)], cellSize: Int = 4): Array[Byte] = {
+    require(cells.nonEmpty, "heatmapPng: empty grid")
+    require(cellSize >= 1, s"cellSize must be >= 1, got $cellSize")
+    val nT = cells.iterator.map(_._1).max + 1
+    val nC = cells.iterator.map(_._2).max + 1
+    val finite = cells.iterator.map(_._3).filterNot(_.isNaN)
+    val (lo, hi) = finite.foldLeft((Double.MaxValue, Double.MinValue)) {
+      case ((l, h), v) => (math.min(l, v), math.max(h, v))
+    }
+    val span = if (hi > lo) hi - lo else 1.0
+    val img = new BufferedImage(nT * cellSize, nC * cellSize, BufferedImage.TYPE_INT_RGB)
+    cells.foreach { case (t, c, v) =>
+      val rgb = colormap((v - lo) / span)
+      val y0 = (nC - 1 - c) * cellSize
+      var dy = 0
+      while (dy < cellSize) {
+        var dx = 0
+        while (dx < cellSize) {
+          img.setRGB(t * cellSize + dx, y0 + dy, rgb)
+          dx += 1
+        }
+        dy += 1
+      }
+    }
+    encodePng(img)
+  }
+
+  /** Line plot of (x, y) points: white background, dark axes box with
+    * tick marks, blue polyline — the geometry of the reference's
+    * `plt.plot` S/N products without a font dependency. */
+  def linePng(points: Seq[(Double, Double)], width: Int = 640, height: Int = 480): Array[Byte] = {
+    require(points.nonEmpty, "linePng: no points")
+    require(width >= 64 && height >= 64, "image too small")
+    val sorted = points.sortBy(_._1)
+    val (xLo, xHi) = (sorted.head._1, sorted.last._1)
+    val ys = sorted.map(_._2)
+    val (yLo, yHi) = (ys.min, ys.max)
+    val xSpan = if (xHi > xLo) xHi - xLo else 1.0
+    val ySpan = if (yHi > yLo) yHi - yLo else 1.0
+    val (mL, mR, mT, mB) = (48, 16, 16, 36) // margins: axis room like matplotlib's
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      g.setColor(new java.awt.Color(0x33, 0x33, 0x33))
+      g.drawRect(mL, mT, width - mL - mR - 1, height - mT - mB - 1)
+      // 5 ticks per axis
+      (0 to 4).foreach { i =>
+        val tx = mL + i * (width - mL - mR - 1) / 4
+        val ty = mT + i * (height - mT - mB - 1) / 4
+        g.drawLine(tx, height - mB - 1, tx, height - mB + 4)
+        g.drawLine(mL - 5, ty, mL - 1, ty)
+      }
+      def px(x: Double): Int = mL + ((x - xLo) / xSpan * (width - mL - mR - 2)).toInt
+      def py(y: Double): Int = (height - mB - 2) - ((y - yLo) / ySpan * (height - mT - mB - 2)).toInt
+      g.setColor(new java.awt.Color(0x1f, 0x77, 0xb4)) // matplotlib C0 blue
+      sorted.sliding(2).foreach {
+        case Seq((x0, y0), (x1, y1)) => g.drawLine(px(x0), py(y0), px(x1), py(y1))
+        case _                       => () // single point: dot below
+      }
+      if (sorted.size == 1) g.fillOval(px(sorted.head._1) - 2, py(sorted.head._2) - 2, 5, 5)
+    } finally g.dispose()
+    encodePng(img)
+  }
+
+  /** Re-encode under `maxBytes` by LANCZOS-free bilinear downscale — the
+    * reference's while-loop (`dynamic_spectra`, generate_images_results
+    * .py:180-189: shrink by 8e5/size until the PNG fits the budget). */
+  def shrinkToBudget(png: Array[Byte], maxBytes: Int): Array[Byte] = {
+    require(maxBytes >= 1024, s"budget too small: $maxBytes")
+    var bytes = png
+    while (bytes.length > maxBytes) {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val factor = math.min(0.9, 0.8 * maxBytes.toDouble / bytes.length)
+      val w = math.max(16, (img.getWidth * factor).toInt)
+      val h = math.max(16, (img.getHeight * factor).toInt)
+      val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      bytes = encodePng(scaled)
+      if (w == 16 && h == 16) return bytes // floor reached; stop regardless
+    }
+    bytes
+  }
+
+  /** Per-key S/N-curve PNGs (`generate_SNR_images`): one image per key
+    * from its (x, y) points. Output: (key, png, n_points, width, height). */
+  def renderCurves(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                   width: Int = 640, height: Int = 480): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .groupBy("k")
+      .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
+      .as[(String, Seq[(Double, Double)])]
+      .map { case (k, pts) => (k, linePng(pts, width, height), pts.size, width, height) }
+      .toDF(keyCol, "png", "n_points", "width", "height")
+  }
+
+  /** Per-key dynamic-spectrum PNGs (`dynamic_spectra`): one heatmap per
+    * key from its (timeIdx, chanIdx, flux) cells, optionally shrunk to
+    * `maxBytes`. Output: (key, png, n_time, n_chan, width, height) —
+    * width/height are the PRE-shrink grid dims (cell-exact contract). */
+  def renderDynspec(df: DataFrame, keyCol: String, timeCol: String, chanCol: String,
+                    fluxCol: String, cellSize: Int = 4,
+                    maxBytes: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(timeCol).cast("int").as("t"), col(chanCol).cast("int").as("c"),
+        col(fluxCol).cast("double").as("v"))
+      .groupBy("k")
+      .agg(collect_list(struct(col("t"), col("c"), col("v"))).as("cells"))
+      .as[(String, Seq[(Int, Int, Double)])]
+      .map { case (k, cells) =>
+        val nT = cells.iterator.map(_._1).max + 1
+        val nC = cells.iterator.map(_._2).max + 1
+        val png0 = heatmapPng(cells, cellSize)
+        val png = maxBytes.fold(png0)(shrinkToBudget(png0, _))
+        (k, png, nT, nC, nT * cellSize, nC * cellSize)
+      }
+      .toDF(keyCol, "png", "n_time", "n_chan", "width", "height")
+  }
+}

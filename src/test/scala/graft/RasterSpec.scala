@@ -1,0 +1,84 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.Raster
+
+/** Raster PNG products (generate_images_results.py:70-189): per-key S/N
+  * line plots and dynamic-spectrum heatmaps as binary columns, rendered
+  * executor-side with JDK-only imaging. */
+class RasterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(png: Array[Byte]) = ImageIO.read(new ByteArrayInputStream(png))
+
+  test("heatmapPng pixel dims match the cell grid exactly") {
+    val cells = for (t <- 0 until 10; c <- 0 until 6) yield (t, c, (t * c).toDouble)
+    val img = decode(Raster.heatmapPng(cells, cellSize = 4))
+    assert(img.getWidth === 40 && img.getHeight === 24)
+  }
+
+  test("heatmap colors follow the colormap: min dark violet, max bright yellow") {
+    val cells = Seq((0, 0, 0.0), (1, 0, 1.0))
+    val img = decode(Raster.heatmapPng(cells, cellSize = 2))
+    val lo = img.getRGB(0, 0) & 0xffffff
+    val hi = img.getRGB(2, 0) & 0xffffff
+    assert(lo === Raster.colormap(0.0) && hi === Raster.colormap(1.0))
+    // viridis ends: dark violet has blue > red; bright yellow has red ~ green >> blue
+    assert((lo & 0xff) > ((lo >> 16) & 0xff))
+    assert(((hi >> 16) & 0xff) > 200 && (hi & 0xff) < 160)
+  }
+
+  test("linePng renders a non-trivial plot with the requested dims") {
+    val pts = (0 until 50).map(i => (i.toDouble, math.sin(i / 5.0)))
+    val png = Raster.linePng(pts, width = 320, height = 200)
+    val img = decode(png)
+    assert(img.getWidth === 320 && img.getHeight === 200)
+    // the curve is drawn in matplotlib-C0 blue somewhere inside the axes
+    val blue = 0x1f77b4
+    val hasCurve = (0 until img.getWidth).exists(x =>
+      (0 until img.getHeight).exists(y => (img.getRGB(x, y) & 0xffffff) == blue))
+    assert(hasCurve, "no curve pixels found")
+  }
+
+  test("shrinkToBudget brings an oversized PNG under the byte budget") {
+    val cells = for (t <- 0 until 300; c <- 0 until 200)
+      yield (t, c, math.sin(t * 0.37) * math.cos(c * 0.73) + 0.01 * ((t * 31 + c * 17) % 97))
+    val big = Raster.heatmapPng(cells, cellSize = 2)
+    assert(big.length > 20000, s"fixture too small to exercise shrink: ${big.length}")
+    val small = Raster.shrinkToBudget(big, maxBytes = 20000)
+    assert(small.length <= 20000)
+    assert(decode(small).getWidth < decode(big).getWidth)
+  }
+
+  test("renderDynspec emits one PNG per key with cell-exact dims") {
+    val rows = for (k <- Seq("obsA", "obsB"); t <- 0 until 8; c <- 0 until 5)
+      yield (k, t, c, (t + c).toDouble)
+    val out = Raster.renderDynspec(rows.toDF("obs", "time_idx", "chan_idx", "flux"),
+        "obs", "time_idx", "chan_idx", "flux", cellSize = 3)
+      .as[(String, Array[Byte], Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("obsA", "obsB"))
+    out.values.foreach { case (_, png, nT, nC, w, h) =>
+      assert((nT, nC, w, h) === ((8, 5, 24, 15)))
+      val img = decode(png)
+      assert(img.getWidth === w && img.getHeight === h)
+    }
+  }
+
+  test("renderCurves emits one S/N plot per key") {
+    val rows = for (k <- Seq(1L, 2L); i <- 0 until 30)
+      yield (k, i * 8.0, math.sqrt(i + 1.0) * k)
+    val out = Raster.renderCurves(rows.toDF("obs", "t_sec", "snr"), "obs", "t_sec", "snr",
+        width = 320, height = 240)
+      .as[(String, Array[Byte], Int, Int, Int)].collect()
+    assert(out.map(_._1).toSet === Set("1", "2"))
+    out.foreach { case (_, png, n, w, h) =>
+      assert(n === 30)
+      val img = decode(png)
+      assert(img.getWidth === w && img.getHeight === h)
+    }
+  }
+}
