@@ -139,8 +139,12 @@ object Bpe {
   /** Driver-side merge loop with incremental pair-delta updates: per
     * round, only the words that CONTAIN the merged pair are rewritten,
     * and only the pairs those rewrites created/destroyed have their
-    * counts adjusted — no full recount. Classic fast-BPE shape; the
-    * argmax scan is O(live pairs) with the code-point tiebreak. */
+    * counts adjusted — no full recount. The argmax is a LAZY-DELETION
+    * max-heap ((freq desc, pair asc-by-code-point) order): every count
+    * change pushes a fresh (count, pair) entry, and pops that disagree
+    * with the live count table are discarded as stale — so a round costs
+    * O(delta · log P) instead of the O(P) full-table scan that made 32k
+    * rounds quadratic-ish in practice (the standard fast-BPE queue). */
   private[operators] def trainDriver(wordFreq: Array[(String, Long)],
                                      numMerges: Int, minFreq: Long): Model = {
     import scala.collection.mutable
@@ -149,10 +153,31 @@ object Bpe {
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
 
+    // max-heap: higher freq wins; on ties the code-point-SMALLER pair
+    // must pop first, so the ordering treats it as the larger element
+    val heapOrd: Ordering[(Long, (String, String))] =
+      new Ordering[(Long, (String, String))] {
+        def compare(x: (Long, (String, String)), y: (Long, (String, String))): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val ca = cpCompare(y._2._1, x._2._1)
+            if (ca != 0) ca else cpCompare(y._2._2, x._2._2)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, (String, String))](heapOrd)
+
+    def setCount(p: (String, String), c: Long): Unit = {
+      if (c <= 0L) pairCounts.remove(p)
+      else { pairCounts(p) = c; heap.enqueue((c, p)) }
+      ()
+    }
+
     def addPair(p: (String, String), n: Long, wi: Int): Unit = {
-      val c = pairCounts.getOrElse(p, 0L) + n
-      if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+      setCount(p, pairCounts.getOrElse(p, 0L) + n)
       pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      ()
     }
     var wi = 0
     while (wi < words.length) {
@@ -165,21 +190,15 @@ object Bpe {
       wi += 1
     }
 
-    def better(f1: Long, p1: (String, String), f2: Long, p2: (String, String)): Boolean =
-      f1 > f2 || (f1 == f2 && {
-        val c = cpCompare(p1._1, p2._1)
-        c < 0 || (c == 0 && cpCompare(p1._2, p2._2) < 0)
-      })
-
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.length < numMerges) {
       var bestPair: (String, String) = null
       var bestFreq = 0L
-      pairCounts.foreach { case (p, f) =>
-        if (bestPair == null || better(f, p, bestFreq, bestPair)) {
-          bestPair = p; bestFreq = f
-        }
+      while (bestPair == null && heap.nonEmpty) {
+        val (f, p) = heap.dequeue()
+        // stale entries (count changed since push) are discarded
+        if (pairCounts.getOrElse(p, 0L) == f) { bestPair = p; bestFreq = f }
       }
       if (bestPair == null || bestFreq < minFreq) continue = false
       else {
@@ -212,10 +231,7 @@ object Bpe {
             j += 1
           }
           delta.foreach { case (p, d) =>
-            if (d != 0L) {
-              val c = pairCounts.getOrElse(p, 0L) + d
-              if (c <= 0L) pairCounts.remove(p) else pairCounts(p) = c
-            }
+            if (d != 0L) setCount(p, pairCounts.getOrElse(p, 0L) + d)
           }
           // membership: drop this word from pairs it no longer contains,
           // add it to pairs the rewrite created

@@ -115,6 +115,57 @@ class BpeSpec extends SparkSpec {
       f"expected >=10x speedup, got ${tSlow / tFast}%.1fx ($tFast%.2fs vs $tSlow%.2fs)")
   }
 
+  test("merge parity holds against the independent reference at 1k+ merges") {
+    // richer corpus: 1200 distinct words, each x3, so well over 1k merges
+    // exist above minFreq=2 — pins the incremental pair-delta loop
+    // merge-for-merge at realistic depth, where a stale-delta bug would
+    // first diverge
+    val rnd = new java.util.Random(7L)
+    val words = (0 until 1200).map { _ =>
+      val len = 8 + rnd.nextInt(5)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = (words ++ words ++ words).grouped(60).map(_.mkString(" ")).toSeq.toDF("text")
+    val wf = words.groupBy(identity).map { case (w, g) => w -> 3L * g.length }
+    val got = Bpe.train(docs, "text", numMerges = 1200, minFreq = 2).merges
+    val want = referenceBpe(wf, numMerges = 1200, minFreq = 2)
+    assert(got.length >= 1000, s"fixture too shallow: only ${got.length} merges learned")
+    assert(got === want)
+  }
+
+  test("32k-merge vocabulary trains in bounded time (sf0.1 documents, trigram vocab)") {
+    // the realistic-vocab demonstration the driver loop exists for: ONE
+    // corpus-sized count job, then a driver-side lazy-heap pair-delta
+    // loop whose per-round cost is the rewrite delta, not the corpus.
+    // The synthetic documents table has only 31 distinct WORDS (BPE
+    // exhausts at 89 merges), so the realistic-cardinality word table is
+    // derived from the same text as underscore-joined word TRIGRAMS
+    // (~15k distinct 20+-char units — the Heaps'-law shape of a real
+    // corpus vocabulary). minFreq=1 so the 32k budget, not early
+    // convergence, is the stop condition.
+    import org.apache.spark.sql.functions._
+    val ws = split(col("text"), " ")
+    val tris = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i => concat_ws("_",
+        element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(array_join(tris, " ").as("text"))
+    val t0 = System.nanoTime()
+    val m = Bpe.train(docs, "text", numMerges = 32000, minFreq = 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"learned ${m.merges.length} merges in $secs%.1f s")
+    assert(secs < 300.0, f"32k-merge training took $secs%.1f s")
+    // the trigram vocabulary exhausts at ~28k merges (measured 28,334 in
+    // 16 s) — deep enough to pin the per-merge cost at realistic vocab
+    // scale; the budget itself is the only other stop condition
+    assert(m.merges.length >= 25000, s"expected ~28k merges, got ${m.merges.length}")
+    // the learned vocabulary actually tokenizes: corpus units encode and
+    // concatenate back to themselves
+    val sample = docs.select("text").as[String].head().split(" ").filter(_.nonEmpty).head
+    assert(m.encodeWord(sample).mkString === sample)
+  }
+
   test("unicode astral symbols: driver and distributed paths agree (code-point tiebreak)") {
     // U+10400 (astral) vs U+FFFD: UTF-16 code-unit order and code-point
     // order DISAGREE on these two, so a String.compareTo tiebreak in
