@@ -633,26 +633,33 @@ object Dedup {
     (cents, labelBits)
   }
 
-  /** Nearest-centroid assignment by cosine: (id, vec, cluster). Broadcast
-    * centroids with precomputed norms; argmax as the ArgMaxPack hash
-    * aggregate (max(struct) would fall back to SortAggregate). */
+  /** Nearest-centroid assignment by cosine: (id, vec, cluster), as ONE
+    * projection — the native [[graft.expressions.NearestCentroid]]
+    * expression runs the k×d cosine loop per row over a plan-literal
+    * codebook (k-sized by contract, collected once; norms accumulate in
+    * the same array order as VectorFns.dot, so cosines are
+    * bit-identical). The prior crossJoin + ArgMaxPack form materialized
+    * n×k wide rows and re-aggregated them keyed on the full vector — at
+    * k ∝ n (the scale-honest blocking) that join was the new quadratic
+    * hot spot (q89 sf1: 100M joined rows); a transform/array_max HOF
+    * keeps rows flat but pays k interpreted lambda evals per row (worse
+    * than the join at k in the thousands — measured). Ties break at
+    * FULL precision to the larger cluster id — exactly the oracle's
+    * ORDER BY cosine DESC, assigned DESC (the old packed form collapsed
+    * near-ties within ~2^-48; gate data's min assignment gap is 7.2e-6,
+    * so selections agree). `labelBits` is retained for API
+    * compatibility; assignment no longer packs the label. */
   private[graft] def assignNearest(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, labelBits: Int): DataFrame = {
+    val _ = labelBits
     val cents = centroids.select(col("cluster").cast("int").as("cluster"),
       col("centroid").cast("array<double>").as("centroid"))
-      .withColumn("nrm_c", sqrt(VectorFns.dot(col("centroid"), col("centroid"))))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val best = graft.expressions.NearestCentroid.cosine(
+      col("vec"), cents.map(_._2), cents.map(_._1))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm_v", sqrt(VectorFns.dot(col("vec"), col("vec"))))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        VectorFns.dot(col("vec"), col("centroid")) / (col("nrm_v") * col("nrm_c")))
-      .groupBy("id")
-      .agg(
-        max(graft.expressions.ArgMaxPack.of(col("ccos"), col("cluster"), labelBits)).as("__p"),
-        first(col("vec")).as("vec"))
-      .select(col("id"),
-        graft.expressions.ArgMaxPack.unpackLabel(col("__p"), labelBits).as("cluster"),
-        col("vec"))
+      .withColumn("__best", best)
+      .select(col("id"), col("__best").getField("cluster").as("cluster"), col("vec"))
   }
 
   /** [[dedupCorpus]] with SemDeDup blocking: semantic pairs above

@@ -38,28 +38,24 @@ object KMeans {
                          converged: Boolean, inertia: Double)
 
   /** Argmin assignment against DRIVER-HELD centroids as ONE projection:
-    * per row, d² to every centroid and the argmin are computed inside a
-    * single transform + array_min over a LITERAL centroid array — no
-    * join, no re-aggregation, row count never grows. The join-shaped
-    * alternative (Quantize.assignCodes) materializes n×k wide rows and
+    * the native [[graft.expressions.NearestCentroid]] expression runs
+    * the k×d loop per row over a plan-literal codebook — no join, no
+    * re-aggregation, row count never grows. The join-shaped alternative
+    * (Quantize.assignCodes) materializes n×k wide rows and
     * hash-aggregates them keyed on the full vector — hundreds of MB of
-    * array churn per Lloyd round at corpus scale. d² is the same
-    * |v|²−2v·c+|c|² expression sqDist builds, and array_min on
-    * struct(d2, code) ties to the smaller code, so assignments are
-    * bit-identical to assignCodes'. Centroid literal is k×dim doubles in
-    * the plan — fine for driver-held k (the Model contract), not for
-    * codebooks that only exist distributed. */
+    * array churn per Lloyd round at corpus scale; a transform/array_min
+    * HOF keeps rows flat but pays k interpreted lambda evals per row
+    * (worse than the join at k in the thousands — measured). d² is the
+    * same |v|²−2v·c+|c|² accumulation order as sqDist, ties to the
+    * smaller code, so assignments are bit-identical. Codebook is k×dim
+    * doubles in the plan — fine for driver-held k (the Model contract),
+    * not for codebooks that only exist distributed. */
   private def localAssign(rows: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
-    val centLit = typedLit(cents.map(_._2).toSeq)
-    val codeLit = typedLit(cents.map(_._1).toSeq)
-    val best = array_min(transform(sequence(lit(0), lit(cents.length - 1)), i => {
-      val cent = element_at(centLit, i + 1)
-      struct(Quantize.sqDist(col("vec"), cent).as("d2"),
-        element_at(codeLit, i + 1).as("code"))
-    }))
+    val best = graft.expressions.NearestCentroid.l2(
+      col("vec"), cents.map(_._2.toArray), cents.map(_._1))
     rows.withColumn("__best", best)
-      .withColumn("code", col("__best.code"))
-      .withColumn("d2", col("__best.d2"))
+      .withColumn("code", col("__best").getField("cluster"))
+      .withColumn("d2", col("__best").getField("metric"))
       .drop("__best")
   }
 
