@@ -21,8 +21,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, converted
-      // losslessly in Tables.events.
+      // older events.parquet vintages carry TIMESTAMP(NANOS); read as
+      // long, converted losslessly in Tables.events (which also handles
+      // the round-6+ TIMESTAMP(MICROS) layout).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -389,4 +389,128 @@ object Corpus {
         size(slice(col("__ws"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
           .cast("long").as("n_chunk_tokens"))
   }
+
+  /** GPT-style sequence packing: within each `groupCol` (ordered by
+    * `idCol`), documents concatenate into one token stream that is cut
+    * into fixed `seqLen`-token training rows — documents CROSS sequence
+    * boundaries (the concat-and-chunk packing of GPT/Pile-era training,
+    * zero padding waste), unlike [[packShards]] whose shards keep whole
+    * docs. Output: one row per (doc × overlapped sequence) with the
+    * doc's span inside that sequence — (groupCol, idCol, seq_id,
+    * tok_start, tok_end, n_tokens); downstream slices the tokenized doc
+    * at [tok_cursor) spans to emit the actual training rows. Zero- and
+    * null-token docs occupy no span and are dropped.
+    *
+    * Scale shape: one running window per group (shuffle on the group key
+    * only), then a per-row explode into the ≤ ntok/seqLen + 1 sequences
+    * the doc overlaps — output size is Θ(total tokens / seqLen + docs),
+    * never quadratic. At 100 TB, group by (source, date-bucket) so no
+    * single partition holds one giant stream, exactly as [[packShards]].
+    * Doubles are exact here (token offsets ≪ 2^53). */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokens: Column, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", tokens.cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("__start", col("__end") - col("__n"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start").cast("double") / lit(seqLen.toDouble)).cast("long"),
+        floor((col("__end") - 1L).cast("double") / lit(seqLen.toDouble)).cast("long"))))
+      .withColumn("tok_start", greatest(col("__start") - col("seq_id") * seqLen, lit(0L)))
+      .withColumn("tok_end", least(col("__end") - col("seq_id") * seqLen, lit(seqLen)))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .drop("__n", "__end", "__start")
+  }
+
+  /** Deterministic WEIGHTED exact-size sample: `k` docs per group drawn
+    * without replacement with probability proportional to `weight`
+    * (Efraimidis–Spirakis A-ES: priority u^(1/w), realized as the
+    * equivalent ascending exponential race key −ln(u)/w). Where
+    * [[samplePerGroup]] samples uniformly, this favors high-weight docs
+    * — "5 docs per domain, token-weighted, the same 5 every run". u is
+    * the first 13 hex digits of md5(`textCol`) (52 bits — exactly
+    * representable in a double, so any engine with md5 reproduces the
+    * key bit-for-bit; +0.5 keeps u strictly inside (0,1)). Rows with
+    * null/non-positive weight are dropped (they have no sampling mass);
+    * null text hashes as the empty string. Rides TopKPerKey: bounded
+    * per-key heaps, map-side partial, never a full per-group sort.
+    *
+    * Cross-engine note: ln() may differ in the last ulp between libms,
+    * but adjacent key gaps are ~1/n relative while ulp noise is ~1e-16 —
+    * the same margin argument as q38's rank gaps. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, textCol: String,
+                             weight: Column, idCol: String, k: Int): DataFrame = {
+    import graft.plans.TopK
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = conv(substring(coalesce(md5(col(textCol)), md5(lit(""))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    TopK.perKey(
+      df.filter(weight.cast("double") > 0.0)
+        .withColumn("__k", -log(u) / weight.cast("double")),
+      keys = Seq(groupCol),
+      order = Seq(TopK.asc("__k"), TopK.asc(idCol)),
+      k = k,
+    ).drop("__k")
+  }
+
+  /** Epochs-aware mixture planning: where [[mixtureRates]] finds the
+    * largest mixture-true corpus WITHOUT repetition (every rate ≤ 1),
+    * this plans the standard LLM data recipe WITH repetition — "web ×0.3,
+    * wiki ×4 epochs" — under two constraints: a total token `budget` and
+    * a per-source repetition cap `maxEpochs` (data-constrained scaling
+    * laws put useful repetition at ~4 epochs). The feasible budget is
+    * B' = min(budget, min_s maxEpochs·T_s/p_s) — the most-repeated
+    * source binds — and each source plans p_s·B' tokens = p_s·B'/T_s
+    * epochs. Output: (source, tokens, target_share, planned_tokens,
+    * epochs); epochs > 1 means upsample (repeat), < 1 means subsample
+    * (feed rate to [[sampleByHash]]).
+    *
+    * Scale shape: identical to [[mixtureRates]] — one groupBy on source,
+    * a broadcast target join, a single-row min broadcast back; the
+    * corpus is scanned once. Integer token sums keep the double
+    * arithmetic deterministic across engines. */
+  def planMixtureEpochs(df: DataFrame, sourceCol: String, budget: Column,
+                        targets: Seq[(String, Double)], totalTokens: Long,
+                        maxEpochs: Double): DataFrame = {
+    require(targets.nonEmpty, "at least one target share required")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in targets")
+    require(targets.map(_._2).forall(_ > 0), "target shares must be positive")
+    val total = targets.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"target shares must sum to 1, got $total")
+    require(totalTokens >= 0, s"totalTokens must be >= 0, got $totalTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("__src", "target_share")
+    // outer-join FROM the targets, as mixtureRates: a targeted source
+    // missing from the corpus plans 0 tokens (its cap is 0, which zeroes
+    // the whole feasible budget — an empty source cannot be repeated
+    // into its share). The per-source aggregate (hundreds of rows) is
+    // the broadcast build side — broadcasting the preserved target side
+    // of an outer join is not plannable.
+    val agg = df
+      .groupBy(col(sourceCol).as("__asrc"))
+      .agg(sum(budget.cast("long")).as("__toks"))
+    val perSource = tgt
+      .join(broadcast(agg), col("__asrc") === col("__src"), "left")
+      .select(col("__src").as("source"),
+        coalesce(col("__toks"), lit(0L)).as("tokens"), col("target_share"))
+    val feasible = perSource.agg(
+      least(lit(totalTokens.toDouble),
+        min(lit(maxEpochs) * col("tokens").cast("double") / col("target_share")))
+        .as("__b"))
+    perSource
+      .crossJoin(broadcast(feasible))
+      .withColumn("planned_tokens", col("target_share") * col("__b"))
+      .withColumn("epochs",
+        when(col("tokens") === 0L, lit(0.0))
+          .otherwise(col("target_share") * col("__b") / col("tokens").cast("double")))
+      .drop("__b")
+  }
 }

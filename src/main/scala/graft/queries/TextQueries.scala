@@ -1310,7 +1310,103 @@ object TextQueries {
     """),
   )
 
+  /** C60: GPT-style sequence packing (`Corpus.packSequences`) — per-source
+    * token streams cut into 256-token training rows, docs crossing
+    * sequence boundaries; each output row is one doc's span inside one
+    * sequence. The oracle mirrors the cumulative-offset + overlapped-
+    * sequence-range arithmetic exactly (integer spans — no float compare
+    * anywhere). */
+  private val q99 = Q(
+    "q99_pack_sequences",
+    (s, dir) => {
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      graft.operators.Corpus.packSequences(
+          d, "source", "doc_id", TextFns.tokenCount(col("text")), seqLen = 256L)
+        .select("source", "doc_id", "seq_id", "tok_start", "tok_end", "n_tokens")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (
+        SELECT doc_id, source, n,
+          SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        FROM t WHERE n > 0)
+      SELECT source, doc_id, s.seq_id,
+        CAST(GREATEST(e - n - s.seq_id * 256, 0) AS BIGINT) AS tok_start,
+        CAST(LEAST(e - s.seq_id * 256, 256) AS BIGINT) AS tok_end,
+        CAST(LEAST(e - s.seq_id * 256, 256)
+           - GREATEST(e - n - s.seq_id * 256, 0) AS BIGINT) AS n_tokens
+      FROM c, LATERAL unnest(generate_series(
+          CAST(FLOOR(CAST(e - n AS DOUBLE) / 256) AS BIGINT),
+          CAST(FLOOR(CAST(e - 1 AS DOUBLE) / 256) AS BIGINT))) AS s(seq_id)
+    """),
+  )
+
+  /** C61: weighted exact-size sampling (`Corpus.weightedSamplePerGroup`,
+    * Efraimidis–Spirakis A-ES) — 5 docs per source with probability ∝
+    * n_chars, deterministic via the md5-derived exponential race key.
+    * The oracle is the ROW_NUMBER formulation of the same total order;
+    * at the verified SFs the smallest adjacent key gap around rank 5 is
+    * ~1e-3 relative while cross-libm ln() noise is ~1e-16, so the order
+    * cannot diverge (q38's margin argument). */
+  private val q100 = Q(
+    "q100_weighted_sample",
+    (s, dir) =>
+      graft.operators.Corpus.weightedSamplePerGroup(
+          Tables.documents(s, dir).select("doc_id", "source", "text", "n_chars"),
+          "source", "text", col("n_chars"), "doc_id", k = 5)
+        .select("doc_id", "source"),
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            -ln((CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) + 0.5)
+                / 4503599627370496.0) / CAST(n_chars AS DOUBLE),
+            doc_id) AS rn
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0) t
+      WHERE rn <= 5
+    """),
+  )
+
+  /** C62: epochs-aware mixture planning (`Corpus.planMixtureEpochs`) —
+    * the data recipe WITH repetition: 100k-token budget over a 50/30/20
+    * mixture, repetition capped at 4 epochs; the most-repeated source
+    * binds the feasible budget. Both engines compute the plan through
+    * identical IEEE double ops on exact integer token sums, so every
+    * column hash-matches. */
+  private val q101 = Q(
+    "q101_epoch_mixture",
+    (s, dir) =>
+      graft.operators.Corpus.planMixtureEpochs(
+          Tables.documents(s, dir), "source", TextFns.tokenCount(col("text")),
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          totalTokens = 100000L, maxEpochs = 4.0)
+        .select("source", "tokens", "target_share", "planned_tokens", "epochs"),
+    Some("""
+      WITH tgt AS (
+        SELECT * FROM (VALUES
+          ('src0', CAST(0.5 AS DOUBLE)),
+          ('src1', CAST(0.3 AS DOUBLE)),
+          ('src2', CAST(0.2 AS DOUBLE))) AS t(src, p)),
+      agg AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1),
+      per AS (
+        SELECT t.src AS source, COALESCE(a.tokens, 0) AS tokens, t.p AS target_share
+        FROM tgt t LEFT JOIN agg a ON a.source = t.src),
+      cap AS (
+        SELECT LEAST(CAST(100000 AS DOUBLE),
+          MIN(4.0 * CAST(tokens AS DOUBLE) / target_share)) AS b FROM per)
+      SELECT source, tokens, target_share,
+        target_share * b AS planned_tokens,
+        CASE WHEN tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE target_share * b / CAST(tokens AS DOUBLE) END AS epochs
+      FROM per, cap
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101)
 }

@@ -21,15 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `ts` is parquet TIMESTAMP(NANOS), which Spark has no native type for;
-    * the loader forces spark.sql.legacy.parquet.nanosAsLong (runtime-
-    * settable, so callers with their own sessions also work) and converts
-    * to micros TimestampType (the driver data is micro-aligned, so the
-    * conversion is lossless). */
+  /** `ts` arrives in whatever physical parquet type the driver generated
+    * that round — TIMESTAMP(NANOS) in rounds 1-5 (no native Spark type;
+    * the loader forces spark.sql.legacy.parquet.nanosAsLong and converts
+    * the long to micros TimestampType, losslessly — the data is
+    * micro-aligned), TIMESTAMP(MICROS) naive since round 6 (reads as
+    * TIMESTAMP_NTZ; cast to session-UTC TimestampType keeps the same
+    * micros-since-epoch). Normalizing HERE means every consumer sees one
+    * stable TimestampType column whichever file vintage it reads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -223,15 +223,22 @@ object EventStream {
   }
 
   /** File-source stream over the events layout (parquet dir → stream).
-    * The layout carries TIMESTAMP(NANOS), which Spark can only read as
-    * long — mirror Tables.events: declare BIGINT, convert to micros
-    * TimestampType (lossless for the micro-aligned driver data). */
+    * `ts` normalizes to micros TimestampType whatever physical type the
+    * files carry — TIMESTAMP(NANOS) (readable only as long; rounds 1-5)
+    * or naive TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ; round 6+) —
+    * mirroring Tables.events. A file source needs its schema declared up
+    * front, so probe one batch read of the same dir (cheap: footer-only). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val probed = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(probed).parquet(dir)
+    probed("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => stream
+    }
   }
 
   /** Stream-static enrichment: join a live stream against a broadcast
@@ -660,6 +667,45 @@ object EventStream {
     * exact verify (`Corpus.decontaminate`) for adjudication — the
     * tag-then-adjudicate split keeps the stream stateless while the
     * final decision stays exact. */
+  /** Input/output records for [[packedOffsets]]. */
+  case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class PackedOffset(source: String, doc_id: Long, start_offset: Long,
+                          end_offset: Long, seq_first: Long, seq_last: Long)
+
+  /** Streaming sequence packing: assign each arriving document its global
+    * token OFFSET in its source's concatenated stream — the stateful half
+    * of `Corpus.packSequences`, so a live ingest pipeline can cut
+    * training sequences incrementally instead of re-windowing the whole
+    * corpus per batch. State per source is ONE long (the next free
+    * offset) — bounded by the source population (hundreds), not by
+    * documents, so there is no growth and no timeout to tune. Docs sort
+    * by doc_id within each micro-batch (deterministic given the same
+    * batching; exactly-once via the checkpointed state store); zero- and
+    * null-token docs occupy no span and are dropped, as in the batch
+    * operator. Emits the doc's [start, end) global span plus the first/
+    * last `seqLen`-sequence it touches — downstream slices spans into
+    * per-sequence rows STATELESSLY with the batch arithmetic. */
+  def packedOffsets(docs: Dataset[PackDoc], seqLen: Long): Dataset[PackedOffset] = {
+    import docs.sparkSession.implicits._
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackedOffset](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[PackDoc], state: GroupState[Long]) =>
+          var offset = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.filter(_.n_tokens > 0).sortBy(_.doc_id).map { d =>
+            val start = offset
+            val end = start + d.n_tokens
+            offset = end
+            PackedOffset(source, d.doc_id, start, end,
+              start / seqLen, (end - 1) / seqLen)
+          }
+          state.update(offset)
+          out.iterator
+      }
+  }
+
   def decontaminatedBloom(docs: DataFrame, benchmark: DataFrame,
                           textCol: String, n: Int = 8,
                           fpp: Double = 0.01): DataFrame = {

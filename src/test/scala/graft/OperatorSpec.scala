@@ -646,4 +646,78 @@ class OperatorSpec extends SparkSpec {
     val out = Outliers.sigmaClip(df, Seq("g"), "v", 2.0)
     assert(out.filter(col("is_outlier")).select("v").as[Double].collect().toSeq == Seq(1000.0))
   }
+
+  test("Corpus.packSequences cuts each group's token stream into fixed sequences, docs crossing boundaries") {
+    import graft.operators.Corpus
+    val df = Seq(
+      ("g", 1L, 100), ("g", 2L, 200), ("g", 3L, 30), // stream: [0,100) [100,300) [300,330)
+      ("g", 4L, 0),                                  // zero-token doc: no span
+      ("h", 1L, 5),                                  // independent group
+    ).toDF("source", "doc_id", "ntok")
+    val out = Corpus.packSequences(df, "source", "doc_id", col("ntok"), seqLen = 128L)
+      .select("source", "doc_id", "seq_id", "tok_start", "tok_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("g", 1L, 0L, 0L, 100L),                                      // fits in seq 0
+      ("g", 2L, 0L, 100L, 128L), ("g", 2L, 1L, 0L, 128L), ("g", 2L, 2L, 0L, 44L), // spans 3
+      ("g", 3L, 2L, 44L, 74L),                                      // packs after doc 2's tail
+      ("h", 1L, 0L, 0L, 5L),
+    ))
+    // conservation: every token lands in exactly one (seq, span) slot
+    val packed = Corpus.packSequences(df, "source", "doc_id", col("ntok"), seqLen = 128L)
+    assert(packed.agg(sum("n_tokens")).as[Long].head() == 335L)
+    // each full interior sequence is exactly seqLen tokens
+    val perSeq = packed.filter(col("source") === "g")
+      .groupBy("seq_id").agg(sum("n_tokens").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(perSeq == Map(0L -> 128L, 1L -> 128L, 2L -> 74L))
+  }
+
+  test("Corpus.weightedSamplePerGroup takes exactly k per group, favors heavy docs, stable under repartitioning") {
+    import graft.operators.Corpus
+    val df = (1 to 100).map { i =>
+      val heavy = i <= 50
+      (i.toLong, s"g${i % 2}", s"doc body $i", if (heavy) 10000L else 1L)
+    }.toDF("doc_id", "source", "text", "w")
+    val a = Corpus.weightedSamplePerGroup(df, "source", "text", col("w"), "doc_id", k = 5)
+    val ids = a.select("doc_id").as[Long].collect().toSet
+    val b = Corpus.weightedSamplePerGroup(df.repartition(7), "source", "text", col("w"), "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == b && ids.size == 10, "2 groups x 5, identical across partitionings")
+    // w=10000 docs hold 99.99% of each group's mass — the deterministic
+    // hash draw picks only heavy docs here (a light doc needs a ~1e-4
+    // tail event PER competing heavy doc to place)
+    assert(ids.forall(_ <= 50), s"expected only heavy docs, got $ids")
+    // null/non-positive weights carry no sampling mass
+    val withBad = df.withColumn("w",
+      when(col("doc_id") <= 50, lit(null).cast("long")).otherwise(lit(0L)))
+    assert(Corpus.weightedSamplePerGroup(withBad, "source", "text", col("w"), "doc_id", k = 5)
+      .count() == 0L)
+  }
+
+  test("Corpus.planMixtureEpochs: repetition cap binds the feasible budget; ample budget plans full epochs") {
+    import graft.operators.Corpus
+    val df = Seq(("a", 1000L), ("b", 600L), ("c", 400L), ("d", 9999L)).toDF("source", "n_tok")
+    val tgts = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // caps: 4·1000/.5 = 4·600/.3 = 4·400/.2 = 8000 → B' = 8000, all at 4 epochs
+    val plan = Corpus.planMixtureEpochs(df, "source", col("n_tok"), tgts,
+        totalTokens = 100000L, maxEpochs = 4.0)
+      .select("source", "planned_tokens", "epochs").as[(String, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(plan.keySet == Set("a", "b", "c"), "untargeted sources are not in the plan")
+    assert(plan("a") == ((4000.0, 4.0)) && plan("b") == ((2400.0, 4.0)) && plan("c") == ((1600.0, 4.0)))
+    // ample data, small budget → budget binds, epochs scale down
+    val small = Corpus.planMixtureEpochs(df, "source", col("n_tok"), tgts,
+        totalTokens = 4000L, maxEpochs = 4.0)
+      .select("source", "epochs").as[(String, Double)].collect().toMap
+    assert(small("a") == 2.0 && small("b") == 2.0 && small("c") == 2.0)
+    // a targeted source absent from the corpus zeroes the feasible budget
+    val empty = Corpus.planMixtureEpochs(df, "source", col("n_tok"),
+        Seq("a" -> 0.5, "missing" -> 0.5), totalTokens = 4000L, maxEpochs = 4.0)
+      .select("source", "planned_tokens", "epochs").as[(String, Double, Double)].collect()
+    assert(empty.length == 2 && empty.forall(r => r._2 == 0.0 && r._3 == 0.0))
+    intercept[IllegalArgumentException] {
+      Corpus.planMixtureEpochs(df, "source", col("n_tok"), Seq("a" -> 0.5), 100L, 4.0)
+    }
+  }
 }

@@ -337,4 +337,41 @@ class StreamingSpec extends SparkSpec {
       assert(got.get(3L).contains(0), s"u3 never viewed: $got")
     } finally q.stop()
   }
+
+  test("packedOffsets assigns contiguous per-source token offsets across micro-batches, agreeing with the batch packer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.PackDoc
+    val mem = MemoryStream[PackDoc]
+    val q = EventStream.packedOffsets(mem.toDS(), seqLen = 128L)
+      .writeStream.format("memory").queryName("pack_out").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(PackDoc(1, "g", 100), PackDoc(2, "g", 200))
+      q.processAllAvailable()
+      // second batch continues g's stream from the checkpointed offset
+      mem.addData(PackDoc(3, "g", 30), PackDoc(4, "g", 0), PackDoc(1, "h", 5))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT source, doc_id, start_offset, end_offset, seq_first, seq_last FROM pack_out")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("g", 1L, 0L, 100L, 0L, 0L),
+        ("g", 2L, 100L, 300L, 0L, 2L),   // crosses two sequence boundaries
+        ("g", 3L, 300L, 330L, 2L, 2L),   // batch 2 continues, zero-token doc dropped
+        ("h", 1L, 0L, 5L, 0L, 0L),
+      ), s"got $got")
+      // stream/batch agreement: the same docs through Corpus.packSequences
+      // yield the same per-doc sequence ranges
+      val static = Seq(("g", 1L, 100), ("g", 2L, 200), ("g", 3L, 30), ("g", 4L, 0),
+        ("h", 1L, 5)).toDF("source", "doc_id", "ntok")
+      import org.apache.spark.sql.functions.{col, max, min}
+      val batch = graft.operators.Corpus.packSequences(static, "source", "doc_id",
+          col("ntok"), seqLen = 128L)
+        .groupBy("source", "doc_id")
+        .agg(min("seq_id").as("f"), max("seq_id").as("l"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got.map(r => (r._1, r._2) -> ((r._5, r._6))).toMap == batch)
+    } finally q.stop()
+  }
 }
