@@ -34,7 +34,9 @@ object Queries {
   private val q01 = Q(
     "q01_profile_stats",
     (s, dir) => {
-      Tables.lineitem(s, dir)
+      // the five decimal partial sums dominate; a single-split local
+      // scan would run them serially (no-op on a pre-split cluster scan)
+      Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -310,7 +312,7 @@ object Queries {
     "q58_profile_columns",
     (s, dir) =>
       graft.operators.Profile.numeric(
-        Tables.lineitem(s, dir),
+        Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey"),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")),
     Some("""
       SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_present,
@@ -344,7 +346,8 @@ object Queries {
     Q(
       "q62_correlation",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // six decimal moment sums fused into the scan — spread the scan
+        Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey")
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
@@ -606,7 +609,7 @@ object Queries {
     * IEEE float aggregation should write this form. */
   def fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_profile_stats_fast" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -622,7 +625,7 @@ object Queries {
     "q62_correlation_fast" -> ((s, dir) => {
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      Tables.lineitem(s, dir)
+      Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -639,7 +642,7 @@ object Queries {
     // exact multi-distinct Expand — same single scan, mergeable partials
     "q58_profile_columns_fast" -> ((s, dir) =>
       graft.operators.Profile.numeric(
-        Tables.lineitem(s, dir),
+        Tables.parallelized(Tables.lineitem(s, dir), "l_orderkey"),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
         approx = true)),
     // the production substring-dedup path: 8-byte xxhash64 gram keys at
@@ -651,7 +654,7 @@ object Queries {
         "text", "doc_id", k = 8, hashKeys = true)),
     "q40_embedding_stats_fast" -> ((s, dir) => {
       import graft.functions.VectorFns
-      Tables.embeddings(s, dir)
+      Tables.parallelized(Tables.embeddings(s, dir), "vec_id")
         .withColumn("nrm", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
         .withColumn("c1", element_at(col("embedding"), 1).cast("double"))
         .groupBy("label")

@@ -492,6 +492,8 @@ object SignalQueries {
   private val q28 = Q(
     "q28_props_parse",
     (s, dir) =>
+      // NOT parallelized: single-path JSON extraction benched CHEAPER
+      // than the repartition exchange at every measured SF
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
@@ -723,7 +725,9 @@ object SignalQueries {
     (s, dir) => {
       val x = (unix_micros(col("ts")) - lit(1704067200000000L)) / lit(86400000000.0)
       val y = col("value")
-      Tables.events(s, dir)
+      // the four decimal partial sums are the hot path; a single-file
+      // local scan would run them on one core (no-op on a cluster scan)
+      Tables.parallelized(Tables.events(s, dir), "event_id")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
@@ -776,7 +780,7 @@ object SignalQueries {
     (s, dir) => {
       import graft.functions.{Signal => Sig}
       val nbin = 16
-      val binned = Tables.events(s, dir)
+      val binned = Tables.parallelized(Tables.events(s, dir), "event_id")
         .withColumn("bin", pmod(col("event_id"), lit(nbin.toLong)))
         .groupBy("user_id", "bin")
         .agg(

@@ -25,7 +25,9 @@ object TextQueries {
     * shingles, 2 bands of 4). */
   private val q31 = Q(
     "q31_minhash_lsh",
-    (s, dir) => Dedup.minhashLsh(Tables.documents(s, dir), "text", "doc_id"),
+    (s, dir) => Dedup.minhashLsh(
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+      "text", "doc_id"),
     Some("""
       WITH sh AS (
         SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -60,7 +62,9 @@ object TextQueries {
     Q(
       "q32_simhash",
       (s, dir) =>
-        Dedup.simhash(Tables.documents(s, dir), "text", "doc_id")
+        Dedup.simhash(
+          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+          "text", "doc_id")
           .groupBy("simhash")
           .agg(count(lit(1)).as("n_docs")),
       Some(s"""
@@ -84,7 +88,8 @@ object TextQueries {
   private val q33 = Q(
     "q33_ngram_jaccard",
     (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val d = Tables.parallelized(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = 0L)
       val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.jaccardVerify(pairs, d, "text", "doc_id")
         .select("a_id", "b_id", "jaccard")
@@ -519,7 +524,7 @@ object TextQueries {
   private val q54 = Q(
     "q54_bpe_tokens",
     (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         .withColumn("nb", TextFns.bpeTokenCount(col("text")))
         .withColumn("nw", TextFns.tokenCount(col("text")).cast("long"))
         .groupBy("lang")
@@ -658,7 +663,7 @@ object TextQueries {
   private val q66 = Q(
     "q66_dup_spans",
     (s, dir) => graft.operators.SubstringDedup.spanStats(
-      Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
       "text", "doc_id", k = 8, hashKeys = false),
     Some {
       val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -906,7 +911,8 @@ object TextQueries {
   private val q73 = Q(
     "q73_edit_verify",
     (s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val d = Tables.parallelized(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = 0L)
       val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.editVerify(pairs, d, "text", "doc_id", maxDist = 64)
         .select("a_id", "b_id", "edit_dist", "edit_sim")
@@ -1026,7 +1032,9 @@ object TextQueries {
     "q80_similarity_join",
     (s, dir) =>
       Dedup.similarityJoin(
-        Tables.documents(s, dir).select("doc_id", "text").filter(col("doc_id") < 500),
+        Tables.parallelized(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+          .filter(col("doc_id") < 500),
         "text", "doc_id", tau = 0.7),
     Some("""
       WITH wd AS (
@@ -1057,7 +1065,8 @@ object TextQueries {
     "q90_dedup_lines",
     (s, dir) =>
       graft.operators.TextClean.dedupLines(
-        Tables.documents(s, dir), "text", "doc_id", sep = " "),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        "text", "doc_id", sep = " "),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       lines AS (
@@ -1083,7 +1092,9 @@ object TextQueries {
   private val q91 = Q(
     "q91_lm_score",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // single-file local scans serialize the tokenize/explode stage;
+      // spread it (no-op on a pre-split cluster scan)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val m = graft.operators.LangModel.train(docs, "text")
       graft.operators.LangModel.score(docs, "text", "doc_id", m)
     },
@@ -1125,7 +1136,8 @@ object TextQueries {
   private val q92 = Q(
     "q92_dedup_corpus",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+      val docs = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text"), "doc_id")
       val unique = docs.join(
         Dedup.exact(docs, "text", "doc_id").select(col("keep_id")),
         docs("doc_id") === col("keep_id"), "leftsemi")
@@ -1205,7 +1217,8 @@ object TextQueries {
     "q93_boilerplate",
     (s, dir) =>
       graft.operators.TextClean.dropBoilerplateLines(
-        Tables.documents(s, dir), "text", "doc_id", maxDocs = 400, sep = " "),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        "text", "doc_id", maxDocs = 400, sep = " "),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       lines AS (
@@ -1237,7 +1250,8 @@ object TextQueries {
   private val q94 = Q(
     "q94_pmi_bigrams",
     (s, dir) =>
-      graft.operators.LangModel.pmiTop(Tables.documents(s, dir), "text",
+      graft.operators.LangModel.pmiTop(
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L), "text",
         k = 50, minCount = 5L),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1274,7 +1288,8 @@ object TextQueries {
     "q97_gopher_rules",
     (s, dir) =>
       graft.operators.QualityRules.gopher(
-        Tables.documents(s, dir).select("doc_id", "text"), "text",
+        Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"), "doc_id",
+          minBytes = 0L), "text",
         graft.operators.QualityRules.Params(
           minWords = 20L, maxWords = 90L,
           minMeanWordLen = 3.0, maxMeanWordLen = 4.75,

@@ -17,6 +17,13 @@ import graft.sources.Tables
   */
 object VectorQueries {
 
+  /** Embeddings with the scan spread across cores: every query here does
+    * per-row array math (64-component dots/norms/explodes) that would
+    * otherwise run fused into a single-split local file scan
+    * (Tables.parallelized is a no-op on a pre-split cluster scan). */
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.parallelized(Tables.embeddings(s, dir), "vec_id")
+
   private val dotSql =
     "CAST(SUM(CAST(CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"
 
@@ -35,7 +42,7 @@ object VectorQueries {
   private val q38 = Q(
     "q38_cosine_topk",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = emb(s, dir)
       KnnJoin.bruteForce(
         e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
         "embedding", "vec_id", k = 3)
@@ -61,7 +68,7 @@ object VectorQueries {
   private val q39 = Q(
     "q39_ann_buckets",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = emb(s, dir)
       KnnJoin.bucketed(
         e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
         "embedding", "vec_id", k = 1, bits = 4)
@@ -96,7 +103,7 @@ object VectorQueries {
   private val q40 = Q(
     "q40_embedding_stats",
     (s, dir) =>
-      Tables.embeddings(s, dir)
+      emb(s, dir)
         .withColumn("nrm", VectorFns.normExact(col("embedding")))
         .withColumn("c1", element_at(col("embedding"), 1).cast("double"))
         .groupBy("label")
@@ -122,7 +129,7 @@ object VectorQueries {
   private val q43 = Q(
     "q43_centroids",
     (s, dir) =>
-      Tables.embeddings(s, dir)
+      emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
         .groupBy("label", "pos")
         .agg(davg(col("comp").cast("double")).as("c")),
@@ -141,7 +148,7 @@ object VectorQueries {
   private val q44 = Q(
     "q44_ivf_assign",
     (s, dir) => {
-      val centroids = Tables.embeddings(s, dir)
+      val centroids = emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
         .groupBy("label", "pos")
         .agg(davg(col("comp").cast("double")).as("c"))
@@ -150,7 +157,7 @@ object VectorQueries {
           s => s.getField("c")).as("centroid"))
         .select(col("label").as("assigned"), col("centroid"),
           VectorFns.normExact(col("centroid")).as("nrm_c"))
-      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val e = emb(s, dir).select("vec_id", "embedding")
         .withColumn("nrm_e", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
       // Nearest-centroid pick as a TRUE hash aggregate: the native
       // ArgMaxPack expression packs (cosine, assigned) into one
@@ -221,7 +228,7 @@ object VectorQueries {
     "q46_ivf_search",
     (s, dir) => {
       graft.plans.RankFilterToTopK_Install(s)
-      val centroids = Tables.embeddings(s, dir)
+      val centroids = emb(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
         .groupBy("label", "pos")
         .agg(davg(col("comp").cast("double")).as("c"))
@@ -230,7 +237,7 @@ object VectorQueries {
           f => f.getField("c")).as("centroid"))
         .select(col("label").as("cl"), col("centroid"),
           sqrt(VectorFns.dot(col("centroid"), col("centroid"))).as("nrm_c"))
-      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val e = emb(s, dir).select("vec_id", "embedding")
         .withColumn("nrm_e", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
       val vc = e.crossJoin(broadcast(centroids))
         .withColumn("ccos",
@@ -333,7 +340,7 @@ object VectorQueries {
   private val q89 = Q(
     "q89_semantic_dedup",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = emb(s, dir)
       val (centroids, labelBits) = graft.operators.Dedup.blockCentroids(
         e, "embedding", "vec_id", "label", targetClusterSize = 25)
       val pairs = graft.operators.Dedup.semanticPairs(
@@ -412,7 +419,7 @@ object VectorQueries {
   private val q89b = Q(
     "q89b_semantic_dedup_auto",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = emb(s, dir)
       val n = e.count()
       // k = ceil(n/S): linear-in-n codebook (the scale contract). S=50 and
       // 3 Lloyd rounds: a blocking codebook doesn't need convergence —

@@ -53,11 +53,23 @@ object Tables {
     * maxPartitionBytes: a file COUNT would misjudge one large splittable
     * file as serial (forcing a full at-scale shuffle), and probing df.rdd
     * would pay physical planning + RDD DAG construction per query build. */
-  def parallelized(df: DataFrame, keyCol: String): DataFrame = {
+  def parallelized(df: DataFrame, keyCol: String,
+                   minBytes: Long = 8L << 20): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estSplits = (bytes / BigInt(math.max(1L, conf.filesMaxPartitionBytes))) + 1
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (estSplits * 2 < cores) df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
+    // Size floor: under ~8 MB the repartition exchange usually costs
+    // more than the serial scan it parallelizes (measured: wrapping the
+    // 6 MB sf0.1 embeddings table regressed the multi-pass dedup
+    // pipelines that re-read it, while the same wrap on 60 MB+ inputs
+    // won 3-7x). BYTES ARE A PROXY FOR WORK, and a bad one for heavily
+    // compressed text whose per-row cost is regex/explode-bound — such
+    // call sites pass minBytes = 0 to always spread (measured 4-7x on
+    // the tokenize-heavy text queries at sf1, whose parquet is under
+    // 6 MB on disk).
+    val worthSpreading = bytes > BigInt(minBytes)
+    if (worthSpreading && estSplits * 2 < cores)
+      df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df
   }
 }
