@@ -160,7 +160,7 @@ object TextQueries {
       val ntok = TextFns.tokenCount(col("text"))
       val nchar = length(col("text"))
       val padded = concat(lit(" "), col("text"), lit(" "))
-      Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         .withColumn("awl", (nchar - (ntok - lit(1))).cast("double") / ntok)
         .withColumn("vr", TextFns.vowelCount(col("text")).cast("double") / nchar)
         .withColumn("sr", TextFns.occurrences(padded, " the ").cast("double") / ntok)
@@ -195,7 +195,7 @@ object TextQueries {
   private val q36 = Q(
     "q36_lang_id",
     (s, dir) =>
-      Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         .withColumn("predicted", TextFns.langId(col("text")))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n")),
@@ -226,7 +226,7 @@ object TextQueries {
   private val q37 = Q(
     "q37_fingerprint",
     (s, dir) =>
-      Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         .withColumn("fp", TextFns.fingerprint(col("text")))
         .groupBy("source")
         .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n_docs")),
@@ -246,7 +246,7 @@ object TextQueries {
     "q45_repetition",
     (s, dir) => {
       val sh = TextFns.shingles(col("text"), 3)
-      Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         .filter(size(TextFns.words(col("text"))) >= 3)
         .withColumn("ratio",
           lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
@@ -286,7 +286,7 @@ object TextQueries {
   private val q47 = Q(
     "q47_dedup_clusters",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
       Dedup.survivors(docs, pairs, "doc_id")
     },
@@ -353,7 +353,7 @@ object TextQueries {
   private val q49 = Q(
     "q49_token_shards",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       graft.operators.Corpus.packShards(d, "source", "doc_id",
           TextFns.tokenCount(col("text")), budget = 512L)
         .groupBy("source", "shard")
@@ -403,7 +403,7 @@ object TextQueries {
   private val q51 = Q(
     "q51_decontaminate",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
@@ -447,7 +447,7 @@ object TextQueries {
           .flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("query_id", "term")
         graft.operators.TextSearch.bm25(
-          Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
           "text", "doc_id", queries, "query_id", "term", k = 5)
       },
       Some {
@@ -501,7 +501,7 @@ object TextQueries {
     "q53_phrase_search",
     (s, dir) =>
       graft.operators.TextSearch.phrase(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
         "text", "doc_id", "spark join", k = 10),
     Some("""
       WITH e AS (
@@ -617,7 +617,7 @@ object TextQueries {
   private val q59 = Q(
     "q59_decontaminate_fuzzy",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus
@@ -716,7 +716,7 @@ object TextQueries {
   private val q69 = Q(
     "q69_decontaminate_bloom",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus.decontaminateBloom(corpus, benchmark, "text", "doc_id", n = 8)
@@ -763,13 +763,13 @@ object TextQueries {
       "q70_hybrid_rrf",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+        val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
         val queries = queryTerms
           .flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("query_id", "term")
         val kw = graft.operators.TextSearch.bm25(
           docs, "text", "doc_id", queries, "query_id", "term", k = 10)
-        val e = Tables.embeddings(s, dir)
+        val e = Tables.parallelized(Tables.embeddings(s, dir), "vec_id", minBytes = 0L)
         val vecIds = vecOf.map(_._2.toLong)
         val vec = graft.operators.KnnJoin.bruteForce(
             e.filter(col("vec_id").isin(vecIds: _*)), e.filter(col("vec_id") >= 5),
@@ -967,7 +967,7 @@ object TextQueries {
     "q77_chunk_docs",
     (s, dir) =>
       graft.operators.Corpus.chunkDocuments(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id"),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
         "text", "doc_id", chunkTokens = 32, overlapTokens = 8),
     Some("""
       WITH w AS (
@@ -993,7 +993,7 @@ object TextQueries {
   private val q78 = Q(
     "q78_snapshot_diff",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       val a = docs.filter(col("doc_id") < 250)
       val b = docs.filter(col("doc_id") % 7 =!= 0)
         .withColumn("text",
@@ -1137,7 +1137,8 @@ object TextQueries {
     "q92_dedup_corpus",
     (s, dir) => {
       val docs = Tables.parallelized(
-        Tables.documents(s, dir).select("doc_id", "lang", "source", "text"), "doc_id")
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text"), "doc_id",
+        minBytes = 0L)
       val unique = docs.join(
         Dedup.exact(docs, "text", "doc_id").select(col("keep_id")),
         docs("doc_id") === col("keep_id"), "leftsemi")
@@ -1334,7 +1335,7 @@ object TextQueries {
   private val q99 = Q(
     "q99_pack_sequences",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id")
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
       graft.operators.Corpus.packSequences(
           d, "source", "doc_id", TextFns.tokenCount(col("text")), seqLen = 256L)
         .select("source", "doc_id", "seq_id", "tok_start", "tok_end", "n_tokens")
