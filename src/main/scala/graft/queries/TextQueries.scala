@@ -1377,7 +1377,7 @@ object TextQueries {
       SELECT doc_id, source FROM (
         SELECT doc_id, source,
           ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-            -ln((CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) + 0.5)
+            -ln((CAST(('0x' || substr(COALESCE(md5(text), md5('')), 1, 13)) AS BIGINT) + 0.5)
                 / 4503599627370496.0) / CAST(n_chars AS DOUBLE),
             doc_id) AS rn
         FROM documents WHERE CAST(n_chars AS DOUBLE) > 0) t

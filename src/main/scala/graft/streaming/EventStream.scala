@@ -667,6 +667,36 @@ object EventStream {
     * exact verify (`Corpus.decontaminate`) for adjudication — the
     * tag-then-adjudicate split keeps the stream stateless while the
     * final decision stays exact. */
+  /** Streaming quality-rule audit: Gopher rule bundle per arriving doc
+    * (a pure codegen'd projection — `QualityRules.gopher` composes onto
+    * a stream unchanged, zero state) + per-window per-rule failure
+    * counts, the live "did the crawler start emitting garbage" monitor
+    * next to the batch q97. State is one row per open window (bounded
+    * by the watermark); each window emits once in append mode. Output:
+    * (window, n_docs, n_keep, fail_word_count, fail_mean_word_len,
+    * fail_symbol_ratio, fail_alpha_words, fail_stopwords). Null-text
+    * docs count as failing every rule (null booleans are not true),
+    * matching the batch bundle's keep semantics. */
+  def qualityAudited(docs: DataFrame, textCol: String,
+                     windowDur: String = "10 minutes",
+                     watermark: String = "30 minutes",
+                     params: graft.operators.QualityRules.Params =
+                       graft.operators.QualityRules.Params()): DataFrame = {
+    def fails(rule: String) =
+      sum(when(not(coalesce(col(rule), lit(false))), 1L).otherwise(0L))
+    graft.operators.QualityRules.gopher(docs, textCol, params)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("keep"), lit(false)), 1L).otherwise(0L)).as("n_keep"),
+        fails("rule_word_count").as("fail_word_count"),
+        fails("rule_mean_word_len").as("fail_mean_word_len"),
+        fails("rule_symbol_ratio").as("fail_symbol_ratio"),
+        fails("rule_alpha_words").as("fail_alpha_words"),
+        fails("rule_stopwords").as("fail_stopwords"))
+  }
+
   /** Input/output records for [[packedOffsets]]. */
   case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
   case class PackedOffset(source: String, doc_id: Long, start_offset: Long,

@@ -338,6 +338,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityAudited counts per-rule failures per window, agreeing with the batch gopher bundle") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val p = graft.operators.QualityRules.Params(
+      minWords = 3L, maxWords = 50L, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+      maxSymbolRatio = 0.4, minAlphaWordFraction = 0.5, minStopwords = 1L,
+      stopwords = Seq("the", "a"))
+    val rows = Seq(
+      (1L, t("2024-01-01 10:01:00"), "the quick brown fox jumps"), // passes all
+      (2L, t("2024-01-01 10:02:00"), "no stopwords here at all#"), // fails stopwords
+      (3L, t("2024-01-01 10:03:00"), "a b"),                       // fails word count
+      (4L, t("2024-01-01 10:04:00"), null.asInstanceOf[String]),   // fails everything
+    )
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(rows: _*)
+    val q = EventStream.qualityAudited(
+        mem.toDF().toDF("doc_id", "ts", "text"), "text", "10 minutes", "30 minutes", p)
+      .writeStream.format("memory").queryName("qa_out").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT n_docs, n_keep, fail_word_count, fail_stopwords FROM qa_out")
+        .as[(Long, Long, Long, Long)].collect().toList
+      assert(got == List((4L, 1L, 2L, 2L)), s"got $got")
+      // stream/batch agreement on the keep verdict
+      val batchKeep = graft.operators.QualityRules.gopher(
+          rows.toDF("doc_id", "ts", "text"), "text", p)
+        .filter(org.apache.spark.sql.functions.col("keep"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKeep == Set(1L))
+    } finally q.stop()
+  }
+
   test("packedOffsets assigns contiguous per-source token offsets across micro-batches, agreeing with the batch packer") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
