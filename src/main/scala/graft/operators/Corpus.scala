@@ -425,6 +425,42 @@ object Corpus {
       .drop("__n", "__end", "__start")
   }
 
+  /** Materialize [[packSequences]]'s layout as actual training rows: one
+    * row per (group, sequence) carrying the packed text — each doc's
+    * span sliced out of its whitespace tokens and reassembled in stream
+    * order. This is the last pre-tokenizer step: the output IS the
+    * training corpus at fixed `seqLen` context length (swap the
+    * whitespace split for BPE ids downstream and the arithmetic is
+    * unchanged). Output: (groupCol, seq_id, seq_text, n_tokens); every
+    * interior sequence carries exactly `seqLen` tokens.
+    *
+    * Scale shape: [[packSequences]]'s window+explode, one more window
+    * (per-doc span offsets — doc-keyed, bounded by spans per doc), then
+    * a (group, seq) aggregation whose per-row state is bounded by
+    * `seqLen` tokens — collect_list here can never exceed one training
+    * row of text. No stage holds a whole group. */
+  def packedRows(df: DataFrame, groupCol: String, idCol: String,
+                 textCol: String, seqLen: Long): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val packed = packSequences(
+      df.select(col(groupCol), col(idCol), ws.as("__ws")),
+      groupCol, idCol, size(col("__ws")), seqLen)
+    // tokens of this doc already emitted to EARLIER sequences = this
+    // span's start position inside the doc's own token array
+    val wDoc = Window.partitionBy(groupCol, idCol).orderBy("seq_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .withColumn("__piece",
+        slice(col("__ws"), (col("__off") + 1L).cast("int"), col("n_tokens").cast("int")))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("tok_start"), col("__piece")))),
+          f => f.getField("__piece")))).as("seq_text"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic WEIGHTED exact-size sample: `k` docs per group drawn
     * without replacement with probability proportional to `weight`
     * (Efraimidis–Spirakis A-ES: priority u^(1/w), realized as the

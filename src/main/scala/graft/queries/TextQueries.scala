@@ -1422,7 +1422,47 @@ object TextQueries {
     """),
   )
 
+  /** C63: materialized sequence packing (`Corpus.packedRows`) — the
+    * [[q99]] layout turned into the actual training rows: per-source
+    * token streams reassembled as 256-token sequence TEXTS (docs sliced
+    * at span boundaries, stream order preserved). The oracle rebuilds
+    * each sequence with ordered string_agg over the same doc-local
+    * slice bounds; pure integer/string equality, no float anywhere.
+    * CorpusInvariantSpec additionally pins the conservation law:
+    * concatenating a group's sequences reproduces its concatenated
+    * corpus exactly. */
+  private val q102 = Q(
+    "q102_pack_rows",
+    (s, dir) => {
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      graft.operators.Corpus.packedRows(d, "source", "doc_id", "text", seqLen = 256L)
+        .select("source", "seq_id", "seq_text", "n_tokens")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n FROM documents),
+      c AS (
+        SELECT doc_id, source, ws, n,
+          SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        FROM t WHERE n > 0),
+      spans AS (
+        SELECT source, doc_id, ws, s.seq_id,
+          CAST(GREATEST(e - n - s.seq_id * 256, 0) AS BIGINT) AS tok_start,
+          CAST(s.seq_id * 256 + GREATEST(e - n - s.seq_id * 256, 0) - (e - n) + 1 AS BIGINT) AS a,
+          CAST(LEAST(e - s.seq_id * 256, 256) - GREATEST(e - n - s.seq_id * 256, 0) AS BIGINT) AS l
+        FROM c, LATERAL unnest(generate_series(
+            CAST(FLOOR(CAST(e - n AS DOUBLE) / 256) AS BIGINT),
+            CAST(FLOOR(CAST(e - 1 AS DOUBLE) / 256) AS BIGINT))) AS s(seq_id))
+      SELECT source, seq_id,
+        string_agg(array_to_string(ws[a : a + l - 1], ' '), ' ' ORDER BY tok_start) AS seq_text,
+        CAST(SUM(l) AS BIGINT) AS n_tokens
+      FROM spans GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102)
 }

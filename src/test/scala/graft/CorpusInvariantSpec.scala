@@ -62,6 +62,35 @@ class CorpusInvariantSpec extends SparkSpec {
     }
   }
 
+  test("packedRows conserves the corpus: concatenated sequences reproduce the concatenated group text (3 seeds)") {
+    for (seed <- 21L to 23L) {
+      val rnd = new Random(seed)
+      val docs = (0 until 3).flatMap { g =>
+        (1 to (5 + rnd.nextInt(25))).map { i =>
+          val words = Seq.fill(1 + rnd.nextInt(90))(s"w${rnd.nextInt(50)}")
+          (s"g$g", i.toLong, words.mkString(" "))
+        }
+      }
+      val df = docs.toDF("source", "doc_id", "text")
+      val rows = Corpus.packedRows(df, "source", "doc_id", "text", seqLen = 64L)
+        .select("source", "seq_id", "seq_text", "n_tokens")
+        .as[(String, Long, String, Long)].collect()
+      // interior sequences carry exactly seqLen tokens
+      val bySrc = rows.groupBy(_._1)
+      bySrc.foreach { case (g, rs) =>
+        val last = rs.map(_._2).max
+        rs.foreach { case (_, s, text, n) =>
+          assert(text.split(" ", -1).length == n, s"seed=$seed ($g,$s) token count")
+          if (s < last) assert(n == 64L, s"seed=$seed interior ($g,$s) has $n")
+        }
+        // conservation: sequences in order == docs in order
+        val packedText = rs.sortBy(_._2).map(_._3).mkString(" ")
+        val corpusText = docs.filter(_._1 == g).sortBy(_._2).map(_._3).mkString(" ")
+        assert(packedText == corpusText, s"seed=$seed group $g corpus not conserved")
+      }
+    }
+  }
+
   test("weightedSamplePerGroup is invariant under uniform weight scaling and respects k") {
     val rnd = new Random(7L)
     val docs = (1 to 300).map { i =>
