@@ -63,4 +63,26 @@ class PlanGuardSpec extends SparkSpec {
     assert(sp.collect { case e: BroadcastHashJoinExec => e }.nonEmpty,
       "q04's dimension joins must plan BroadcastHashJoin")
   }
+
+  test("q99/q102 sequence packing: every window is group-partitioned, no global sort") {
+    for (q <- Seq("q99_pack_sequences", "q102_pack_rows")) {
+      val sp = sparkPlan(q)
+      val windows = sp.collect { case e: WindowExec => e }
+      assert(windows.nonEmpty, s"$q: expected the running-offset window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q: a window without partitioning would serialize the whole corpus on one task")
+      }
+      assert(sp.collect { case e: CartesianProductExec => e }.isEmpty,
+        s"$q must not plan a cartesian product")
+    }
+  }
+
+  test("q100 weighted sample: bounded-heap TopKPerKey, no per-group window sort") {
+    val sp = sparkPlan("q100_weighted_sample")
+    assert(sp.collect { case e: TopKPerKeyExec => e }.nonEmpty,
+      "q100 must ride TopKPerKey (map-side partial heaps)")
+    assert(sp.collect { case e: WindowExec => e }.isEmpty,
+      "q100 must not fall back to a full per-group window sort")
+  }
 }
