@@ -114,7 +114,14 @@ object AsOfJoin {
         import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, NumericType, ShortType, TimestampNTZType}
         val t: Column => Column = left.schema(leftTime).dataType match {
           case TimestampType => c => unix_micros(c)
-          case TimestampNTZType => c => unix_micros(c.cast("timestamp"))
+          case TimestampNTZType =>
+            // tz-invariant: route the naive (UTC-wall-clock) value through
+            // convert_timezone so the session-tz cast cancels exactly — a
+            // bare cast shifts by the session offset, and around a DST
+            // transition that offset differs BETWEEN the two values being
+            // subtracted, corrupting the distance by an hour.
+            c => unix_micros(org.apache.spark.sql.functions.convert_timezone(
+              lit("UTC"), expr("current_timezone()"), c).cast("timestamp"))
           case DateType => c => unix_date(c).cast("long")
           case LongType | IntegerType | ShortType | ByteType => c => c.cast("long")
           case _: NumericType => c => c.cast("double")

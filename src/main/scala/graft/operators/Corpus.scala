@@ -49,7 +49,7 @@ object Corpus {
     * groupBy on source (tiny result — sources number in the hundreds),
     * a broadcast of the target list, and a single-row capacity aggregate
     * broadcast back; the corpus itself is scanned once. */
-  def mixtureRates(df: DataFrame, sourceCol: String, budget: Column,
+  def mixtureRates(df: DataFrame, sourceCol: String, tokensCol: Column,
                    targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty, "at least one target share required")
     require(targets.map(_._1).distinct.size == targets.size,
@@ -62,14 +62,14 @@ object Corpus {
     import spark.implicits._
     val tgt = targets.toDF("__src", "target_share")
     // RIGHT join from the targets: a targeted source missing from the
-    // corpus (or with an all-null budget) gets tokens = 0, which makes
+    // corpus (or with an all-null tokensCol) gets tokens = 0, which makes
     // the capacity — and therefore EVERY rate — 0: the largest corpus
     // honoring a mixture that includes an empty source is empty. An
     // inner join would silently drop the target and ship a corpus with
     // the wrong mixture.
     val perSource = df
       .groupBy(col(sourceCol).as("source"))
-      .agg(sum(budget.cast("long")).as("__toks"))
+      .agg(sum(tokensCol.cast("long")).as("__toks"))
       .join(broadcast(tgt), col("source") === col("__src"), "right")
       .select(coalesce(col("source"), col("__src")).as("source"),
         coalesce(col("__toks"), lit(0L)).as("tokens"), col("target_share"))
@@ -98,8 +98,8 @@ object Corpus {
     * engine/run/partitioning. Two corpus scans (one aggregate, one
     * filter) and a broadcast join — nothing large shuffles. */
   def sampleToMixture(df: DataFrame, textCol: String, sourceCol: String,
-                      budget: Column, targets: Seq[(String, Double)]): DataFrame = {
-    val rates = mixtureRates(df, sourceCol, budget, targets)
+                      tokensCol: Column, targets: Seq[(String, Double)]): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, tokensCol, targets)
       .select(col("source").as("__msrc"), col("rate").as("mixture_rate"))
     val joined = df.join(broadcast(rates), col(sourceCol) === col("__msrc")).drop("__msrc")
     sampleByHash(joined, textCol, col("mixture_rate"))
@@ -496,7 +496,8 @@ object Corpus {
   /** Epochs-aware mixture planning: where [[mixtureRates]] finds the
     * largest mixture-true corpus WITHOUT repetition (every rate ≤ 1),
     * this plans the standard LLM data recipe WITH repetition — "web ×0.3,
-    * wiki ×4 epochs" — under two constraints: a total token `budget` and
+    * wiki ×4 epochs" — under two constraints: a total token budget
+    * (`totalTokens`; `tokensCol` is the per-row token COUNT column) and
     * a per-source repetition cap `maxEpochs` (data-constrained scaling
     * laws put useful repetition at ~4 epochs). The feasible budget is
     * B' = min(budget, min_s maxEpochs·T_s/p_s) — the most-repeated
@@ -509,7 +510,7 @@ object Corpus {
     * a broadcast target join, a single-row min broadcast back; the
     * corpus is scanned once. Integer token sums keep the double
     * arithmetic deterministic across engines. */
-  def planMixtureEpochs(df: DataFrame, sourceCol: String, budget: Column,
+  def planMixtureEpochs(df: DataFrame, sourceCol: String, tokensCol: Column,
                         targets: Seq[(String, Double)], totalTokens: Long,
                         maxEpochs: Double): DataFrame = {
     require(targets.nonEmpty, "at least one target share required")
@@ -532,7 +533,7 @@ object Corpus {
     // of an outer join is not plannable.
     val agg = df
       .groupBy(col(sourceCol).as("__asrc"))
-      .agg(sum(budget.cast("long")).as("__toks"))
+      .agg(sum(tokensCol.cast("long")).as("__toks"))
     val perSource = tgt
       .join(broadcast(agg), col("__asrc") === col("__src"), "left")
       .select(col("__src").as("source"),

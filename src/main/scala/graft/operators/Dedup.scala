@@ -687,4 +687,23 @@ object Dedup {
     semanticDedup(df, vecCol, idCol,
       model.centroids.select("cluster", "centroid"), threshold, labelBits)
   }
+
+  /** [[semanticDedupAuto]] in its ORACLE-CHECKABLE form: seeds are the k
+    * smallest-id vectors ([[KMeans.FirstIds]]) and the Lloyd loop runs a
+    * FIXED `iters` rounds (`tol = 0` disables early stop), so every step
+    * — seeding, per-round L2 argmin assignment, decimal-exact mean
+    * update with empty clusters keeping their previous centroid, then
+    * the cosine blocking + verify + components tail — is a deterministic
+    * function an external SQL engine can replay round by round (q89b
+    * unrolls the rounds as CTEs the way q26 unrolled Newton). Production
+    * corpora should prefer [[semanticDedupAuto]]'s k-means|| seeding;
+    * the pipelines are otherwise identical. */
+  def semanticDedupFixed(df: DataFrame, vecCol: String, idCol: String,
+                         k: Int, threshold: Double, iters: Int): DataFrame = {
+    val model = KMeans.fit(df, idCol, vecCol, k, maxIters = iters, tol = 0.0,
+      diagnostics = false, init = KMeans.FirstIds)
+    val labelBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+    semanticDedup(df, vecCol, idCol,
+      model.centroids.select("cluster", "centroid"), threshold, labelBits)
+  }
 }

@@ -37,6 +37,20 @@ object KMeans {
   final case class Model(centroids: DataFrame, iterations: Int,
                          converged: Boolean, inertia: Double)
 
+  /** Seeding strategy for [[fit]]. */
+  sealed trait Init
+  /** Deterministic k-means|| (Bahmani et al.) — the default: far better
+    * spread than naive seeds, but its hash draws and driver-side greedy
+    * reduction are NOT SQL-expressible. */
+  case object KMeansParallel extends Init
+  /** Seeds = the k rows with the SMALLEST id, cluster code = id rank.
+    * Deliberately naive: the one seeding an external SQL engine can
+    * reproduce verbatim (`ROW_NUMBER() OVER (ORDER BY id) <= k`), which
+    * is what lets a fixed-iteration Lloyd run be oracle-checked
+    * end-to-end (q89b). Combine with `tol = 0` so the round count is
+    * fixed too. */
+  case object FirstIds extends Init
+
   /** Argmin assignment against DRIVER-HELD centroids as ONE projection:
     * the native [[graft.expressions.NearestCentroid]] expression runs
     * the k×d loop per row over a plan-literal codebook — no join, no
@@ -72,7 +86,8 @@ object KMeans {
     * for a blocking codebook, the default 3 for analysis clusterings). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           maxIters: Int = 20, tol: Double = 1e-6,
-          diagnostics: Boolean = true, seedRounds: Int = 3): Model = {
+          diagnostics: Boolean = true, seedRounds: Int = 3,
+          init: Init = KMeansParallel): Model = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tol >= 0, s"tol must be >= 0, got $tol")
@@ -86,9 +101,13 @@ object KMeans {
       // deterministic k-means|| init (Bahmani et al. 2012, arXiv:1203.6402)
       // with fixed-seed hash "randomness" — same determinism contract as
       // the rest of the loop, far better seeding than first-k-ids
-      // (which could land every seed inside one blob)
-      var centroids: Array[(Int, Seq[Double])] = initParallel(rows, k, seedRounds)
-        .zipWithIndex.map { case (v, i) => (i, v) }
+      // (which could land every seed inside one blob; FirstIds exists
+      // only for the SQL-mirrorable fixed-iteration mode)
+      var centroids: Array[(Int, Seq[Double])] = (init match {
+        case KMeansParallel => initParallel(rows, k, seedRounds)
+        case FirstIds => rows.orderBy(col("id")).limit(k)
+          .select("vec").collect().map(_.getSeq[Double](0))
+      }).zipWithIndex.map { case (v, i) => (i, v) }
       require(centroids.nonEmpty, "KMeans.fit: input has no rows — no centroid is definable")
 
       def codebookDf(cents: Array[(Int, Seq[Double])]): DataFrame = {

@@ -13,17 +13,17 @@ import org.apache.spark.sql.functions._
   * distribution.
   *
   * Model = plain count tables, not a binary artifact: `P(w | w_prev) =
-  * (c(w_prev, w) + 1) / (c(w_prev) + V)` with add-one smoothing over the
-  * training vocabulary V — every quantity an exact integer count, so
+  * (c(w_prev, w) + 1) / (ctx(w_prev) + V)` with add-one smoothing over
+  * the training vocabulary V — every quantity an exact integer count, so
   * scores are engine-reproducible (the one float op, ln, happens on
-  * identical double inputs everywhere). Denominator note: c(w_prev) is
-  * the TOTAL unigram count of w_prev, which includes document-final
-  * occurrences that never open a bigram — so P(·|w_prev) sums to
-  * slightly under 1 over the vocabulary (a true bigram MLE would use
-  * w_prev's count as a bigram context). The bias is monotone and
-  * identical for every document, so threshold-based filtering on
-  * `avg_lp` is unaffected; kept because the unigram table double-serves
-  * scoring and vocabulary sizing with one count pass.
+  * identical double inputs everywhere). The denominator ctx(w_prev) =
+  * Σ_w c(w_prev, w) is w_prev's BIGRAM-CONTEXT count (how often it opens
+  * a bigram), NOT its total unigram count — the unigram total includes
+  * document-final occurrences that never open a bigram, which would make
+  * P(·|w_prev) sum to under 1 over the vocabulary. With the context
+  * count the conditional normalizes exactly: Σ_w P(w|w_prev) =
+  * (ctx + V)/(ctx + V) = 1 (LangModelSpec pins this at vocab scale).
+  * The context table is one tiny aggregate over the bigram counts.
   *
   * Scale shape: training is two corpus-sized groupBy counts (map-side
   * combining; bigram table ≈ corpus token count in the worst case, keyed
@@ -73,9 +73,13 @@ object LangModel {
     val terms = docs
       .select(col(idCol).as("__id"), explode(bigramArray(textCol)).as("bg"))
       .select(col("__id"), col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
+    // bigram-context counts: ctx(w_prev) = Σ_w c(w_prev, w) — derived
+    // from the bigram table (one vocab-sized aggregate), so P(·|w_prev)
+    // normalizes to exactly 1 over the training vocabulary
+    val contexts = m.bigrams.groupBy("w_prev").agg(sum(col("c")).as("__ca"))
     val lp = terms
       .join(m.bigrams.withColumnRenamed("c", "__cab"), Seq("w_prev", "w"), "left")
-      .join(m.unigrams.select(col("w").as("w_prev"), col("c").as("__ca")), Seq("w_prev"), "left")
+      .join(contexts, Seq("w_prev"), "left")
       .withColumn("__lp",
         log((coalesce(col("__cab"), lit(0L)) + lit(1L)).cast("double") /
             (coalesce(col("__ca"), lit(0L)) + lit(m.vocab)).cast("double"))

@@ -45,7 +45,13 @@ object RangeJoin {
   /** Column as a long on the binning axis. */
   private def axis(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
+      case TimestampType => unix_micros(col(name))
+      case TimestampNTZType =>
+        // tz-invariant NTZ micros: a bare cast would shift by the session
+        // offset (and by DIFFERENT offsets across a DST boundary, mis-
+        // binning values near the transition on non-UTC sessions)
+        unix_micros(convert_timezone(
+          lit("UTC"), expr("current_timezone()"), col(name)).cast("timestamp"))
       case _ => col(name).cast("long")
     }
 

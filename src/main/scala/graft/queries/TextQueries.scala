@@ -1109,15 +1109,18 @@ object TextQueries {
         SELECT ws[i] AS wp, ws[i + 1] AS wn, COUNT(*) AS c
         FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
         GROUP BY 1, 2),
+      -- bigram-context counts: ctx(wp) = SUM_w c(wp, w), the denominator
+      -- that makes P(.|wp) normalize to 1 (mirrors LangModel.score)
+      ctx AS (SELECT wp, CAST(SUM(c) AS BIGINT) AS c FROM bi GROUP BY 1),
       terms AS (
         SELECT doc_id, ws[i] AS wp, ws[i + 1] AS wn
         FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)),
       lp AS (
         SELECT t.doc_id,
-          CAST(ln((bi.c + 1) / CAST(uni.c + v.v AS DOUBLE)) AS DECIMAL(38,6)) AS lp
+          CAST(ln((bi.c + 1) / CAST(ctx.c + v.v AS DOUBLE)) AS DECIMAL(38,6)) AS lp
         FROM terms t
         JOIN bi ON bi.wp = t.wp AND bi.wn = t.wn
-        JOIN uni ON uni.wd = t.wp
+        JOIN ctx ON ctx.wp = t.wp
         CROSS JOIN v),
       agg AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS s FROM lp GROUP BY 1)
       SELECT d.doc_id, COALESCE(a.n, 0) AS n_terms,

@@ -408,29 +408,129 @@ object VectorQueries {
     """),
   )
 
-  /** C55b: the fully-trained SemDeDup path — deterministic k-means‖
-    * (`KMeans.fit`) trains the codebook, then [[q89]]'s block/verify/
-    * component pipeline runs inside its clusters. Same data-scaled
-    * contract as q89 (k = ceil(n/S), S=25 target population, so k grows
-    * linearly with the corpus and Σ|cluster|² stays ~n·S). Lloyd
-    * iterations are not SQL-expressible, so this is a rows-only catalog
-    * entry; numeric behavior is pinned by KMeansSpec and the bounded-
-    * population SemanticScaleSpec instead. */
+  /** One unrolled Lloyd round for the q89b oracle: L2 argmin assignment
+    * against `cent$p` (squared distances as exact decimal sums of
+    * per-component double products — order-independent, so the margin
+    * argument carries across engines; ties to the SMALLER cluster,
+    * matching NearestCentroid.l2), then the decimal-exact per-component
+    * mean update mirroring Quantize.lloydUpdate verbatim, with empty
+    * clusters keeping their previous centroid (the LEFT JOIN COALESCE,
+    * matching KMeans.fit's driver-side fallback). */
+  private def lloydRoundCte(r: Int): String = {
+    val p = r - 1
+    s"""d$r AS (
+        SELECT e.vec_id, c.cl,
+          SUM(CAST((CAST(e.embedding[c.pos + 1] AS DOUBLE) - c.c)
+                 * (CAST(e.embedding[c.pos + 1] AS DOUBLE) - c.c) AS DECIMAL(38,18))) AS d2
+        FROM embeddings e CROSS JOIN cent$p c
+        GROUP BY 1, 2),
+      asn$r AS (
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+          FROM d$r) WHERE rn = 1),
+      mean$r AS (
+        SELECT a.cl, u.i - 1 AS pos,
+          CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+            / COUNT(*) AS c
+        FROM asn$r a JOIN embeddings e USING (vec_id),
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cent$r AS (
+        SELECT c.cl, c.pos, COALESCE(m.c, c.c) AS c
+        FROM cent$p c LEFT JOIN mean$r m ON m.cl = c.cl AND m.pos = c.pos)"""
+  }
+
+  /** C55b: the fully-TRAINED SemDeDup path with a HARD oracle signal —
+    * `Dedup.semanticDedupFixed` seeds the codebook from the k smallest
+    * vec_ids and runs a FIXED two-round Lloyd (tol=0, no early stop), so
+    * the oracle replays the training round by round the way q26 unrolled
+    * Newton: two (L2-argmin assignment → decimal-exact mean) CTE blocks,
+    * then exactly q89's cosine blocking + τ=0.4 verify + recursive-CTE
+    * component tail. Same data-scaled contract as q89 (k = ceil(n/S),
+    * S=50, so the codebook grows linearly with the corpus and cluster
+    * populations stay bounded); the production k-means‖ seeding
+    * (`semanticDedupAuto`) stays pinned by KMeansSpec +
+    * SemanticScaleSpec. Cross-engine contract: assignments/verify ride
+    * the same decimal-sum + gap-margin argument as q89 (engines agree to
+    * ~1e-10; assignment and threshold margins are orders of magnitude
+    * wider — verified at both gate SFs). */
   private val q89b = Q(
     "q89b_semantic_dedup_auto",
     (s, dir) => {
       val e = emb(s, dir)
       val n = e.count()
-      // k = ceil(n/S): linear-in-n codebook (the scale contract). S=50 and
-      // 3 Lloyd rounds: a blocking codebook doesn't need convergence —
-      // cluster QUALITY only moves recall at the margin, while every extra
-      // Lloyd round is a full assignment pass over the corpus.
+      // k = ceil(n/S): linear-in-n codebook (the scale contract), S=50.
+      // Two Lloyd rounds: a blocking codebook doesn't need convergence —
+      // cluster QUALITY only moves recall at the margin, while every
+      // extra round is a full assignment pass over the corpus (and one
+      // more unrolled CTE block in the oracle).
       val k = math.max(2, math.ceil(n / 50.0).toInt)
-      graft.operators.Dedup.semanticDedupAuto(e, "embedding", "vec_id", k,
-          threshold = 0.4, maxIters = 3)
+      graft.operators.Dedup.semanticDedupFixed(e, "embedding", "vec_id", k,
+          threshold = 0.4, iters = 2)
         .select("vec_id", "label")
     },
-    None,
+    Some(s"""
+      WITH RECURSIVE prm AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT)) AS k
+        FROM embeddings),
+      sd AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM prm)),
+      cent0 AS (
+        SELECT sd.cl, u.i - 1 AS pos, CAST(e.embedding[u.i] AS DOUBLE) AS c
+        FROM sd JOIN embeddings e USING (vec_id),
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)),
+      ${lloydRoundCte(1)},
+      ${lloydRoundCte(2)},
+      cnorm AS (
+        SELECT cl, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
+        FROM cent2 GROUP BY 1),
+      $normsCte,
+      dots AS (
+        SELECT e.vec_id, c.cl,
+          CAST(SUM(CAST(CAST(e.embedding[c.pos + 1] AS DOUBLE) * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent2 c
+        GROUP BY 1, 2),
+      ccos AS (
+        SELECT dots.vec_id, dots.cl, dot / (norms.nrm * cnorm.nrm_c) AS cosine
+        FROM dots
+        JOIN norms ON norms.vec_id = dots.vec_id
+        JOIN cnorm ON cnorm.cl = dots.cl),
+      rnk AS (
+        SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cl DESC) AS rn
+        FROM ccos),
+      asgn AS (SELECT vec_id, cl FROM rnk WHERE rn = 1),
+      cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM asgn a JOIN asgn b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+        JOIN norms na ON na.vec_id = c.a_id
+        JOIN norms nb ON nb.vec_id = c.b_id,
+        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
+        GROUP BY 1, 2, na.nrm, nb.nrm
+        HAVING CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+          / (na.nrm * nb.nrm) >= 0.4),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
+      SELECT e.vec_id, e.label
+      FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
+      WHERE e.vec_id = COALESCE(cl.cluster_id, e.vec_id)
+    """),
   )
 
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b)

@@ -28,7 +28,17 @@ object Tables {
     * micro-aligned), TIMESTAMP(MICROS) naive since round 6 (reads as
     * TIMESTAMP_NTZ; cast to session-UTC TimestampType keeps the same
     * micros-since-epoch). Normalizing HERE means every consumer sees one
-    * stable TimestampType column whichever file vintage it reads. */
+    * stable TimestampType column whichever file vintage it reads.
+    *
+    * The NTZ branch is timezone-INVARIANT: the naive value is UTC wall
+    * clock, so it is first converted to the session timezone's wall clock
+    * (`convert_timezone('UTC', current_timezone(), ..)`) and only then
+    * cast — the cast's session-tz interpretation exactly undoes the
+    * conversion, leaving internal micros == the file's UTC micros on ANY
+    * session (a bare `cast(ts as timestamp)` silently shifts events on
+    * non-UTC sessions). */
+  private[graft] val ntzToUtcTimestamp =
+    "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
@@ -36,7 +46,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+        raw.withColumn("ts", expr(ntzToUtcTimestamp))
       case _ => raw
     }
   }

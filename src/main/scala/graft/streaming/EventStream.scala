@@ -236,7 +236,8 @@ object EventStream {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        stream.withColumn("ts", expr("cast(ts as timestamp)"))
+        // timezone-invariant NTZ→UTC conversion (see Tables.ntzToUtcTimestamp)
+        stream.withColumn("ts", expr(graft.sources.Tables.ntzToUtcTimestamp))
       case _ => stream
     }
   }
@@ -709,8 +710,11 @@ object EventStream {
     * corpus per batch. State per source is ONE long (the next free
     * offset) — bounded by the source population (hundreds), not by
     * documents, so there is no growth and no timeout to tune. Docs sort
-    * by doc_id within each micro-batch (deterministic given the same
-    * batching; exactly-once via the checkpointed state store); zero- and
+    * by doc_id within each micro-batch (offsets are deterministic given
+    * the same micro-batch partitioning; the checkpointed state store
+    * advances offsets exactly once, but output delivery to a generic
+    * Update-mode sink is AT-LEAST-ONCE — a replayed batch re-emits the
+    * same spans, so sinks should upsert by (source, doc_id)); zero- and
     * null-token docs occupy no span and are dropped, as in the batch
     * operator. Emits the doc's [start, end) global span plus the first/
     * last `seqLen`-sequence it touches — downstream slices spans into

@@ -21,8 +21,10 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect()
       .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
 
-    // unigrams a:3 b:2; bigrams (a,b):1 (b,a):2
-    val lpAB = round6(math.log((1.0 + 1) / (3 + 2)))
+    // bigrams (a,b):1 (b,a):2; contexts ctx(a)=1 ctx(b)=2 (the
+    // bigram-context denominator — doc-final unigram occurrences do
+    // not open a bigram and are excluded)
+    val lpAB = round6(math.log((1.0 + 1) / (1 + 2)))
     val lpBA = round6(math.log((2.0 + 1) / (2 + 2)))
     val (n1, Some(avg1)) = got(1L)
     assert(n1 === 2L)
@@ -40,11 +42,30 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect()
       .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
 
-    // (c,a): c unseen → cab=0, ca=0 → ln(1/(0+2))
+    // (c,a): c unseen → cab=0, ctx=0 → ln(1/(0+2))
     assert(math.abs(got(10L)._2.get - round6(math.log(0.5)).doubleValue) < 1e-12)
     assert(got(11L) === ((0L, None)), "single-word doc has no bigram terms")
-    // (a,a) unseen bigram but seen prev: ln((0+1)/(3+2))
-    assert(math.abs(got(12L)._2.get - round6(math.log(0.2)).doubleValue) < 1e-12)
+    // (a,a) unseen bigram but seen prev: ln((0+1)/(ctx(a)=1+2))
+    assert(math.abs(got(12L)._2.get - round6(math.log(1.0 / 3)).doubleValue) < 1e-12)
+  }
+
+  test("P(.|w_prev) normalizes to exactly 1 over the vocabulary") {
+    // the property the bigram-context denominator buys: for every seen
+    // context, sum over ALL vocab words of (c(ctx,w)+1)/(ctx+V) == 1
+    val corpus = (1L to 200L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 17) % 97}").mkString(" "))).toDF("doc_id", "text")
+    val m = LangModel.train(corpus, "text")
+    val v = m.vocab
+    val bi = m.bigrams.as[(String, String, Long)].collect()
+    val ctx = bi.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(ctx.nonEmpty && v > 1)
+    ctx.foreach { case (wp, cCtx) =>
+      val seen = bi.filter(_._1 == wp)
+      val pSeen = seen.map { case (_, _, c) => (c + 1).toDouble / (cCtx + v) }.sum
+      val pUnseen = (v - seen.length) * (1.0 / (cCtx + v))
+      assert(math.abs(pSeen + pUnseen - 1.0) < 1e-12,
+        s"context '$wp' mass ${pSeen + pUnseen}")
+    }
   }
 
   test("score is repartition-invariant (decimal term sums)") {
