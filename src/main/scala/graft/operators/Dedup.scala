@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
@@ -589,8 +589,20 @@ object Dedup {
     */
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
                     centroids: DataFrame, threshold: Double,
-                    labelBits: Int = 10): DataFrame = {
-    val assigned = assignNearest(df, vecCol, idCol, centroids, labelBits)
+                    labelBits: Int = 10): DataFrame =
+    pairsFromAssigned(assignNearest(df, vecCol, idCol, centroids, labelBits), threshold)
+
+  /** [[semanticPairs]] on the two-level assignment — the form for
+    * codebooks too large to collect ([[assignNearestTwoLevel]]'s
+    * contract); same within-cluster pair semantics. */
+  def semanticPairsTwoLevel(df: DataFrame, vecCol: String, idCol: String,
+                            centroids: DataFrame, threshold: Double,
+                            coarseK: Int = 0): DataFrame =
+    pairsFromAssigned(assignNearestTwoLevel(df, vecCol, idCol, centroids, coarseK), threshold)
+
+  /** Within-cluster cosine pairs over an (id, cluster, vec) assignment —
+    * the shared tail of the flat and two-level SemDeDup paths. */
+  private def pairsFromAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("id").as("a_id"), col("vec").as("a_vec"))
     val b = assigned.select(col("cluster"), col("id").as("b_id"), col("vec").as("b_vec"))
     a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
@@ -662,15 +674,92 @@ object Dedup {
       .select(col("id"), col("__best").getField("cluster").as("cluster"), col("vec"))
   }
 
+  /** Two-level (coarse → fine) nearest-centroid assignment — the scale
+    * form of [[assignNearest]] for codebooks too large to hold on the
+    * driver or ship as a plan literal. The scale-honest k ∝ n contract
+    * makes the flat form O(n·k·d) total flops behind a k×d driver
+    * collect (n = 10⁹ at S = 25 → 2.5M centroids ≈ 1.3 GB literal);
+    * here the fine codebook STAYS DISTRIBUTED. ceil(√k) coarse
+    * centroids are trained over the centroid frame itself (KMeans.fit —
+    * the only collect anywhere, √k×d on the driver), each fine centroid
+    * keys to its nearest coarse cell, rows route to their nearest
+    * coarse cell by the same cosine, and the fine argmax runs inside
+    * the routed cell: a cell-keyed shuffle join + packed-long hash
+    * aggregate. Expected work O(n·√k·d) (cells hold ~√k fine
+    * centroids), so with k ∝ n assignment grows ~n^1.5 instead of n² —
+    * SemanticScaleSpec pins the candidate-row growth and flat/two-level
+    * agreement.
+    *
+    * Approximation contract (the standard IVF trade): a row whose true
+    * nearest fine centroid sits in a different coarse cell than the row
+    * routes to gets its cell-local best instead — for semantic-dedup
+    * blocking that only moves boundary vectors between blocks (the same
+    * disclosed recall class as q89's label blocks). Rows with
+    * null/ragged vectors drop out (a null cell never joins); the flat
+    * form keeps them with a null cluster, which equally never joins a
+    * pair. Ties break to the LARGER cluster id at ArgMaxPack's packed
+    * precision (~2^-48 relative; the flat form ties at full precision).
+    *
+    * The centroid frame is evaluated twice here (coarse fit + cell
+    * keying) — cache/localCheckpoint expensively-derived codebooks
+    * before calling. */
+  def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
+                            centroids: DataFrame, coarseK: Int = 0,
+                            clusterBits: Int = 24): DataFrame = {
+    val routed = twoLevelCandidates(df, vecCol, idCol, centroids, coarseK)
+    val packed = graft.expressions.ArgMaxPack.of(
+      col("__cos"), col("__fine"), clusterBits)
+    routed
+      .groupBy("id")
+      .agg(max(packed).as("__packed"), first(col("vec")).as("vec"))
+      .withColumn("cluster",
+        graft.expressions.ArgMaxPack.unpackLabel(col("__packed"), clusterBits))
+      .select(col("id"), col("cluster"), col("vec"))
+  }
+
+  /** The two-level candidate frame pre-argmax: one row per (routed row,
+    * fine centroid in its coarse cell) with the cosine attached — split
+    * out so SemanticScaleSpec can count candidate work directly. */
+  private[graft] def twoLevelCandidates(df: DataFrame, vecCol: String, idCol: String,
+                                        centroids: DataFrame, coarseK: Int = 0): DataFrame = {
+    val cents = centroids.select(col("cluster").cast("int").as("__fine"),
+      col("centroid").cast("array<double>").as("__fc"))
+    val kc =
+      if (coarseK > 0) coarseK
+      else math.max(1, math.ceil(math.sqrt(
+        math.max(1L, cents.count()).toDouble)).toInt)
+    val coarse = KMeans.fit(cents, "__fine", "__fc", kc,
+      maxIters = 5, diagnostics = false, seedRounds = 2)
+    val coarseArr = coarse.centroids
+      .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cellOf(vec: Column): Column =
+      graft.expressions.NearestCentroid.cosine(
+        vec, coarseArr.map(_._2), coarseArr.map(_._1)).getField("cluster")
+    val fineByCell = cents.withColumn("__cell", cellOf(col("__fc")))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("__cell", cellOf(col("vec")))
+      .join(fineByCell, Seq("__cell"))
+      .withColumn("__cos", VectorFns.cosine(col("vec"), col("__fc")))
+  }
+
   /** [[dedupCorpus]] with SemDeDup blocking: semantic pairs above
     * `threshold` → connected components → min-id survivor per cluster →
     * the corpus with semantic duplicates dropped. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     centroids: DataFrame, threshold: Double,
-                    labelBits: Int = 10): DataFrame =
-    dropLosers(df,
-      semanticPairs(df, vecCol, idCol, centroids, threshold, labelBits)
-        .select("a_id", "b_id"), idCol)
+                    labelBits: Int = 10, twoLevel: Boolean = false): DataFrame = {
+    val pairs =
+      if (twoLevel) semanticPairsTwoLevel(df, vecCol, idCol, centroids, threshold)
+      else semanticPairs(df, vecCol, idCol, centroids, threshold, labelBits)
+    dropLosers(df, pairs.select("a_id", "b_id"), idCol)
+  }
+
+  /** Codebook size beyond which the trained dedup paths switch from the
+    * flat plan-literal assignment to [[assignNearestTwoLevel]]: 64k
+    * centroids × 64 dims ≈ 34 MB of plan literal is about the ceiling a
+    * driver/broadcast should carry. */
+  val MaxLocalCodebook: Int = 1 << 16
 
   /** [[semanticDedup]] end to end: train the coarse clustering with
     * deterministic k-means|| Lloyd ([[KMeans.fit]]), then dedup inside
@@ -685,7 +774,8 @@ object Dedup {
       diagnostics = false, seedRounds = 2)
     val labelBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
     semanticDedup(df, vecCol, idCol,
-      model.centroids.select("cluster", "centroid"), threshold, labelBits)
+      model.centroids.select("cluster", "centroid"), threshold, labelBits,
+      twoLevel = k > MaxLocalCodebook)
   }
 
   /** [[semanticDedupAuto]] in its ORACLE-CHECKABLE form: seeds are the k
@@ -703,6 +793,9 @@ object Dedup {
     val model = KMeans.fit(df, idCol, vecCol, k, maxIters = iters, tol = 0.0,
       diagnostics = false, init = KMeans.FirstIds)
     val labelBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+    // always the flat path: this is the ORACLE-mirrorable form, and its
+    // KMeans.fit already holds k on the driver (oracle-checkable k is
+    // small by construction)
     semanticDedup(df, vecCol, idCol,
       model.centroids.select("cluster", "centroid"), threshold, labelBits)
   }

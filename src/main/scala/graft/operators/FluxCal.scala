@@ -91,6 +91,11 @@ object FluxCal {
       // unknown bands never reach the observed-RMS computation
       .filter(col("band").isin("LBAND", "UHF"))
       .join(chanRms, col("rms_obs_id") === chanRms("obs_id"))
+      // a channel with no measured RMS carries no information: the median
+      // ranks NON-NULL values only (null-ranking order and the rank count
+      // would otherwise both shift the selected order statistic — and
+      // differently per engine: Spark sorts nulls first, others last)
+      .filter(col("offrms").isNotNull)
       .filter(col("chan_freq") >= lo && col("chan_freq") < hi)
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("obs_id")))

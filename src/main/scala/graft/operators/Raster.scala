@@ -84,13 +84,21 @@ object Raster {
   /** Line plot of (x, y) points: white background, dark axes box with
     * tick marks, blue polyline — the geometry of the reference's
     * `plt.plot` S/N products without a font dependency. */
-  def linePng(points: Seq[(Double, Double)], width: Int = 640, height: Int = 480): Array[Byte] = {
+  def linePng(points: Seq[(Double, Double)], width: Int = 640, height: Int = 480): Array[Byte] =
+    encodePng(lineImage(points, width, height, None, None))
+
+  /** [[linePng]]'s renderer with optionally FIXED axis ranges — what the
+    * animation frames need (per-frame autoscaling would make motion
+    * indistinguishable from rescaling). */
+  private def lineImage(points: Seq[(Double, Double)], width: Int, height: Int,
+                        xRange: Option[(Double, Double)],
+                        yRange: Option[(Double, Double)]): BufferedImage = {
     require(points.nonEmpty, "linePng: no points")
     require(width >= 64 && height >= 64, "image too small")
     val sorted = points.sortBy(_._1)
-    val (xLo, xHi) = (sorted.head._1, sorted.last._1)
+    val (xLo, xHi) = xRange.getOrElse((sorted.head._1, sorted.last._1))
     val ys = sorted.map(_._2)
-    val (yLo, yHi) = (ys.min, ys.max)
+    val (yLo, yHi) = yRange.getOrElse((ys.min, ys.max))
     val xSpan = if (xHi > xLo) xHi - xLo else 1.0
     val ySpan = if (yHi > yLo) yHi - yLo else 1.0
     val (mL, mR, mT, mB) = (48, 16, 16, 36) // margins: axis room like matplotlib's
@@ -117,7 +125,7 @@ object Raster {
       }
       if (sorted.size == 1) g.fillOval(px(sorted.head._1) - 2, py(sorted.head._2) - 2, 5, 5)
     } finally g.dispose()
-    encodePng(img)
+    img
   }
 
   /** Re-encode under `maxBytes` by LANCZOS-free bilinear downscale — the
@@ -157,6 +165,104 @@ object Raster {
       .as[(String, Seq[(Double, Double)])]
       .map { case (k, pts) => (k, linePng(pts, width, height), pts.size, width, height) }
       .toDF(keyCol, "png", "n_points", "width", "height")
+  }
+
+  /** Animated multi-frame GIF — the JDK-only stand-in for the
+    * reference's ffmpeg movie assembly (make_stokes_movie.py:57-112
+    * strings per-epoch Stokes frames into an mp4): ImageIO's GIF writer
+    * in sequence mode, a GraphicControlExtension per frame carrying the
+    * delay (centiseconds), and a NETSCAPE2.0 application extension on
+    * the first frame so players loop. Pure `javax.imageio` — runs on
+    * headless executors like the PNG paths. */
+  def gifBytes(frames: Seq[BufferedImage], delayCs: Int = 20,
+               loop: Boolean = true): Array[Byte] = {
+    require(frames.nonEmpty, "gifBytes: no frames")
+    require(delayCs >= 1, s"delayCs must be >= 1, got $delayCs")
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.zipWithIndex.foreach { case (img, idx) =>
+        val param = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = childNode(root, "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        if (idx == 0 && loop) {
+          val exts = childNode(root, "ApplicationExtensions")
+          val app = new javax.imageio.metadata.IIOMetadataNode("ApplicationExtension")
+          app.setAttribute("applicationID", "NETSCAPE")
+          app.setAttribute("authenticationCode", "2.0")
+          app.setUserObject(Array[Byte](1, 0, 0)) // sub-block 1 + loop count 0 = forever
+          exts.appendChild(app)
+        }
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Find-or-append a named child of a GIF metadata tree node. */
+  private def childNode(root: javax.imageio.metadata.IIOMetadataNode,
+                        name: String): javax.imageio.metadata.IIOMetadataNode = {
+    var n = root.getFirstChild
+    while (n != null) {
+      if (n.getNodeName == name)
+        return n.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      n = n.getNextSibling
+    }
+    val fresh = new javax.imageio.metadata.IIOMetadataNode(name)
+    root.appendChild(fresh)
+    fresh
+  }
+
+  /** Per-key animated line-plot GIFs — the reference's LAST output
+    * surface (make_stokes_movie.py: per-epoch aligned Stokes profiles
+    * strung into a movie). One frame per distinct `frameCol` value in
+    * ascending order, each a [[linePng]]-geometry plot of that frame's
+    * (x, y) points with axes FIXED to the key's global x/y range
+    * (per-frame autoscaling would turn profile motion into axis
+    * rescaling). Output: (key, gif, n_frames, width, height).
+    *
+    * Scale shape: identical to [[renderCurves]] — groupBy(key) over
+    * bounded per-observation cells (epochs × nbin points, KB not GB),
+    * one map call per key emits the GIF binary executor-side. */
+  def renderAnimation(df: DataFrame, keyCol: String, frameCol: String,
+                      xCol: String, yCol: String,
+                      width: Int = 640, height: Int = 480,
+                      delayCs: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(frameCol).cast("long").as("f"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .groupBy("k")
+      .agg(collect_list(struct(col("f"), col("x"), col("y"))).as("pts"))
+      .as[(String, Seq[(Long, Double, Double)])]
+      .map { case (k, pts) =>
+        val frames = pts.groupBy(_._1).toSeq.sortBy(_._1)
+        val xr = Some((pts.iterator.map(_._2).min, pts.iterator.map(_._2).max))
+        val yr = Some((pts.iterator.map(_._3).min, pts.iterator.map(_._3).max))
+        val imgs = frames.map { case (_, fp) =>
+          lineImage(fp.map(p => (p._2, p._3)), width, height, xr, yr)
+        }
+        (k, gifBytes(imgs, delayCs), frames.size, width, height)
+      }
+      .toDF(keyCol, "gif", "n_frames", "width", "height")
   }
 
   /** Per-key dynamic-spectrum PNGs (`dynamic_spectra`): one heatmap per

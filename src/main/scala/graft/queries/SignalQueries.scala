@@ -953,7 +953,203 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98)
+    q95, q96, q98, q103, q104)
+
+  /** B34→oracle: the END-TO-END flux-calibration chain
+    * (`operators.FluxCal.multipliers`, mirroring fluxcal_meerkat.py
+    * main(), :355-446). Synthetic observations derived deterministically
+    * from the events/part/nation tables cover every branch — UHF
+    * (catalogue Tsky hit AND cold-sky default), LBAND (CHIPASS-style
+    * nearest-pixel grid lookup incl. missing-pixel and out-of-range
+    * defaults), SBAND (multiplier 1.0, null calibration columns),
+    * unknown band (all-null) — then band CASE → Tsky → Ssys → radiometer
+    * expected RMS → exact median observed off-pulse RMS inside the
+    * band's reference window → multiplier, every step mirrored verbatim
+    * in the oracle (per-row IEEE arithmetic on identical operands; the
+    * only multi-row float op is an AVG of ≤ 2 doubles). Pixel math uses
+    * trunc-toward-zero on positive pixel terms so Spark's int cast and
+    * DuckDB's TRUNC agree. */
+  private lazy val q103 = Q(
+    "q103_fluxcal",
+    (s, dir) => {
+      import graft.operators.{FluxCal, GridLookup}
+      val ev = Tables.events(s, dir)
+      val m4 = pmod(col("obs_id"), lit(4))
+      val obs = ev.groupBy(col("user_id").as("obs_id"))
+        .agg(
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000.0)).as("tobs"),
+          count(lit(1)).as("nbin"),
+          countDistinct(col("event_type")).as("nchan"))
+        .withColumn("psr", concat(lit("PSR"), pmod(col("obs_id"), lit(30))))
+        .withColumn("bw",
+          when(m4 === 0, "544.0").when(m4 === 1, "856.0")
+            .when(m4 === 2, "875.0").otherwise("100.0"))
+        .withColumn("freq",
+          when(m4 === 0, 815.5).when(m4 === 1, 1283.5)
+            .when(m4 === 2, 2187.0).otherwise(500.0))
+        .withColumn("obs_bw",
+          when(m4 === 0, 544.0).when(m4 === 1, 856.0)
+            .when(m4 === 2, 875.0).otherwise(100.0))
+        .withColumn("rajd", pmod(col("obs_id") * 37, lit(380)).cast("double") + lit(0.3))
+        .withColumn("decjd", pmod(col("obs_id") * 53, lit(120)).cast("double") - lit(60.0) + lit(0.2))
+        .withColumn("nant", pmod(col("obs_id"), lit(60)) + lit(1))
+      val u4 = pmod(col("user_id"), lit(4))
+      val chanRms = ev.select(
+        col("user_id").as("obs_id"),
+        when(u4 === 0, lit(795.0) + pmod(col("event_id"), lit(15)))
+          .when(u4 === 1, lit(1383.0) + pmod(col("event_id"), lit(20)))
+          .otherwise(lit(0.0)).as("chan_freq"),
+        col("value").as("offrms"))
+      val grid = Tables.part(s, dir)
+        .groupBy(pmod(col("p_partkey"), lit(37)).cast("int").as("pix1"),
+          pmod(col("p_partkey") * 3, lit(13)).cast("int").as("pix2"))
+        .agg(min(col("p_retailprice")).cast("double").as("tsky_mk"))
+      val uhfCat = Tables.nation(s, dir)
+        .select(concat(lit("PSR"), col("n_nationkey")).as("name"),
+          (col("n_nationkey").cast("double") * lit(0.7) + lit(3.0)).as("value"))
+      FluxCal.multipliers(obs, chanRms, grid,
+        GridLookup.Axis(0.0, 0.0, 10.0, 36), GridLookup.Axis(-60.0, 0.0, 10.0, 12),
+        uhfCat)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+      obs AS (
+        SELECT user_id AS obs_id,
+          (MAX(us) - MIN(us)) / 1000000.0 AS tobs,
+          COUNT(*) AS nbin,
+          COUNT(DISTINCT event_type) AS nchan
+        FROM ev GROUP BY 1),
+      banded AS (
+        SELECT obs_id, tobs, nbin, nchan,
+          'PSR' || CAST(obs_id % 30 AS VARCHAR) AS psr,
+          CAST(CASE obs_id % 4 WHEN 0 THEN 544.0 WHEN 1 THEN 856.0 WHEN 2 THEN 875.0 ELSE 100.0 END AS DOUBLE) AS obs_bw,
+          CAST((obs_id * 37) % 380 AS DOUBLE) + 0.3 AS rajd,
+          CAST((obs_id * 53) % 120 AS DOUBLE) - 60.0 + 0.2 AS decjd,
+          obs_id % 60 + 1 AS nant,
+          CASE obs_id % 4 WHEN 0 THEN 'UHF' WHEN 1 THEN 'LBAND' WHEN 2 THEN 'SBAND_0' END AS band
+        FROM obs),
+      grid AS (
+        SELECT CAST(p_partkey % 37 AS INT) AS pix1,
+          CAST((p_partkey * 3) % 13 AS INT) AS pix2,
+          CAST(MIN(p_retailprice) AS DOUBLE) AS tsky_mk
+        FROM part GROUP BY 1, 2),
+      cat AS (
+        SELECT 'PSR' || CAST(n_nationkey AS VARCHAR) AS name,
+          CAST(n_nationkey AS DOUBLE) * 0.7 + 3.0 AS value
+        FROM nation),
+      gpix AS (
+        SELECT b.*, CAST(TRUNC(rajd / 10.0 + 0.5) AS INT) AS p1,
+          CAST(TRUNC((decjd + 60.0) / 10.0 + 0.5) AS INT) AS p2
+        FROM banded b),
+      tsk AS (
+        SELECT g.*,
+          CASE WHEN p1 < 0 OR p1 > 36 OR p2 < 0 OR p2 > 12 THEN 3400.0
+               ELSE COALESCE(gr.tsky_mk, 3400.0) END AS tsky_mk
+        FROM gpix g LEFT JOIN grid gr ON gr.pix1 = g.p1 AND gr.pix2 = g.p2),
+      calc AS (
+        SELECT t.obs_id, t.psr, t.band, t.nbin, t.nchan, t.tobs, t.obs_bw, t.nant,
+          CASE WHEN band = 'LBAND' THEN 1.7202 * (tsky_mk - 3372.0) * (19.0 / 1000.0)
+               WHEN band = 'UHF' THEN COALESCE(c.value, 5.5) * 19.0 END AS tsky_jy,
+          CASE WHEN band = 'LBAND' THEN 390.0
+               WHEN band = 'UHF' THEN 18.5 * 19.0 END AS sefd
+        FROM tsk t LEFT JOIN cat c ON c.name = t.psr),
+      calc2 AS (
+        SELECT *, (sefd + tsky_jy) / nant AS ssys,
+          ((sefd + tsky_jy) / nant) / SQRT(2.0 * obs_bw / nchan * tobs / nbin) AS expected_rms
+        FROM calc),
+      chan AS (
+        SELECT user_id AS obs_id,
+          CASE user_id % 4
+            WHEN 0 THEN 795.0 + CAST(event_id % 15 AS DOUBLE)
+            WHEN 1 THEN 1383.0 + CAST(event_id % 20 AS DOUBLE)
+            ELSE 0.0 END AS chan_freq,
+          value AS offrms
+        FROM ev),
+      med AS (
+        SELECT obs_id, AVG(offrms) AS observed_rms FROM (
+          SELECT b.obs_id, c.offrms,
+            ROW_NUMBER() OVER (PARTITION BY b.obs_id ORDER BY c.offrms, c.chan_freq) AS rn,
+            COUNT(*) OVER (PARTITION BY b.obs_id) AS cnt
+          FROM banded b JOIN chan c ON c.obs_id = b.obs_id
+          WHERE b.band IN ('LBAND', 'UHF')
+            AND c.offrms IS NOT NULL
+            AND c.chan_freq >= CASE WHEN b.band = 'LBAND' THEN 1383.0 ELSE 795.0 END
+            AND c.chan_freq <  CASE WHEN b.band = 'LBAND' THEN 1400.0 ELSE 805.0 END)
+        WHERE rn = CAST(TRUNC((cnt + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(TRUNC(cnt / 2.0) AS BIGINT) + 1
+        GROUP BY 1),
+      j AS (SELECT c.*, m.observed_rms FROM calc2 c LEFT JOIN med m ON m.obs_id = c.obs_id)
+      SELECT obs_id, psr, band, tsky_jy, ssys, expected_rms, observed_rms,
+        CASE WHEN band LIKE 'SBAND%' THEN 1.0
+             ELSE expected_rms / observed_rms END AS multiplier
+      FROM j
+    """),
+  )
+
+  /** B29→oracle: dlycfg rule evaluation end-to-end
+    * (`operators.DelayCorrection.parseConfig` + `applyTo`, mirroring
+    * history_class.parse / getcorrection, scripts/dlyfix.py:27,128). The
+    * literal config exercises every rule feature: `=` reset, `+=`/`-=`
+    * accumulation, ms/us/ns unit factors, an ATTRIBUTE unit (`1 tbin` —
+    * resolved per-observation like the reference's getattr), anchored
+    * prefix-regex (`~=`, matching python re.match semantics — 'err'
+    * matches 'error'), negated regex with alternation, and numeric
+    * `<`/`>=` conditions. The oracle hand-unrolls the identical
+    * left-to-right when-chain; all arithmetic is per-row IEEE on
+    * identical operands. */
+  private lazy val q104 = Q(
+    "q104_delay_correction",
+    (s, dir) => {
+      import graft.operators.DelayCorrection
+      val cfg = """
+        |# synthetic instrument delay history (dlyfix format)
+        |* early_epoch
+        |mjd < 59000
+        |delay = 1.2 us
+        |* uhf_fix
+        |bename ~= uhf
+        |mjd >= 59000
+        |delay += 4 ns
+        |* wide_tbin
+        |tbin > 2.0
+        |delay += 1 tbin
+        |* not_click_err
+        |beconfig !~= click|err
+        |delay -= 0.5 ms
+        |""".stripMargin
+      val e3 = pmod(col("event_id"), lit(3))
+      val obs = Tables.events(s, dir).select(
+        col("event_id").as("obs_id"),
+        (lit(58990.0) + pmod(col("user_id"), lit(20))).as("mjd"),
+        when(e3 === 0, "uhf_band").when(e3 === 1, "lband")
+          .otherwise("uhf2").as("bename"),
+        col("event_type").as("beconfig"),
+        (col("value") / lit(100.0)).as("tbin"))
+      DelayCorrection.applyTo(obs, DelayCorrection.parseConfig(cfg), name => col(name))
+    },
+    Some("""
+      WITH obs AS (
+        SELECT event_id AS obs_id,
+          58990.0 + CAST(user_id % 20 AS DOUBLE) AS mjd,
+          CASE event_id % 3 WHEN 0 THEN 'uhf_band' WHEN 1 THEN 'lband'
+            ELSE 'uhf2' END AS bename,
+          event_type AS beconfig,
+          value / 100.0 AS tbin
+        FROM events),
+      d1 AS (SELECT *,
+        CASE WHEN mjd < 59000.0 THEN 1.2 * 1e-6 ELSE 0e0 END AS t1 FROM obs),
+      d2 AS (SELECT *,
+        CASE WHEN regexp_matches(bename, '^(?:uhf)') AND mjd >= 59000.0
+          THEN t1 + 4.0 * 1e-9 ELSE t1 END AS t2 FROM d1),
+      d3 AS (SELECT *,
+        CASE WHEN tbin > 2.0 THEN t2 + tbin * 1.0 ELSE t2 END AS t3 FROM d2),
+      d4 AS (SELECT *,
+        CASE WHEN NOT regexp_matches(beconfig, '^(?:click|err)')
+          THEN t3 + (-0.5 * 1e-3) ELSE t3 END AS delay_correction FROM d3)
+      SELECT obs_id, mjd, bename, beconfig, tbin, delay_correction FROM d4
+    """),
+  )
 
   /** B43: categorical drift between the first and second half of the
     * month (`Profile.categoricalDrift`): per-event-type chi-square

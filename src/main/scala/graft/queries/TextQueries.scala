@@ -26,7 +26,7 @@ object TextQueries {
   private val q31 = Q(
     "q31_minhash_lsh",
     (s, dir) => Dedup.minhashLsh(
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
       "text", "doc_id"),
     Some("""
       WITH sh AS (
@@ -63,7 +63,7 @@ object TextQueries {
       "q32_simhash",
       (s, dir) =>
         Dedup.simhash(
-          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
           "text", "doc_id")
           .groupBy("simhash")
           .agg(count(lit(1)).as("n_docs")),
@@ -89,7 +89,7 @@ object TextQueries {
     "q33_ngram_jaccard",
     (s, dir) => {
       val d = Tables.parallelized(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = 0L)
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.jaccardVerify(pairs, d, "text", "doc_id")
         .select("a_id", "b_id", "jaccard")
@@ -160,7 +160,7 @@ object TextQueries {
       val ntok = TextFns.tokenCount(col("text"))
       val nchar = length(col("text"))
       val padded = concat(lit(" "), col("text"), lit(" "))
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         .withColumn("awl", (nchar - (ntok - lit(1))).cast("double") / ntok)
         .withColumn("vr", TextFns.vowelCount(col("text")).cast("double") / nchar)
         .withColumn("sr", TextFns.occurrences(padded, " the ").cast("double") / ntok)
@@ -195,7 +195,7 @@ object TextQueries {
   private val q36 = Q(
     "q36_lang_id",
     (s, dir) =>
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         .withColumn("predicted", TextFns.langId(col("text")))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n")),
@@ -226,7 +226,7 @@ object TextQueries {
   private val q37 = Q(
     "q37_fingerprint",
     (s, dir) =>
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         .withColumn("fp", TextFns.fingerprint(col("text")))
         .groupBy("source")
         .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n_docs")),
@@ -246,7 +246,7 @@ object TextQueries {
     "q45_repetition",
     (s, dir) => {
       val sh = TextFns.shingles(col("text"), 3)
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         .filter(size(TextFns.words(col("text"))) >= 3)
         .withColumn("ratio",
           lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
@@ -286,7 +286,7 @@ object TextQueries {
   private val q47 = Q(
     "q47_dedup_clusters",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val pairs = Dedup.minhashLsh(docs, "text", "doc_id")
       Dedup.survivors(docs, pairs, "doc_id")
     },
@@ -353,7 +353,7 @@ object TextQueries {
   private val q49 = Q(
     "q49_token_shards",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       graft.operators.Corpus.packShards(d, "source", "doc_id",
           TextFns.tokenCount(col("text")), budget = 512L)
         .groupBy("source", "shard")
@@ -403,7 +403,7 @@ object TextQueries {
   private val q51 = Q(
     "q51_decontaminate",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus.decontaminate(corpus, benchmark, "text", "doc_id", n = 8)
@@ -447,7 +447,7 @@ object TextQueries {
           .flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("query_id", "term")
         graft.operators.TextSearch.bm25(
-          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+          Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
           "text", "doc_id", queries, "query_id", "term", k = 5)
       },
       Some {
@@ -501,7 +501,7 @@ object TextQueries {
     "q53_phrase_search",
     (s, dir) =>
       graft.operators.TextSearch.phrase(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
         "text", "doc_id", "spark join", k = 10),
     Some("""
       WITH e AS (
@@ -524,7 +524,7 @@ object TextQueries {
   private val q54 = Q(
     "q54_bpe_tokens",
     (s, dir) =>
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         .withColumn("nb", TextFns.bpeTokenCount(col("text")))
         .withColumn("nw", TextFns.tokenCount(col("text")).cast("long"))
         .groupBy("lang")
@@ -617,7 +617,7 @@ object TextQueries {
   private val q59 = Q(
     "q59_decontaminate_fuzzy",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus
@@ -663,7 +663,7 @@ object TextQueries {
   private val q66 = Q(
     "q66_dup_spans",
     (s, dir) => graft.operators.SubstringDedup.spanStats(
-      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+      Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
       "text", "doc_id", k = 8, hashKeys = false),
     Some {
       val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -716,7 +716,7 @@ object TextQueries {
   private val q69 = Q(
     "q69_decontaminate_bloom",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val benchmark = docs.filter(col("doc_id") % 10 === 0)
       graft.operators.Corpus.decontaminateBloom(corpus, benchmark, "text", "doc_id", n = 8)
@@ -763,13 +763,13 @@ object TextQueries {
       "q70_hybrid_rrf",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+        val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
         val queries = queryTerms
           .flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("query_id", "term")
         val kw = graft.operators.TextSearch.bm25(
           docs, "text", "doc_id", queries, "query_id", "term", k = 10)
-        val e = Tables.parallelized(Tables.embeddings(s, dir), "vec_id", minBytes = 0L)
+        val e = Tables.parallelized(Tables.embeddings(s, dir), "vec_id", minBytes = Tables.TextHeavyMinBytes)
         val vecIds = vecOf.map(_._2.toLong)
         val vec = graft.operators.KnnJoin.bruteForce(
             e.filter(col("vec_id").isin(vecIds: _*)), e.filter(col("vec_id") >= 5),
@@ -912,7 +912,7 @@ object TextQueries {
     "q73_edit_verify",
     (s, dir) => {
       val d = Tables.parallelized(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = 0L)
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val pairs = Dedup.minhashLsh(d, "text", "doc_id")
       Dedup.editVerify(pairs, d, "text", "doc_id", maxDist = 64)
         .select("a_id", "b_id", "edit_dist", "edit_sim")
@@ -967,7 +967,7 @@ object TextQueries {
     "q77_chunk_docs",
     (s, dir) =>
       graft.operators.Corpus.chunkDocuments(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
         "text", "doc_id", chunkTokens = 32, overlapTokens = 8),
     Some("""
       WITH w AS (
@@ -993,7 +993,7 @@ object TextQueries {
   private val q78 = Q(
     "q78_snapshot_diff",
     (s, dir) => {
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val a = docs.filter(col("doc_id") < 250)
       val b = docs.filter(col("doc_id") % 7 =!= 0)
         .withColumn("text",
@@ -1065,7 +1065,7 @@ object TextQueries {
     "q90_dedup_lines",
     (s, dir) =>
       graft.operators.TextClean.dedupLines(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
         "text", "doc_id", sep = " "),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1094,7 +1094,7 @@ object TextQueries {
     (s, dir) => {
       // single-file local scans serialize the tokenize/explode stage;
       // spread it (no-op on a pre-split cluster scan)
-      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       val m = graft.operators.LangModel.train(docs, "text")
       graft.operators.LangModel.score(docs, "text", "doc_id", m)
     },
@@ -1141,7 +1141,7 @@ object TextQueries {
     (s, dir) => {
       val docs = Tables.parallelized(
         Tables.documents(s, dir).select("doc_id", "lang", "source", "text"), "doc_id",
-        minBytes = 0L)
+        minBytes = Tables.TextHeavyMinBytes)
       val unique = docs.join(
         Dedup.exact(docs, "text", "doc_id").select(col("keep_id")),
         docs("doc_id") === col("keep_id"), "leftsemi")
@@ -1221,7 +1221,7 @@ object TextQueries {
     "q93_boilerplate",
     (s, dir) =>
       graft.operators.TextClean.dropBoilerplateLines(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
         "text", "doc_id", maxDocs = 400, sep = " "),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1255,7 +1255,7 @@ object TextQueries {
     "q94_pmi_bigrams",
     (s, dir) =>
       graft.operators.LangModel.pmiTop(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L), "text",
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes), "text",
         k = 50, minCount = 5L),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1293,7 +1293,7 @@ object TextQueries {
     (s, dir) =>
       graft.operators.QualityRules.gopher(
         Tables.parallelized(Tables.documents(s, dir).select("doc_id", "text"), "doc_id",
-          minBytes = 0L), "text",
+          minBytes = Tables.TextHeavyMinBytes), "text",
         graft.operators.QualityRules.Params(
           minWords = 20L, maxWords = 90L,
           minMeanWordLen = 3.0, maxMeanWordLen = 4.75,
@@ -1338,7 +1338,7 @@ object TextQueries {
   private val q99 = Q(
     "q99_pack_sequences",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       graft.operators.Corpus.packSequences(
           d, "source", "doc_id", TextFns.tokenCount(col("text")), seqLen = 256L)
         .select("source", "doc_id", "seq_id", "tok_start", "tok_end", "n_tokens")
@@ -1437,7 +1437,7 @@ object TextQueries {
   private val q102 = Q(
     "q102_pack_rows",
     (s, dir) => {
-      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L)
+      val d = Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes)
       graft.operators.Corpus.packedRows(d, "source", "doc_id", "text", seqLen = 256L)
         .select("source", "seq_id", "seq_text", "n_tokens")
     },

@@ -22,7 +22,7 @@ object VectorQueries {
     * otherwise run fused into a single-split local file scan
     * (Tables.parallelized is a no-op on a pre-split cluster scan). */
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.parallelized(Tables.embeddings(s, dir), "vec_id", minBytes = 0L)
+    Tables.parallelized(Tables.embeddings(s, dir), "vec_id", minBytes = Tables.TextHeavyMinBytes)
 
   private val dotSql =
     "CAST(SUM(CAST(CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"

@@ -63,8 +63,17 @@ object Tables {
     * maxPartitionBytes: a file COUNT would misjudge one large splittable
     * file as serial (forcing a full at-scale shuffle), and probing df.rdd
     * would pay physical planning + RDD DAG construction per query build. */
+  /** Spread floor for regex/explode-heavy text and vector scans, where
+    * compressed bytes understate per-row work: half the plain 8 MB
+    * default, sized so sf1-scale text inputs (~6 MB) spread while sf0.1's
+    * sub-MB inputs — where the exchange measured as a net loss — do not. */
+  val TextHeavyMinBytes: Long = 4L << 20
+
   def parallelized(df: DataFrame, keyCol: String,
                    minBytes: Long = 8L << 20): DataFrame = {
+    // runtime kill switch (A/B experiments, emergency off on a deploy
+    // where the exchange measures as a net loss): off = never spread
+    if (sys.env.get("SPARK_GRAFT_SPREAD").contains("off")) return df
     val conf = df.sparkSession.sessionState.conf
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estSplits = (bytes / BigInt(math.max(1L, conf.filesMaxPartitionBytes))) + 1
@@ -75,9 +84,13 @@ object Tables {
     // pipelines that re-read it, while the same wrap on 60 MB+ inputs
     // won 3-7x). BYTES ARE A PROXY FOR WORK, and a bad one for heavily
     // compressed text whose per-row cost is regex/explode-bound — such
-    // call sites pass minBytes = 0 to always spread (measured 4-7x on
-    // the tokenize-heavy text queries at sf1, whose parquet is under
-    // 6 MB on disk).
+    // call sites pass TextHeavyMinBytes (4 MB): still spreading well
+    // below the plain-scan floor (measured 4-7x on the tokenize-heavy
+    // text queries at sf1, ~6 MB on disk) but NOT at sf0.1's sub-MB
+    // inputs, where a round-7 on/off A/B (best-of-2 full-catalog runs,
+    // SCALING.md) measured the exchange as a stable net LOSS on
+    // multi-pass pipelines (q92 +0.84 s, q89b +0.27 s) against only
+    // ~0.2 s of single-pass wins.
     val worthSpreading = bytes > BigInt(minBytes)
     if (worthSpreading && estSplits * 2 < cores)
       df.repartition(org.apache.spark.sql.functions.col(keyCol)) else df

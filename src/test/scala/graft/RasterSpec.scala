@@ -68,6 +68,55 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("gifBytes writes an animated GIF: frame count, dims, loop extension") {
+    val frames = (0 until 8).map { f =>
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 64, 48)
+            g.setColor(java.awt.Color.RED); g.drawLine(f * 8, 0, f * 8, 47) }
+      finally g.dispose()
+      img
+    }
+    val gif = Raster.gifBytes(frames, delayCs = 5)
+    // frame count via the GIF reader (ImageIO.read alone returns frame 0)
+    val reader = ImageIO.getImageReadersBySuffix("gif").next()
+    reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(gif)))
+    assert(reader.getNumImages(true) === 8)
+    (0 until 8).foreach { i =>
+      val img = reader.read(i)
+      assert(img.getWidth === 64 && img.getHeight === 48)
+    }
+    reader.dispose()
+    // NETSCAPE2.0 loop extension must be present (animation loops)
+    assert(new String(gif, "ISO-8859-1").contains("NETSCAPE2.0"))
+  }
+
+  test("renderAnimation: one GIF per key, frame count == epoch count, profile-grid dims") {
+    // Stokes-movie shape: per (pulsar, epoch) an nbin-binned profile
+    val nEpochs = 10
+    val nBin = 32
+    val rows = for (k <- Seq("J1A", "J2B"); e <- 0 until nEpochs; b <- 0 until nBin)
+      yield (k, e.toLong, b.toDouble,
+        math.exp(-math.pow((b - 16.0 - (if (k == "J1A") e * 0.3 else 0.0)) / 3.0, 2)))
+    val out = Raster.renderAnimation(
+        rows.toDF("psr", "epoch", "bin", "flux"),
+        "psr", "epoch", "bin", "flux", width = 128, height = 96, delayCs = 10)
+      .as[(String, Array[Byte], Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("J1A", "J2B"))
+    out.values.foreach { case (_, gif, nF, w, h) =>
+      assert(nF === nEpochs)
+      assert((w, h) === ((128, 96)))
+      val reader = ImageIO.getImageReadersBySuffix("gif").next()
+      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(gif)))
+      assert(reader.getNumImages(true) === nEpochs)
+      val f0 = reader.read(0)
+      assert(f0.getWidth === 128 && f0.getHeight === 96)
+      reader.dispose()
+    }
+  }
+
   test("renderCurves emits one S/N plot per key") {
     val rows = for (k <- Seq(1L, 2L); i <- 0 until 30)
       yield (k, i * 8.0, math.sqrt(i + 1.0) * k)

@@ -78,4 +78,73 @@ class SemanticScaleSpec extends SparkSpec {
     assert(math.ceil(500 / 25.0).toInt === 20)
     assert(math.ceil(2000 / 25.0).toInt === 80)
   }
+
+  test("two-level assignment: candidate work grows ~n^1.5, driver holds only the coarse codebook") {
+    // flat assignment scans all k centroids per row: work n·k, and with
+    // the scale-honest k ∝ n that is n²/S total flops plus a k×d driver
+    // literal. Two-level routes through ceil(√k) coarse cells and scans
+    // only the routed cell's fine centroids: expected work n·√k — at 4×
+    // data (k ∝ n) flat work grows 16×, two-level ~8×.
+    def candidates(n: Int): (Long, Long) = {
+      val df = corpus(n)
+      val (cents, _) = Dedup.blockCentroids(df, "embedding", "vec_id", "label", Target)
+      val k = cents.count()
+      val twoLevel = Dedup.twoLevelCandidates(df, "embedding", "vec_id", cents).count()
+      (twoLevel, n * k) // (two-level candidate rows, flat candidate work)
+    }
+    val (tl500, flat500) = candidates(500)
+    val (tl2000, flat2000) = candidates(2000)
+    assert(flat2000 === 16L * flat500, "flat work is quadratic by construction")
+    assert(tl500 < flat500, s"two-level $tl500 should beat flat $flat500 at n=500")
+    assert(tl2000 < 12L * tl500,
+      s"two-level candidate growth superlinear beyond sqrt-k: $tl500 -> $tl2000")
+  }
+
+  /** Well-separated fixture for agreement tests: 16 one-hot anchors in
+    * 16 dims, tight noise — "nearest centroid" is unambiguous, so any
+    * disagreement measures the ROUTING mechanism, not tie-breaking
+    * between near-identical block centroids. */
+  private def separated(n: Int): DataFrame = {
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val lab = i % dim
+      val vec = Array.tabulate(dim) { d =>
+        (if (d == lab) 1.0f else 0.0f) + 0.05f * rng.nextGaussian().toFloat
+      }
+      (i.toLong, lab, vec)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("two-level assignment agrees with flat when centroids are separated") {
+    val df = separated(2000)
+    // Target 125 -> B = 1 block/label: centroids are the 16 label means
+    val (cents, bits) = Dedup.blockCentroids(df, "embedding", "vec_id", "label", 125)
+    val flat = Dedup.assignNearest(df, "embedding", "vec_id", cents, bits)
+      .select(col("id"), col("cluster").as("flat_cluster"))
+    val two = Dedup.assignNearestTwoLevel(df, "embedding", "vec_id", cents)
+      .select(col("id"), col("cluster").as("two_cluster"))
+    val joined = flat.join(two, Seq("id"))
+    val n = joined.count()
+    assert(n === 2000L, "two-level must assign every row")
+    val same = joined.filter(col("flat_cluster") === col("two_cluster")).count()
+    // a row whose noise lands it nearer another cell's boundary may route
+    // away (the disclosed IVF trade); the bulk must agree
+    assert(same.toDouble / n >= 0.9,
+      s"two-level agreement ${same.toDouble / n} below 90% on separated clusters")
+  }
+
+  test("semanticPairsTwoLevel pairs are a high-recall subset of the flat pairs") {
+    val df = separated(800)
+    val (cents, bits) = Dedup.blockCentroids(df, "embedding", "vec_id", "label", 50)
+    val flatPairs = Dedup.semanticPairs(df, "embedding", "vec_id", cents, 0.8, bits)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val twoPairs = Dedup.semanticPairsTwoLevel(df, "embedding", "vec_id", cents, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(flatPairs.nonEmpty, "fixture produced no near-dup pairs at 0.8")
+    // two-level can only lose pairs whose members routed to different
+    // cells than their flat cluster — the same boundary loss class
+    val kept = twoPairs.intersect(flatPairs).size.toDouble / flatPairs.size
+    assert(kept >= 0.8, s"two-level kept only $kept of flat pairs")
+  }
 }
