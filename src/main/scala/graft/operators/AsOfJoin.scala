@@ -119,9 +119,14 @@ object AsOfJoin {
             // convert_timezone so the session-tz cast cancels exactly — a
             // bare cast shifts by the session offset, and around a DST
             // transition that offset differs BETWEEN the two values being
-            // subtracted, corrupting the distance by an hour.
-            c => unix_micros(org.apache.spark.sql.functions.convert_timezone(
-              lit("UTC"), expr("current_timezone()"), c).cast("timestamp"))
+            // subtracted, corrupting the distance by an hour. On a UTC
+            // session the conversion is the identity — skip its per-row
+            // zone arithmetic.
+            if (graft.sources.Tables.sessionIsUtc(left.sparkSession))
+              c => unix_micros(c.cast("timestamp"))
+            else
+              c => unix_micros(org.apache.spark.sql.functions.convert_timezone(
+                lit("UTC"), expr("current_timezone()"), c).cast("timestamp"))
           case DateType => c => unix_date(c).cast("long")
           case LongType | IntegerType | ShortType | ByteType => c => c.cast("long")
           case _: NumericType => c => c.cast("double")

@@ -49,9 +49,13 @@ object RangeJoin {
       case TimestampNTZType =>
         // tz-invariant NTZ micros: a bare cast would shift by the session
         // offset (and by DIFFERENT offsets across a DST boundary, mis-
-        // binning values near the transition on non-UTC sessions)
-        unix_micros(convert_timezone(
-          lit("UTC"), expr("current_timezone()"), col(name)).cast("timestamp"))
+        // binning values near the transition on non-UTC sessions); on a
+        // UTC session the conversion is the identity — skip it
+        if (graft.sources.Tables.sessionIsUtc(df.sparkSession))
+          unix_micros(col(name).cast("timestamp"))
+        else
+          unix_micros(convert_timezone(
+            lit("UTC"), expr("current_timezone()"), col(name)).cast("timestamp"))
       case _ => col(name).cast("long")
     }
 

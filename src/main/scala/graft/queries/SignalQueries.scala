@@ -953,7 +953,169 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108)
+
+  /** B31→oracle: FB-parameterized (orbital-frequency Taylor) mean
+    * anomaly (`Orbital.meanAnomaly` FB branch + `ombRadPerDay`,
+    * mirroring get_mean_anomaly/get_OMB, binary_tools.py:221-232,148) —
+    * the black-widow ephemeris form q24/q26's PB-branch queries don't
+    * touch. 2π·86400·Σ FBᵢ·dt^(i+1)/(i+1)! with the reference's single
+    * ×86400 quirk reproduced; the oracle spells out the identical
+    * left-associated three-term series on identical doubles (libm POW
+    * wobble is absorbed by the compare tolerance). */
+  private lazy val q108 = Q(
+    "q108_fb_anomaly",
+    (s, dir) => {
+      import graft.functions.Orbital
+      val pars = Orbital.BinaryPars(pbDays = 0.0, t0Mjd = 60310.0, ecc = 0.0,
+        fb = Seq(2.5e-5, 1.5e-13, -4.0e-21))
+      val dt = Orbital.mjd(col("ts")) - lit(60310.0)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        dt.as("dt_days"),
+        Orbital.meanAnomaly(dt, pars).as("m_fb"),
+        lit(Orbital.ombRadPerDay(pars)).as("omb_rad_per_day"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_id,
+          epoch_us(ts) / 86400000000.0 + 40587.0 - 60310.0 AS dt_days
+        FROM events)
+      SELECT event_id, dt_days,
+        ((2.5e-5 / 1.0) * POW(dt_days, 1.0)
+          + (1.5e-13 / 2.0) * POW(dt_days, 2.0)
+          + (-4.0e-21 / 6.0) * POW(dt_days, 3.0)) * (2.0 * PI() * 86400.0) AS m_fb,
+        2.0 * PI() * 2.5e-5 * 86400.0 AS omb_rad_per_day
+      FROM d
+    """),
+  )
+
+  /** B21→oracle: selective salted join (`SkewJoin.autoSalted`) proven
+    * equivalent to the plain equi-join by a HARD oracle signal — the
+    * oracle IS the plain join, so the hash match certifies that the
+    * measure-then-route decomposition (heavy keys through the salted
+    * path with right-side replication, light keys through the plain
+    * path) loses and invents nothing. heavyThreshold 60 puts roughly
+    * half the user keys on each route at sf0.01's ~67 events/user. */
+  private lazy val q105 = Q(
+    "q105_salted_join",
+    (s, dir) => {
+      import graft.operators.SkewJoin
+      val left = Tables.events(s, dir).select("user_id", "event_id", "value")
+      val right = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      SkewJoin.autoSalted(left, right, "user_id", "event_id",
+          saltBuckets = 8, heavyThreshold = 60)
+        .select("user_id", "event_id", "c_name", "value")
+    },
+    Some("""
+      SELECT e.user_id, e.event_id, c.c_name, e.value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """),
+  )
+
+  /** B32→oracle: sexagesimal RAJ/DECJ parsing + the J2000 equatorial →
+    * galactic rotation (`functions.Coords`, mirroring the astropy
+    * SkyCoord / psrcat `get_glgb` path, fluxcal_meerkat.py:61,91-145) as
+    * pure column trig. Per-row coordinate strings are derived
+    * deterministically from user/event ids (incl. a negative-declination
+    * branch exercising the sign-applies-to-whole-value rule). Cross-
+    * engine: libm sin/cos/atan2 agree to ~1 ulp and the synthetic sky
+    * stays degrees away from the galactic poles, so the compare
+    * tolerance absorbs the trig wobble. */
+  private lazy val q106 = Q(
+    "q106_galactic",
+    (s, dir) => {
+      import graft.functions.Coords
+      val ev = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .withColumn("raj", concat(
+          pmod(col("user_id"), lit(24)), lit(":"),
+          pmod(col("user_id") * 7, lit(60)), lit(":"),
+          pmod(col("user_id") * 13, lit(60)).cast("double") + lit(0.5)))
+        .withColumn("decj", concat(
+          when(pmod(col("user_id"), lit(2)) === 0, "+").otherwise("-"),
+          pmod(col("user_id") * 3, lit(89)), lit(":"),
+          pmod(col("user_id") * 11, lit(60)), lit(":"),
+          pmod(col("user_id") * 17, lit(60)).cast("double") + lit(0.25)))
+      ev.select(col("user_id"), col("raj"), col("decj"),
+        Coords.raFromHms(col("raj")).as("ra_deg"),
+        Coords.decFromDms(col("decj")).as("dec_deg"),
+        Coords.glDeg(Coords.raFromHms(col("raj")), Coords.decFromDms(col("decj"))).as("gl_deg"),
+        Coords.gbDeg(Coords.raFromHms(col("raj")), Coords.decFromDms(col("decj"))).as("gb_deg"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id FROM events GROUP BY 1),
+      s AS (
+        SELECT user_id,
+          CAST(user_id % 24 AS VARCHAR) || ':' || CAST((user_id * 7) % 60 AS VARCHAR) ||
+            ':' || CAST(CAST((user_id * 13) % 60 AS DOUBLE) + 0.5 AS VARCHAR) AS raj,
+          (CASE WHEN user_id % 2 = 0 THEN '+' ELSE '-' END) ||
+            CAST((user_id * 3) % 89 AS VARCHAR) || ':' || CAST((user_id * 11) % 60 AS VARCHAR) ||
+            ':' || CAST(CAST((user_id * 17) % 60 AS DOUBLE) + 0.25 AS VARCHAR) AS decj
+        FROM u),
+      parsed AS (
+        SELECT user_id, raj, decj,
+          (CAST(user_id % 24 AS DOUBLE)
+            + CAST((user_id * 7) % 60 AS DOUBLE) / 60.0
+            + (CAST((user_id * 13) % 60 AS DOUBLE) + 0.5) / 3600.0) * 15.0 AS ra_deg,
+          (CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+            (CAST((user_id * 3) % 89 AS DOUBLE)
+              + CAST((user_id * 11) % 60 AS DOUBLE) / 60.0
+              + (CAST((user_id * 17) % 60 AS DOUBLE) + 0.25) / 3600.0) AS dec_deg
+        FROM s),
+      rad AS (
+        SELECT *, ra_deg * (PI() / 180.0) AS ra, dec_deg * (PI() / 180.0) AS dec
+        FROM parsed),
+      g AS (
+        SELECT user_id, raj, decj, ra_deg, dec_deg,
+          122.93192 - ATAN2(
+            COS(dec) * SIN(ra - 192.85948 * (PI() / 180.0)),
+            SIN(dec) * COS(27.12825 * (PI() / 180.0))
+              - COS(dec) * SIN(27.12825 * (PI() / 180.0)) * COS(ra - 192.85948 * (PI() / 180.0))
+          ) / (PI() / 180.0) AS l_raw,
+          ASIN(SIN(dec) * SIN(27.12825 * (PI() / 180.0))
+            + COS(dec) * COS(27.12825 * (PI() / 180.0)) * COS(ra - 192.85948 * (PI() / 180.0)))
+            / (PI() / 180.0) AS gb_deg
+        FROM rad)
+      SELECT user_id, raj, decj, ra_deg, dec_deg,
+        FMOD(FMOD(l_raw, 360.0) + 360.0, 360.0) AS gl_deg, gb_deg
+      FROM g
+    """),
+  )
+
+  /** B27→oracle: all-zapped border trim (`operators.TrimEdges`,
+    * `Dynspec.trim_edges` at generate_images_results.py:176) — the
+    * events stream mapped onto a (time, channel) grid, validity from the
+    * flux value plus interior masking, bounding box of valid cells
+    * computed in one aggregate and applied as a filter. The oracle
+    * recomputes the box with scalar subqueries — hash match proves the
+    * broadcast-crossJoin form exact. */
+  private lazy val q107 = Q(
+    "q107_trim_edges",
+    (s, dir) => {
+      import graft.operators.TrimEdges
+      val grid = Tables.events(s, dir).select(
+        col("event_id"),
+        pmod(col("event_id"), lit(50)).as("t"),
+        pmod(col("event_id") * 7, lit(40)).as("c"),
+        col("value"))
+      TrimEdges(grid, "t", "c",
+        col("value") < 400.0 && col("t").between(3, 46) && col("c").between(2, 37))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT event_id, event_id % 50 AS t, (event_id * 7) % 40 AS c, value
+        FROM events),
+      b AS (
+        SELECT MIN(t) AS tmin, MAX(t) AS tmax, MIN(c) AS cmin, MAX(c) AS cmax
+        FROM grid
+        WHERE value < 400.0 AND t BETWEEN 3 AND 46 AND c BETWEEN 2 AND 37)
+      SELECT g.event_id, g.t, g.c, g.value
+      FROM grid g, b
+      WHERE g.t >= b.tmin AND g.t <= b.tmax AND g.c >= b.cmin AND g.c <= b.cmax
+    """),
+  )
 
   /** B34→oracle: the END-TO-END flux-calibration chain
     * (`operators.FluxCal.multipliers`, mirroring fluxcal_meerkat.py

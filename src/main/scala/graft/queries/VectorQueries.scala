@@ -533,5 +533,57 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b)
+  /** C39→oracle: SQ8 scalar quantization round trip
+    * (`Quantize.sq8Encode`/`sq8Decode`, the FAISS-style per-vector
+    * affine int8 form): encode every embedding, reconstruct, and report
+    * per-vector code mass + max reconstruction error. Codes and
+    * reconstructions are per-component IEEE arithmetic on identical
+    * doubles (Spark round() and DuckDB ROUND() agree away from exact
+    * .5 ties — quotients of arbitrary doubles land there with
+    * probability ~0, and the gate data has none); the array columns
+    * collapse to exact-integer and MAX aggregates so the driver compare
+    * sees scalars. */
+  private val q109 = Q(
+    "q109_sq8_roundtrip",
+    (s, dir) => {
+      val enc = graft.operators.Quantize.sq8Encode(emb(s, dir), "embedding")
+      enc.select(col("vec_id"), col("sq8_offset"), col("sq8_scale"),
+          explode(zip_with(col("sq8_codes"), col("embedding").cast("array<double>"),
+            (c, x) => struct(c.as("c"), x.as("x")))).as("z"))
+        .select(col("vec_id"), col("sq8_offset"), col("sq8_scale"),
+          (col("z.c").cast("long") + 128L).as("lvl"),
+          abs(col("sq8_offset") + (col("z.c").cast("double") + lit(128.0)) * col("sq8_scale")
+            - col("z.x")).as("err"))
+        .groupBy("vec_id", "sq8_offset", "sq8_scale")
+        .agg(sum(col("lvl")).as("sum_levels"), max(col("err")).as("max_abs_err"))
+    },
+    Some("""
+      WITH v AS (
+        -- min/max commute with the exact float->double cast, so casting
+        -- the list extrema equals Spark's extrema of the casted list
+        SELECT vec_id,
+          CAST(list_min(embedding) AS DOUBLE) AS sq8_offset,
+          (CAST(list_max(embedding) AS DOUBLE)
+            - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sq8_scale,
+          embedding
+        FROM embeddings),
+      comp AS (
+        SELECT vec_id, sq8_offset, sq8_scale,
+          CASE WHEN sq8_scale = 0.0 THEN 0
+            ELSE CAST(ROUND((CAST(embedding[i] AS DOUBLE) - sq8_offset) / sq8_scale) AS INT)
+          END AS lvl,
+          CAST(embedding[i] AS DOUBLE) AS x
+        FROM v, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+      r AS (
+        SELECT vec_id, sq8_offset, sq8_scale, lvl,
+          ABS(sq8_offset + (CAST(lvl - 128 AS DOUBLE) + 128.0) * sq8_scale - x) AS err
+        FROM comp)
+      SELECT vec_id, sq8_offset, sq8_scale,
+        CAST(SUM(lvl) AS BIGINT) AS sum_levels,
+        MAX(err) AS max_abs_err
+      FROM r GROUP BY 1, 2, 3
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109)
 }

@@ -31,14 +31,23 @@ object Tables {
     * stable TimestampType column whichever file vintage it reads.
     *
     * The NTZ branch is timezone-INVARIANT: the naive value is UTC wall
-    * clock, so it is first converted to the session timezone's wall clock
-    * (`convert_timezone('UTC', current_timezone(), ..)`) and only then
-    * cast — the cast's session-tz interpretation exactly undoes the
-    * conversion, leaving internal micros == the file's UTC micros on ANY
-    * session (a bare `cast(ts as timestamp)` silently shifts events on
-    * non-UTC sessions). */
+    * clock, so on a non-UTC session it is first converted to the session
+    * timezone's wall clock (`convert_timezone('UTC', current_timezone(),
+    * ..)`) and only then cast — the cast's session-tz interpretation
+    * exactly undoes the conversion, leaving internal micros == the
+    * file's UTC micros on ANY session (a bare `cast(ts as timestamp)`
+    * silently shifts events on non-UTC sessions). On a UTC session the
+    * conversion IS the identity, and the per-row zone arithmetic is not
+    * free (measured: events-heavy sf1 slopes crept 5.6x -> 7.5x with the
+    * unconditional form), so the plain cast fast path is taken. */
   private[graft] val ntzToUtcTimestamp =
     "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+  private[graft] def sessionIsUtc(spark: SparkSession): Boolean =
+    try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+      .normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Throwable => false }
+  private[graft] def ntzCastSql(spark: SparkSession): String =
+    if (sessionIsUtc(spark)) "cast(ts as timestamp)" else ntzToUtcTimestamp
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
@@ -46,12 +55,23 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", expr(ntzToUtcTimestamp))
+        raw.withColumn("ts", expr(ntzCastSql(spark)))
       case _ => raw
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread floor for regex/explode-heavy text and vector scans, where
+    * compressed bytes understate per-row work: well under the plain 8 MB
+    * default, sized so sf1-scale text inputs spread (raw scan ~6 MB, and
+    * a column-pruned projection's ESTIMATE drops to ~2.6 MB — the floor
+    * must sit below the pruned estimate or projected call sites lose
+    * their spread exactly where it pays; measured q97 1.4x -> 13x when a
+    * 4 MB floor missed the pruned estimate) while sf0.1's sub-MB
+    * estimates — where the exchange measured as a net loss — stay
+    * unspread. */
+  val TextHeavyMinBytes: Long = 2L << 20
 
   /** Spread per-row-heavy work across cores when the scan arrived with too
     * few splits to feed them (a small local parquet file is ONE split,
@@ -63,12 +83,6 @@ object Tables {
     * maxPartitionBytes: a file COUNT would misjudge one large splittable
     * file as serial (forcing a full at-scale shuffle), and probing df.rdd
     * would pay physical planning + RDD DAG construction per query build. */
-  /** Spread floor for regex/explode-heavy text and vector scans, where
-    * compressed bytes understate per-row work: half the plain 8 MB
-    * default, sized so sf1-scale text inputs (~6 MB) spread while sf0.1's
-    * sub-MB inputs — where the exchange measured as a net loss — do not. */
-  val TextHeavyMinBytes: Long = 4L << 20
-
   def parallelized(df: DataFrame, keyCol: String,
                    minBytes: Long = 8L << 20): DataFrame = {
     // runtime kill switch (A/B experiments, emergency off on a deploy
@@ -84,7 +98,7 @@ object Tables {
     // pipelines that re-read it, while the same wrap on 60 MB+ inputs
     // won 3-7x). BYTES ARE A PROXY FOR WORK, and a bad one for heavily
     // compressed text whose per-row cost is regex/explode-bound — such
-    // call sites pass TextHeavyMinBytes (4 MB): still spreading well
+    // call sites pass TextHeavyMinBytes (2 MB): still spreading well
     // below the plain-scan floor (measured 4-7x on the tokenize-heavy
     // text queries at sf1, ~6 MB on disk) but NOT at sf0.1's sub-MB
     // inputs, where a round-7 on/off A/B (best-of-2 full-catalog runs,

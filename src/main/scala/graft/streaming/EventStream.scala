@@ -236,8 +236,9 @@ object EventStream {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // timezone-invariant NTZ→UTC conversion (see Tables.ntzToUtcTimestamp)
-        stream.withColumn("ts", expr(graft.sources.Tables.ntzToUtcTimestamp))
+        // timezone-invariant NTZ→UTC conversion with the UTC-session
+        // fast path (see Tables.ntzCastSql)
+        stream.withColumn("ts", expr(graft.sources.Tables.ntzCastSql(spark)))
       case _ => stream
     }
   }
