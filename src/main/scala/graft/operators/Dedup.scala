@@ -39,6 +39,18 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    val bandDf = bandKeys(df, textCol, idCol, numHashes, bands, shingleN)
+    val a = bandDf.select(col("doc").as("a_id"), col("band"))
+    val b = bandDf.select(col("doc").as("b_id"), col("band"))
+    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** (doc, band) md5-banded LSH keys of [[minhashLsh]]'s scheme — shared
+    * by the self-join path above and the DuckDB-parity mode of the
+    * asymmetric [[dedupIncremental]] batch-vs-corpus join. */
+  private def bandKeys(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val perBand = numHashes / bands
     // The >= shingleN filter drops docs with no shingles (mirrored in the
@@ -47,16 +59,12 @@ object Dedup {
       .select(col(idCol).as("doc"),
         graft.expressions.MinHashSig.of(
           TextFns.shingles(col(textCol), shingleN), numHashes).as("sig"))
-    val bandDf = withSig.select(
+    withSig.select(
       col("doc"),
       explode(array((0 until bands).map { b =>
         val cols = (b * perBand until (b + 1) * perBand).map(i => element_at(col("sig"), i + 1))
         md5(concat(cols: _*))
       }: _*)).as("band"))
-    val a = bandDf.select(col("doc").as("a_id"), col("band"))
-    val b = bandDf.select(col("doc").as("b_id"), col("band"))
-    a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
   }
 
   /** Scale-path MinHash+LSH: identical banded design to `minhashLsh` but
@@ -336,7 +344,8 @@ object Dedup {
     * batch — this operator recomputes for self-containment. */
   def dedupIncremental(newDocs: DataFrame, existing: DataFrame, textCol: String,
                        idCol: String, threshold: Double = 0.8,
-                       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+                       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
+                       parity: Boolean = false): DataFrame = {
     // Stage 1 — exact: drop batch docs matching an existing text, then
     // keep one copy per identical within-batch text (catches short docs
     // the shingle stages can't see). localCheckpoint: `fresh` anchors
@@ -356,12 +365,18 @@ object Dedup {
     // only link to the corpus runs THROUGH another (dropped) batch doc
     // still collapse into the corpus cluster — two separate passes
     // would leak such transitive dups into the survivor set.
-    val nb = fastBandKeys(fresh, textCol, idCol, numHashes, bands, shingleN)
-      .select(col("doc").as("a_id"), col("band"))
-    val eb = fastBandKeys(existing, textCol, idCol, numHashes, bands, shingleN)
-      .select(col("doc").as("b_id"), col("band"))
+    // `parity` swaps the xxhash64 band keys for the md5-sliced family so a
+    // DuckDB oracle can replay the candidate stage verbatim (q113); the
+    // production default stays the fast long-hash scheme.
+    def keys(d: DataFrame): DataFrame =
+      if (parity) bandKeys(d, textCol, idCol, numHashes, bands, shingleN)
+      else fastBandKeys(d, textCol, idCol, numHashes, bands, shingleN)
+    val nb = keys(fresh).select(col("doc").as("a_id"), col("band"))
+    val eb = keys(existing).select(col("doc").as("b_id"), col("band"))
     val candNE = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
-    val candNN = minhashLshFast(fresh, textCol, idCol, numHashes, bands, shingleN)
+    val candNN =
+      if (parity) minhashLsh(fresh, textCol, idCol, numHashes, bands, shingleN)
+      else minhashLshFast(fresh, textCol, idCol, numHashes, bands, shingleN)
     val both = fresh.select(col(idCol), col(textCol))
       .union(existing.select(col(idCol), col(textCol)))
     val verified = jaccardVerify(candNE.union(candNN).distinct(), both, textCol, idCol)

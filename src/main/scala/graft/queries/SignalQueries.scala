@@ -953,7 +953,7 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104, q105, q106, q107, q108)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114)
 
   /** B31→oracle: FB-parameterized (orbital-frequency Taylor) mean
     * anomaly (`Orbital.meanAnomaly` FB branch + `ombRadPerDay`,
@@ -1521,6 +1521,94 @@ object SignalQueries {
         c.n_users, s.cohort_size,
         CAST(c.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
       FROM c JOIN s ON s.cohort = c.cohort
+    """),
+  )
+
+  /** B39→oracle: Z-order (Morton) layout key (`operators.ZOrder`) — the
+    * min/max grid normalization plus the codegen'd bit-interleave sort
+    * key mirrored bit-for-bit in SQL shift/mask arithmetic, so the
+    * data-skipping layout code is proven exact cross-engine (the
+    * clustered-write half stays spec-verified: file pruning is an I/O
+    * effect no SQL oracle can observe). Null dimensions route to cell 0
+    * on both sides (the clamp-after-coalesce convention that keeps null
+    * rows out of the max-corner files). */
+  private lazy val q110 = Q(
+    "q110_zorder_code",
+    (s, dir) => {
+      import graft.operators.ZOrder
+      val e = Tables.events(s, dir).select("event_id", "value", "user_id")
+      ZOrder.normalized(e, Seq("value", "user_id"), bits = 8)
+        .select(col("event_id"),
+          col("__z_value").as("z_value"), col("__z_user_id").as("z_user"),
+          ZOrder.mortonCode(Seq(col("__z_value"), col("__z_user_id")), bits = 8).as("zorder"))
+    },
+    Some {
+      // bit j of column i lands at position j*n + i (n=2: value=0, user=1)
+      val interleave = (0 until 8).flatMap { j =>
+        Seq(s"(((a >> $j) & 1) << ${2 * j})", s"(((b >> $j) & 1) << ${2 * j + 1})")
+      }.mkString(" | ")
+      s"""
+      WITH r AS (
+        SELECT CAST(MIN(value) AS DOUBLE) AS lo_v, CAST(MAX(value) AS DOUBLE) AS hi_v,
+               CAST(MIN(user_id) AS DOUBLE) AS lo_u, CAST(MAX(user_id) AS DOUBLE) AS hi_u
+        FROM events),
+      z AS (
+        SELECT event_id,
+          CASE WHEN hi_v - lo_v > 0
+            THEN CAST(FLOOR((CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) * 255.0) AS BIGINT)
+            ELSE 0 END AS z_value,
+          CASE WHEN hi_u - lo_u > 0
+            THEN CAST(FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * 255.0) AS BIGINT)
+            ELSE 0 END AS z_user
+        FROM events, r),
+      c AS (
+        SELECT event_id, z_value, z_user,
+          GREATEST(0, LEAST(255, COALESCE(z_value, 0))) AS a,
+          GREATEST(0, LEAST(255, COALESCE(z_user, 0))) AS b
+        FROM z)
+      SELECT event_id, z_value, z_user, ($interleave) AS zorder FROM c
+      """
+    },
+  )
+
+  /** B24→oracle: per-observation results assembly (`Results.assemble`,
+    * mirroring generate_results, generate_images_results.py:256) — the
+    * long-form metric pivot AND the results_json record proven
+    * cross-engine. Metric values are integer counts on purpose: JSON
+    * number formatting of integers is engine-identical where double
+    * rendering is not. `dm_fit` is a metric no run produced — the
+    * reference writes JSON null for those, and the oracle mirrors the
+    * ignoreNullFields=false rendering verbatim. */
+  private lazy val q114 = Q(
+    "q114_results_assemble",
+    (s, dir) => {
+      val metrics = Tables.events(s, dir)
+        .groupBy(col("user_id").as("obs_id"), col("event_type").as("metric"))
+        .agg(count(lit(1)).as("value"))
+      graft.operators.Results.assemble(metrics, "obs_id", "metric", "value",
+          Seq("click", "error", "purchase", "signup", "view", "dm_fit"))
+        .select("obs_id", "click", "error", "purchase", "signup", "view", "results_json")
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id AS obs_id, event_type AS metric, COUNT(*) AS v
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT obs_id,
+          MAX(CASE WHEN metric = 'click' THEN v END) AS click,
+          MAX(CASE WHEN metric = 'error' THEN v END) AS error,
+          MAX(CASE WHEN metric = 'purchase' THEN v END) AS purchase,
+          MAX(CASE WHEN metric = 'signup' THEN v END) AS signup,
+          MAX(CASE WHEN metric = 'view' THEN v END) AS "view"
+        FROM m GROUP BY 1)
+      SELECT obs_id, click, error, purchase, signup, "view",
+        '{"click":' || COALESCE(CAST(click AS VARCHAR), 'null') ||
+        ',"error":' || COALESCE(CAST(error AS VARCHAR), 'null') ||
+        ',"purchase":' || COALESCE(CAST(purchase AS VARCHAR), 'null') ||
+        ',"signup":' || COALESCE(CAST(signup AS VARCHAR), 'null') ||
+        ',"view":' || COALESCE(CAST("view" AS VARCHAR), 'null') ||
+        ',"dm_fit":null}' AS results_json
+      FROM p
     """),
   )
 }

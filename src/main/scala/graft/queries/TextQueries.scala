@@ -1465,7 +1465,212 @@ object TextQueries {
     """),
   )
 
+  /** C34→oracle: native Unicode text canonicalization
+    * (`expressions.NormalizeText`: NFC → Locale.ROOT lowercase →
+    * control strip → whitespace collapse → trim). The flat test corpus
+    * is plain ASCII, so the query FABRICATES the hard cases from table
+    * columns on both sides — a decomposed e+U+0301 (NFC must compose),
+    * uppercased text (lower must restore), tab + double spaces
+    * (collapse), U+00A0 no-break space (NOT Java whitespace — must
+    * survive verbatim), a BEL control (strip without a space), and
+    * leading/trailing runs (trim). The oracle mirrors the exact Java
+    * semantics in RE2 classes: non-whitespace ISO controls
+    * [00-08 0E-1B 7F-9F], Java-whitespace = [09-0D 1C-1F] ∪ Zs minus
+    * the no-break members (00A0/2007/202F) ∪ Zl/Zp. */
+  private lazy val q111 = Q(
+    "q111_normalize",
+    (s, dir) => {
+      val d = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      val aug = concat(
+        lit("  Cafe\u0301\t"), upper(substring(col("text"), 1, 40)),
+        lit("\u00A0"), col("text"), lit(" \u0007x  "))
+      d.select(col("doc_id"),
+        graft.operators.TextClean.normalized(aug).as("normalized"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          '  Cafe' || chr(769) || chr(9) || upper(substr(text, 1, 40)) ||
+            chr(160) || text || ' ' || chr(7) || 'x  ' AS t
+        FROM documents)
+      SELECT doc_id,
+        TRIM(regexp_replace(
+          regexp_replace(
+            lower(nfc_normalize(t)),
+            '[\x{00}-\x{08}\x{0e}-\x{1b}\x{7f}-\x{9f}]', '', 'g'),
+          '[\x{09}-\x{0d}\x{1c}-\x{1f} \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200a}\x{2028}\x{2029}\x{205f}\x{3000}]+',
+          ' ', 'g')) AS normalized
+      FROM aug
+    """),
+  )
+
+  /** C35→oracle: PII redaction chain (`TextClean.redactPii`) — emails,
+    * IPv4, card-shaped digit runs, phone-shaped groups, each counted on
+    * the text AS THAT STAGE SEES IT. The corpus carries no PII, so the
+    * query plants one of each from table columns (deterministically,
+    * both sides). The phone pattern's Java lookarounds have no RE2
+    * twin; the oracle emulates them with consumed boundary captures —
+    * exact here because the planted phones are space-delimited (two
+    * phones one char apart would diverge; the operator's Java regex is
+    * the semantics, the oracle is the witness). */
+  private lazy val q112 = Q(
+    "q112_redact_pii",
+    (s, dir) => {
+      val d = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "text", "source"), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      val aug = concat(
+        lit("reach "), col("source"), lit("@example.com ip 10.1."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 card 4111 1111 1111 1111 call +61 03 9095 4455 note "),
+        col("text"))
+      graft.operators.TextClean.redactPii(
+          d.select(col("doc_id"), aug.as("pii_text")), "pii_text")
+        .select(col("doc_id"), col("redacted"), col("n_redactions"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          'reach ' || source || '@example.com ip 10.1.' ||
+            CAST(doc_id % 256 AS VARCHAR) ||
+            '.7 card 4111 1111 1111 1111 call +61 03 9095 4455 note ' ||
+            text AS t
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1
+        FROM aug),
+      s2 AS (
+        SELECT doc_id, r1, c1,
+          regexp_replace(r1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r2,
+          len(regexp_extract_all(r1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS c2
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, c1, c2,
+          regexp_replace(r2, '\b\d([ -]?\d){12,18}\b', '<CARD>', 'g') AS r3,
+          len(regexp_extract_all(r2, '\b\d([ -]?\d){12,18}\b')) AS c3
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, c1, c2, c3,
+          regexp_replace(r3,
+            '(^|[^0-9A-Za-z_])(\+?\d{1,3}[ .-]\d{2,4}[ .-]\d{2,4}([ .-]\d{2,4})?)([^0-9A-Za-z_]|$)',
+            '\1<PHONE>\4', 'g') AS r4,
+          len(regexp_extract_all(r3,
+            '(^|[^0-9A-Za-z_])(\+?\d{1,3}[ .-]\d{2,4}[ .-]\d{2,4}([ .-]\d{2,4})?)([^0-9A-Za-z_]|$)')) AS c4
+        FROM s3)
+      SELECT doc_id, r4 AS redacted,
+        CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redactions
+      FROM s4
+    """),
+  )
+
+  /** C42→oracle: incremental ingestion dedup (`Dedup.dedupIncremental`,
+    * DuckDB-parity band keys) — the daily-pipeline mode proven end to
+    * end: even doc_ids play the existing corpus, odd ids the arriving
+    * batch; batch docs drop on exact corpus match, within-batch exact
+    * dup, verified near-dup of an existing doc (asymmetric new×existing
+    * band join), or losing the within-batch resolution — with the ONE
+    * shared pair graph collapsing transitive chains that cross the
+    * batch/corpus boundary. The oracle replays every stage (anti join,
+    * min-id exact stage, md5 minhash bands, asymmetric + self candidate
+    * joins, Jaccard verify, recursive-CTE components, contaminated-
+    * cluster drop rule) on the same split. */
+  private lazy val q113 = Q(
+    "q113_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text"), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      Dedup.dedupIncremental(batch, existing, "text", "doc_id",
+          threshold = 0.5, parity = true)
+        .select("doc_id", "lang", "source")
+    },
+    Some("""
+      WITH RECURSIVE exd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      nwd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      vs AS (
+        SELECT n.doc_id, n.text FROM nwd n
+        WHERE NOT EXISTS (SELECT 1 FROM exd e WHERE md5(e.text) = md5(n.text))),
+      fresh AS (
+        SELECT v.doc_id, v.text FROM vs v
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k FROM vs GROUP BY 1) g
+          ON v.doc_id = g.k),
+      allc AS (
+        SELECT doc_id, text FROM fresh
+        UNION ALL
+        SELECT doc_id, text FROM exd),
+      sh AS (
+        SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM allc
+              WHERE len(string_split(text, ' ')) >= 3) w,
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      hm AS (SELECT doc, md5(s) AS shmd5 FROM sh),
+      sig AS (
+        SELECT doc,
+          min(substr(shmd5, 1, 4)) AS h0, min(substr(shmd5, 5, 4)) AS h1,
+          min(substr(shmd5, 9, 4)) AS h2, min(substr(shmd5, 13, 4)) AS h3,
+          min(substr(shmd5, 17, 4)) AS h4, min(substr(shmd5, 21, 4)) AS h5,
+          min(substr(shmd5, 25, 4)) AS h6, min(substr(shmd5, 29, 4)) AS h7
+        FROM hm GROUP BY 1),
+      bands AS (
+        SELECT doc, md5(h0 || h1 || h2 || h3) AS bd FROM sig
+        UNION ALL
+        SELECT doc, md5(h4 || h5 || h6 || h7) AS bd FROM sig),
+      cand AS (
+        SELECT DISTINCT n.doc AS a_id, e.doc AS b_id
+        FROM bands n JOIN bands e ON n.bd = e.bd
+        WHERE n.doc % 2 = 1 AND e.doc % 2 = 0
+        UNION
+        SELECT DISTINCT x.doc AS a_id, y.doc AS b_id
+        FROM bands x JOIN bands y ON x.bd = y.bd
+        WHERE x.doc % 2 = 1 AND y.doc % 2 = 1 AND x.doc < y.doc),
+      wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM allc),
+      wc AS (SELECT doc_id, COUNT(*) AS nw FROM wd GROUP BY 1),
+      inter AS (
+        SELECT p.a_id, p.b_id, COUNT(*) AS i
+        FROM cand p
+        JOIN wd wa ON wa.doc_id = p.a_id
+        JOIN wd wb ON wb.doc_id = p.b_id AND wb.w = wa.w
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT p.a_id, p.b_id
+        FROM cand p
+        JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        JOIN wc ca ON ca.doc_id = p.a_id
+        JOIN wc cb ON cb.doc_id = p.b_id
+        WHERE CAST(i.i AS DOUBLE) / CAST(ca.nw + cb.nw - i.i AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node AS doc_id, MIN(r2) AS cluster_id FROM reach GROUP BY 1),
+      contaminated AS (
+        SELECT DISTINCT cluster_id FROM cl WHERE doc_id % 2 = 0),
+      dropnew AS (
+        SELECT doc_id FROM cl
+        WHERE doc_id % 2 = 1
+          AND (cluster_id IN (SELECT cluster_id FROM contaminated)
+               OR doc_id <> cluster_id))
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      JOIN fresh f ON f.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropnew)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113)
 }

@@ -40,7 +40,10 @@ class DeterminismSpec extends SparkSpec {
       "q80_similarity_join", "q81_ntile_buckets", "q82_winsorize", "q83_top_contributor",
       // round-5: two-level prefix-sum interval aggregation (bin window +
       // single-partition bins-table window + final groupBy)
-      "q88_interval_agg")
+      "q88_interval_agg",
+      // round-7: broadcast min/max + bit-interleave layout key, and the
+      // incremental dedup's asymmetric band join + shared component graph
+      "q110_zorder_code", "q113_dedup_incremental")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)
