@@ -371,12 +371,17 @@ object Dedup {
     def keys(d: DataFrame): DataFrame =
       if (parity) bandKeys(d, textCol, idCol, numHashes, bands, shingleN)
       else fastBandKeys(d, textCol, idCol, numHashes, bands, shingleN)
-    val nb = keys(fresh).select(col("doc").as("a_id"), col("band"))
+    // ONE signature pass over the batch serves both candidate joins (the
+    // within-batch LSH is definitionally the band-key self join, so
+    // deriving it from the checkpointed keys changes nothing but the
+    // pass count — the shingle+minhash map stage is the expensive part).
+    val nb = keys(fresh).select(col("doc").as("a_id"), col("band")).localCheckpoint()
     val eb = keys(existing).select(col("doc").as("b_id"), col("band"))
     val candNE = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
-    val candNN =
-      if (parity) minhashLsh(fresh, textCol, idCol, numHashes, bands, shingleN)
-      else minhashLshFast(fresh, textCol, idCol, numHashes, bands, shingleN)
+    val candNN = nb
+      .join(nb.select(col("a_id").as("b_id"), col("band")), Seq("band"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
     val both = fresh.select(col(idCol), col(textCol))
       .union(existing.select(col(idCol), col(textCol)))
     val verified = jaccardVerify(candNE.union(candNN).distinct(), both, textCol, idCol)
