@@ -55,4 +55,83 @@ object Downsample {
       .withColumn("roll_n", count(col(valueCol)).over(w))
       .drop("__us")
   }
+
+  /** One decimation-product spec: integer scrunch FACTORS for the time
+    * and channel axes. Factor 0 collapses the axis entirely — the
+    * reference's bare `tscrunch`/`fscrunch` products. */
+  final case class Plan(name: String, tFactor: Long, fFactor: Long) {
+    require(tFactor >= 0 && fFactor >= 0, s"factors must be >= 0: $this")
+  }
+
+  /** Parse the reference pipeline-config `flags` line (e.g.
+    * `pscrunch,t 320 f 8,t 64 f 16,t 8 f 32,tscrunch,fscrunch,saveall`,
+    * configuration_files/project_specific configs) into decimation
+    * [[Plan]]s plus the non-decimation global flags (pscrunch / saveall
+    * / nozap / subband n — applied pipeline-wide, not per product).
+    * `t N`/`f M` tokens may appear in either order; a missing axis
+    * keeps factor 1 (untouched). */
+  def parseFlags(flags: String): (Seq[Plan], Set[String]) = {
+    val plans = Seq.newBuilder[Plan]
+    val global = Set.newBuilder[String]
+    flags.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case item if item.toLowerCase.matches("""[tf]\s+\d+(\s+[tf]\s+\d+)?""") =>
+        val toks = item.toLowerCase.split("\\s+")
+        var t = 1L
+        var f = 1L
+        var i = 0
+        while (i + 1 < toks.length) {
+          toks(i) match {
+            case "t" => t = toks(i + 1).toLong
+            case "f" => f = toks(i + 1).toLong
+            case _ => ()
+          }
+          i += 2
+        }
+        plans += Plan(item.toLowerCase.replaceAll("\\s+", ""), t, f)
+      case item if item.equalsIgnoreCase("tscrunch") => plans += Plan("tscrunch", 0L, 1L)
+      case item if item.equalsIgnoreCase("fscrunch") => plans += Plan("fscrunch", 1L, 0L)
+      case other => global += other.toLowerCase
+    }
+    (plans.result(), global.result())
+  }
+
+  /** ALL decimation products in ONE scan and ONE shuffle — the
+    * reference renders each `flags` product with a separate pam pass
+    * over the archive; at lake scale N passes over the fact table is
+    * the difference between a night and an hour. Each row explodes into
+    * its (plan, t_bin, f_bin) memberships (the CUBE/Expand pattern with
+    * arbitrary bucketings instead of column subsets), then one
+    * map-side-combining aggregate keyed (keyCols, plan, t_bin, f_bin)
+    * produces every resolution: input read once, rows replicate
+    * |plans|× INTO the combine (partials shrink to Σ product sizes
+    * before the exchange — the shuffle carries products, not rows).
+    *
+    * `tIdx`/`fIdx` are integer axis indices (e.g. hours-since-epoch,
+    * channel number); binning is floor(idx / factor) on doubles —
+    * exact for |idx| < 2^53, i.e. any real axis index. Null indices
+    * bin as null (one group per plan, same in any engine). Output:
+    * keyCols ++ (plan, t_bin, f_bin, n, sum_value, avg_value),
+    * decimal-exact sums per the Num policy. */
+  def products(df: DataFrame, keyCols: Seq[String], tIdx: Column, fIdx: Column,
+               valueCol: Column, plans: Seq[Plan]): DataFrame = {
+    require(plans.nonEmpty, "at least one decimation plan")
+    require(plans.map(_.name).distinct.size == plans.size, "plan names must be unique")
+    def bin(idx: Column, factor: Long): Column =
+      if (factor == 0L) lit(0L)
+      else if (factor == 1L) idx.cast("long")
+      else floor(idx / lit(factor.toDouble)).cast("long")
+    val rep = explode(array(plans.map { p =>
+      struct(lit(p.name).as("plan"), bin(tIdx, p.tFactor).as("t_bin"),
+        bin(fIdx, p.fFactor).as("f_bin"))
+    }: _*)).as("__p")
+    val keyed = df.select(keyCols.map(col) ++ Seq(rep, valueCol.as("__v")): _*)
+      .select(keyCols.map(col) ++ Seq(col("__p.plan").as("plan"),
+        col("__p.t_bin").as("t_bin"), col("__p.f_bin").as("f_bin"), col("__v")): _*)
+    keyed
+      .groupBy(keyCols.map(col) ++ Seq(col("plan"), col("t_bin"), col("f_bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,6)")).cast("double").as("sum_value"),
+        (sum(col("__v").cast("decimal(38,6)")).cast("double") / count(col("__v")))
+          .as("avg_value"))
+  }
 }

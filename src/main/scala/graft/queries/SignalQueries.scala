@@ -953,7 +953,7 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115)
 
   /** B31→oracle: FB-parameterized (orbital-frequency Taylor) mean
     * anomaly (`Orbital.meanAnomaly` FB branch + `ombRadPerDay`,
@@ -1609,6 +1609,56 @@ object SignalQueries {
         ',"view":' || COALESCE(CAST("view" AS VARCHAR), 'null') ||
         ',"dm_fit":null}' AS results_json
       FROM p
+    """),
+  )
+
+  /** B58: EVERY decimation product in one pass (`Downsample.products` +
+    * `parseFlags`) — the reference's pipeline-config `flags` line
+    * (`pscrunch,t 320 f 8,t 64 f 16,t 8 f 32,tscrunch,fscrunch,saveall`,
+    * configuration_files/project_specific/meertime_jitter.config)
+    * renders each product with a separate pam pass over the archive;
+    * here the VERBATIM line parses into five plans and one scan + one
+    * map-side-combining shuffle emits all five resolutions (the
+    * CUBE/Expand pattern over arbitrary bucketings). Oracle = the same
+    * plans as a VALUES dim cross-joined and re-aggregated. */
+  private lazy val q115 = Q(
+    "q115_decimation_products",
+    (s, dir) => {
+      import graft.operators.Downsample
+      val (plans, _) = Downsample.parseFlags(
+        "pscrunch,t 320 f 8,t 64 f 16,t 8 f 32,tscrunch,fscrunch,saveall")
+      val e = Tables.events(s, dir).select(
+        col("event_type"),
+        floor(unix_micros(col("ts")) / lit(3600000000.0)).cast("long").as("t_idx"),
+        pmod(col("user_id"), lit(32)).cast("long").as("f_idx"),
+        col("value"))
+      Downsample.products(e, Seq("event_type"),
+        col("t_idx"), col("f_idx"), col("value"), plans)
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type,
+          CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS t_idx,
+          user_id % 32 AS f_idx, value
+        FROM events),
+      plans(plan, tf, ff) AS (VALUES
+        ('t320f8', 320, 8), ('t64f16', 64, 16), ('t8f32', 8, 32),
+        ('tscrunch', 0, 1), ('fscrunch', 1, 0)),
+      rep AS (
+        SELECT event_type, plan,
+          CASE WHEN tf = 0 THEN 0
+               WHEN tf = 1 THEN t_idx
+               ELSE CAST(FLOOR(t_idx / CAST(tf AS DOUBLE)) AS BIGINT) END AS t_bin,
+          CASE WHEN ff = 0 THEN 0
+               WHEN ff = 1 THEN f_idx
+               ELSE CAST(FLOOR(f_idx / CAST(ff AS DOUBLE)) AS BIGINT) END AS f_bin,
+          value
+        FROM base, plans)
+      SELECT event_type, plan, t_bin, f_bin,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+      FROM rep GROUP BY 1, 2, 3, 4
     """),
   )
 }

@@ -43,7 +43,9 @@ class DeterminismSpec extends SparkSpec {
       "q88_interval_agg",
       // round-7: broadcast min/max + bit-interleave layout key, and the
       // incremental dedup's asymmetric band join + shared component graph
-      "q110_zorder_code", "q113_dedup_incremental")
+      "q110_zorder_code", "q113_dedup_incremental",
+      // multi-plan Expand-style explode into one combine-keyed shuffle
+      "q115_decimation_products")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)

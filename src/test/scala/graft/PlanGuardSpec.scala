@@ -85,4 +85,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(sp.collect { case e: WindowExec => e }.isEmpty,
       "q100 must not fall back to a full per-group window sort")
   }
+
+  test("q113 incremental dedup: band-keyed joins only, candidate keys read from checkpoint") {
+    val sp = sparkPlan("q113_dedup_incremental")
+    assert(sp.collect { case e: BroadcastNestedLoopJoinExec => e }.isEmpty,
+      "q113 must not plan BroadcastNestedLoopJoin")
+    assert(sp.collect { case e: CartesianProductExec => e }.isEmpty,
+      "q113 must not plan a cartesian product")
+    // the batch's band keys are computed ONCE and checkpointed; both the
+    // asymmetric and the self candidate join must read the scan, not
+    // replay the shingle+minhash map stage
+    assert(sp.toString.contains("ExistingRDD") || sp.toString.contains("Scan ExistingRDD"),
+      "q113 candidate joins must read the checkpointed band keys")
+  }
 }

@@ -136,4 +136,45 @@ class SequenceOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(rows.head === ((1L, 2L, 1L)))
   }
+
+  test("parseFlags reads the verbatim reference config line") {
+    val (plans, global) = Downsample.parseFlags(
+      "pscrunch,t 320 f 8,t 64 f 16,t 8 f 32,tscrunch,fscrunch,saveall")
+    assert(plans === Seq(
+      Downsample.Plan("t320f8", 320, 8), Downsample.Plan("t64f16", 64, 16),
+      Downsample.Plan("t8f32", 8, 32), Downsample.Plan("tscrunch", 0, 1),
+      Downsample.Plan("fscrunch", 1, 0)))
+    assert(global === Set("pscrunch", "saveall"))
+    // axis order is free, a missing axis stays untouched (factor 1)
+    val (p2, _) = Downsample.parseFlags("f 4 t 2, t 16")
+    assert(p2 === Seq(Downsample.Plan("f4t2", 2, 4), Downsample.Plan("t16", 16, 1)))
+  }
+
+  test("products: one-pass multi-resolution equals per-plan groupBys") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 200).map { i =>
+      (s"k${i % 2}", (i / 3).toLong, (i % 8).toLong, i * 0.5 + 1)
+    }.toDF("k", "t_idx", "f_idx", "v")
+    val plans = Seq(Downsample.Plan("t4f2", 4, 2), Downsample.Plan("tscrunch", 0, 1))
+    val one = Downsample.products(df, Seq("k"), col("t_idx"), col("f_idx"), col("v"), plans)
+      .collect().map(_.toString).toSet
+    val perPlan = plans.flatMap { p =>
+      def bin(c: org.apache.spark.sql.Column, f: Long) =
+        if (f == 0L) lit(0L) else if (f == 1L) c.cast("long")
+        else floor(c / lit(f.toDouble)).cast("long")
+      df.groupBy(col("k"), lit(p.name).as("plan"),
+          bin(col("t_idx"), p.tFactor).as("t_bin"), bin(col("f_idx"), p.fFactor).as("f_bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,6)")).cast("double").as("sum_value"),
+          (sum(col("v").cast("decimal(38,6)")).cast("double") / count(col("v")))
+            .as("avg_value"))
+        .collect().map(_.toString)
+    }.toSet
+    assert(one === perPlan)
+    // full-collapse product: exactly one bin per key
+    val tsc = Downsample.products(df, Seq("k"), col("t_idx"), col("f_idx"), col("v"),
+        Seq(Downsample.Plan("all", 0, 0)))
+      .collect()
+    assert(tsc.length === 2 && tsc.map(_.getAs[Long]("n")).sum === 200)
+  }
 }
