@@ -585,5 +585,69 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109)
+  /** C12→oracle: embedding-cosine near-dup dedup
+    * (`Dedup.dedupCorpusByEmbedding`, single-table sign-LSH) — the
+    * oblivious-hyperplane counterpart to q89's data-adaptive centroid
+    * blocking, proven end to end: sign buckets from the first 8
+    * component signs (engine-portable by construction), bucket-local
+    * cosine ≥ τ pairs, connected components, min-id survivor, losers
+    * dropped. The oracle replays bucket/candidate/verify and the
+    * recursive-CTE component tail; cosine via the decimal-summed dot
+    * (order-free) against Spark's native double DotProduct — same
+    * few-ulp tolerance story as q38/q89. The multi-table seeded-
+    * hyperplane mode stays spec-verified (its Gaussian planes are
+    * JVM-RNG artifacts no SQL engine reproduces). */
+  private val q116 = Q(
+    "q116_dedup_embeddings",
+    (s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Dedup.dedupCorpusByEmbedding(e, "embedding", "vec_id",
+          threshold = 0.4, bits = 8, tables = 1)
+        .select("vec_id", "label")
+    },
+    Some {
+      val bucket = (0 until 8)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH RECURSIVE b AS (
+        SELECT vec_id, ($bucket) AS bucket FROM embeddings),
+      norms AS (
+        SELECT vec_id, SQRT(${dotSql.format("embedding", "embedding")}) AS nrm
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1),
+      cand AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      dots AS (
+        SELECT c.a_id, c.b_id,
+          CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+            AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id,
+        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT d.a_id, d.b_id FROM dots d
+        JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.4),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)
+      """
+    },
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116)
 }
