@@ -18,19 +18,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   * Encoding: IEEE-754 bits of the score, sign-flipped into a total order
   * (the standard sortable-double transform), with the low `labelBits`
   * mantissa bits replaced by the label. Scores whose difference is below
-  * ~2^-(52-labelBits) relative (≈ 4e-15 at labelBits = 4) collapse to a
-  * tie broken by the larger label; EXACT score ties break by larger label,
-  * matching `ORDER BY score DESC, label DESC` semantics. The winning
-  * score itself is NOT recoverable from the packed value (low bits hold
-  * the label) — pair with `max(score)`, which is the same row's score.
+  * ~2^-(52-labelBits) relative (≈ 4e-15 at labelBits = 4, ≈ 5e-7 at the
+  * 31-bit ceiling — still far below any meaningful cosine/score gap)
+  * collapse to a tie broken by the larger label; EXACT score ties break
+  * by larger label, matching `ORDER BY score DESC, label DESC`
+  * semantics. The winning score itself is NOT recoverable from the
+  * packed value (low bits hold the label) — pair with `max(score)`,
+  * which is the same row's score.
   *
   * Labels must be in [0, 2^labelBits); out-of-range labels throw (a
-  * silently-masked label would return a wrong argmax).
+  * silently-masked label would return a wrong argmax). labelBits caps at
+  * 31 — the label input is an Int, and scale paths that need k ∝ n label
+  * spaces ([[graft.operators.Dedup.assignNearestTwoLevel]]) auto-size
+  * bits to the codebook, reaching 2^31 labels before this encoding needs
+  * a wider carrier.
   */
 case class ArgMaxPack(left: Expression, right: Expression, labelBits: Int)
     extends BinaryExpression {
 
-  require(labelBits >= 1 && labelBits <= 24, s"labelBits must be in [1,24], got $labelBits")
+  require(labelBits >= 1 && labelBits <= 31, s"labelBits must be in [1,31], got $labelBits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "argmax_pack"

@@ -115,18 +115,17 @@ object AsOfJoin {
         val t: Column => Column = left.schema(leftTime).dataType match {
           case TimestampType => c => unix_micros(c)
           case TimestampNTZType =>
-            // tz-invariant: route the naive (UTC-wall-clock) value through
-            // convert_timezone so the session-tz cast cancels exactly — a
-            // bare cast shifts by the session offset, and around a DST
-            // transition that offset differs BETWEEN the two values being
-            // subtracted, corrupting the distance by an hour. On a UTC
-            // session the conversion is the identity — skip its per-row
-            // zone arithmetic.
+            // tz-invariant: epoch micros computed arithmetically from the
+            // naive (UTC-wall-clock) fields — a bare cast shifts by the
+            // session offset, and around a DST transition that offset
+            // differs BETWEEN the two values being subtracted, corrupting
+            // the distance by an hour (and a convert-then-cast round trip
+            // is ambiguous in the fall-back hour). On a UTC session the
+            // cast is the identity — skip the per-row field extraction.
             if (graft.sources.Tables.sessionIsUtc(left.sparkSession))
               c => unix_micros(c.cast("timestamp"))
             else
-              c => unix_micros(org.apache.spark.sql.functions.convert_timezone(
-                lit("UTC"), expr("current_timezone()"), c).cast("timestamp"))
+              c => graft.sources.Tables.ntzMicros(c)
           case DateType => c => unix_date(c).cast("long")
           case LongType | IntegerType | ShortType | ByteType => c => c.cast("long")
           case _: NumericType => c => c.cast("double")

@@ -714,26 +714,44 @@ object Dedup {
     * nearest fine centroid sits in a different coarse cell than the row
     * routes to gets its cell-local best instead — for semantic-dedup
     * blocking that only moves boundary vectors between blocks (the same
-    * disclosed recall class as q89's label blocks). Rows with
+    * disclosed recall class as q89's label blocks). Rows route only
+    * among cells that hold ≥ 1 fine centroid (KMeans can leave a coarse
+    * cell empty; routing to it would drop the row). Rows with
     * null/ragged vectors drop out (a null cell never joins); the flat
     * form keeps them with a null cluster, which equally never joins a
     * pair. Ties break to the LARGER cluster id at ArgMaxPack's packed
-    * precision (~2^-48 relative; the flat form ties at full precision).
+    * precision (2^-(52-bits) relative — ~5e-7 even at the 31-bit label
+    * ceiling, far below any meaningful cosine gap; the flat form ties
+    * at full precision); `clusterBits` auto-sizes to the codebook, so
+    * k ∝ n never hits a fixed bit cap.
     *
     * The centroid frame is evaluated twice here (coarse fit + cell
     * keying) — cache/localCheckpoint expensively-derived codebooks
     * before calling. */
   def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, coarseK: Int = 0,
-                            clusterBits: Int = 24): DataFrame = {
+                            clusterBits: Int = 0): DataFrame = {
+    // clusterBits = 0 ⇒ auto-size to the codebook's max cluster id, so
+    // k ∝ n label spaces never hit a fixed-bit ceiling (ArgMaxPack
+    // carries up to 31 bits — 2^31 fine centroids, n ≈ 5·10^10 at
+    // S = 25, before the Int label itself becomes the next ceiling)
+    val bits =
+      if (clusterBits > 0) clusterBits
+      else {
+        val maxId = centroids.agg(max(col("cluster").cast("int"))).head() match {
+          case r if r.isNullAt(0) => 0
+          case r => math.max(0, r.getInt(0))
+        }
+        math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxId)))
+      }
     val routed = twoLevelCandidates(df, vecCol, idCol, centroids, coarseK)
     val packed = graft.expressions.ArgMaxPack.of(
-      col("__cos"), col("__fine"), clusterBits)
+      col("__cos"), col("__fine"), bits)
     routed
       .groupBy("id")
       .agg(max(packed).as("__packed"), first(col("vec")).as("vec"))
       .withColumn("cluster",
-        graft.expressions.ArgMaxPack.unpackLabel(col("__packed"), clusterBits))
+        graft.expressions.ArgMaxPack.unpackLabel(col("__packed"), bits))
       .select(col("id"), col("cluster"), col("vec"))
   }
 
@@ -753,12 +771,21 @@ object Dedup {
     val coarseArr = coarse.centroids
       .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def cellOf(vec: Column): Column =
+    def cellOf(arr: Array[(Int, Array[Double])])(vec: Column): Column =
       graft.expressions.NearestCentroid.cosine(
-        vec, coarseArr.map(_._2), coarseArr.map(_._1)).getField("cluster")
-    val fineByCell = cents.withColumn("__cell", cellOf(col("__fc")))
+        vec, arr.map(_._2), arr.map(_._1)).getField("cluster")
+    val fineByCell = cents.withColumn("__cell", cellOf(coarseArr)(col("__fc")))
+    // DATA rows route only among cells that actually HOLD a fine
+    // centroid: KMeans can leave a coarse centroid with zero fine
+    // members (empty clusters keep their previous centroid), and a row
+    // whose nearest coarse cell were empty would silently vanish in the
+    // inner join below — a contract break vs the flat form's
+    // one-row-out-per-row-in. The non-empty cell set is ≤ √k ints.
+    val nonEmpty = fineByCell.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val routerArr = coarseArr.filter { case (id, _) => nonEmpty.contains(id) }
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("__cell", cellOf(col("vec")))
+      .withColumn("__cell", cellOf(routerArr)(col("vec")))
       .join(fineByCell, Seq("__cell"))
       .withColumn("__cos", VectorFns.cosine(col("vec"), col("__fc")))
   }

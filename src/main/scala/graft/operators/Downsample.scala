@@ -68,24 +68,21 @@ object Downsample {
     * configuration_files/project_specific configs) into decimation
     * [[Plan]]s plus the non-decimation global flags (pscrunch / saveall
     * / nozap / subband n — applied pipeline-wide, not per product).
-    * `t N`/`f M` tokens may appear in either order; a missing axis
-    * keeps factor 1 (untouched). */
+    * `t N`/`f M` tokens may appear in either order, with or without
+    * whitespace (`t 320 f 8`, `t320 f8`, `t320f8` — the compact form is
+    * exactly what [[Plan]] names round-trip to, so it MUST parse back);
+    * a missing axis keeps factor 1 (untouched). */
   def parseFlags(flags: String): (Seq[Plan], Set[String]) = {
+    val axis = """([tf])\s*(\d+)""".r
+    val planShape = """(?:\s*[tf]\s*\d+\s*){1,2}"""
     val plans = Seq.newBuilder[Plan]
     val global = Set.newBuilder[String]
     flags.split(",").map(_.trim).filter(_.nonEmpty).foreach {
-      case item if item.toLowerCase.matches("""[tf]\s+\d+(\s+[tf]\s+\d+)?""") =>
-        val toks = item.toLowerCase.split("\\s+")
+      case item if item.toLowerCase.matches(planShape) =>
         var t = 1L
         var f = 1L
-        var i = 0
-        while (i + 1 < toks.length) {
-          toks(i) match {
-            case "t" => t = toks(i + 1).toLong
-            case "f" => f = toks(i + 1).toLong
-            case _ => ()
-          }
-          i += 2
+        axis.findAllMatchIn(item.toLowerCase).foreach { m =>
+          if (m.group(1) == "t") t = m.group(2).toLong else f = m.group(2).toLong
         }
         plans += Plan(item.toLowerCase.replaceAll("\\s+", ""), t, f)
       case item if item.equalsIgnoreCase("tscrunch") => plans += Plan("tscrunch", 0L, 1L)

@@ -105,7 +105,8 @@ object KMeans {
       // only for the SQL-mirrorable fixed-iteration mode)
       var centroids: Array[(Int, Seq[Double])] = (init match {
         case KMeansParallel => initParallel(rows, k, seedRounds)
-        case FirstIds => rows.orderBy(col("id")).limit(k)
+        case FirstIds => rows.filter(col("vec").isNotNull)
+          .orderBy(col("id")).limit(k)
           .select("vec").collect().map(_.getSeq[Double](0))
       }).zipWithIndex.map { case (v, i) => (i, v) }
       require(centroids.nonEmpty, "KMeans.fit: input has no rows — no centroid is definable")

@@ -47,15 +47,16 @@ object RangeJoin {
     df.schema(name).dataType match {
       case TimestampType => unix_micros(col(name))
       case TimestampNTZType =>
-        // tz-invariant NTZ micros: a bare cast would shift by the session
-        // offset (and by DIFFERENT offsets across a DST boundary, mis-
-        // binning values near the transition on non-UTC sessions); on a
-        // UTC session the conversion is the identity — skip it
+        // tz-invariant NTZ micros, computed arithmetically from the naive
+        // wall-clock fields: a bare cast would shift by the session offset
+        // (and by DIFFERENT offsets across a DST boundary, mis-binning
+        // values near the transition; a convert-then-cast round trip is
+        // ambiguous in the fall-back hour); on a UTC session the cast is
+        // the identity — skip the field extraction
         if (graft.sources.Tables.sessionIsUtc(df.sparkSession))
           unix_micros(col(name).cast("timestamp"))
         else
-          unix_micros(convert_timezone(
-            lit("UTC"), expr("current_timezone()"), col(name)).cast("timestamp"))
+          graft.sources.Tables.ntzMicros(col(name))
       case _ => col(name).cast("long")
     }
 

@@ -160,6 +160,8 @@ object Raster {
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("k"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      // drop unplottable null points, not the key (see renderAnimation)
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
       .as[(String, Seq[(Double, Double)])]
@@ -250,6 +252,10 @@ object Raster {
     df.select(col(keyCol).cast("string").as("k"),
         col(frameCol).cast("long").as("f"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      // null frame/coordinate cells can't be plotted — drop the POINT,
+      // not the key (a single null flux would otherwise NPE the typed
+      // decode below and fail the whole per-key GIF job)
+      .filter(col("f").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("f"), col("x"), col("y"))).as("pts"))
       .as[(String, Seq[(Long, Double, Double)])]
@@ -277,6 +283,10 @@ object Raster {
     df.select(col(keyCol).cast("string").as("k"),
         col(timeCol).cast("int").as("t"), col(chanCol).cast("int").as("c"),
         col(fluxCol).cast("double").as("v"))
+      // null cells can't be painted — drop the cell, not the key (a
+      // missing (t,c) just keeps the background color, matching the
+      // reference's masked-pixel behavior)
+      .filter(col("t").isNotNull && col("c").isNotNull && col("v").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("t"), col("c"), col("v"))).as("cells"))
       .as[(String, Seq[(Int, Int, Double)])]

@@ -475,8 +475,11 @@ object VectorQueries {
         SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT)) AS k
         FROM embeddings),
       sd AS (
+        -- seeds = k smallest ids WITH a vector (KMeans.FirstIds skips
+        -- null embeddings; a null seed centroid is undefined)
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
         FROM embeddings
+        WHERE embedding IS NOT NULL
         QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM prm)),
       cent0 AS (
         SELECT sd.cl, u.i - 1 AS pos, CAST(e.embedding[u.i] AS DOUBLE) AS c

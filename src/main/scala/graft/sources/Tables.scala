@@ -31,17 +31,35 @@ object Tables {
     * stable TimestampType column whichever file vintage it reads.
     *
     * The NTZ branch is timezone-INVARIANT: the naive value is UTC wall
-    * clock, so on a non-UTC session it is first converted to the session
-    * timezone's wall clock (`convert_timezone('UTC', current_timezone(),
-    * ..)`) and only then cast — the cast's session-tz interpretation
-    * exactly undoes the conversion, leaving internal micros == the
-    * file's UTC micros on ANY session (a bare `cast(ts as timestamp)`
-    * silently shifts events on non-UTC sessions). On a UTC session the
-    * conversion IS the identity, and the per-row zone arithmetic is not
-    * free (measured: events-heavy sf1 slopes crept 5.6x -> 7.5x with the
-    * unconditional form), so the plain cast fast path is taken. */
+    * clock, so its epoch micros are computed ARITHMETICALLY from the
+    * wall-clock fields (days-since-epoch × 86.4e9 + intra-day micros) —
+    * no session-timezone interpretation anywhere, so the result is
+    * exact on ANY session including inside DST transitions (the earlier
+    * convert_timezone('UTC', session, ..)-then-cast round trip shifted
+    * instants landing in a non-UTC session's repeated fall-back hour by
+    * one hour: the cast resolves the ambiguous local time to one
+    * offset, and a bare `cast(ts as timestamp)` shifts everything). On
+    * a UTC session the cast IS the identity and the per-row field
+    * extraction is not free (the zone-arithmetic form measured 5.6x ->
+    * 7.5x on events-heavy sf1 slopes), so the plain cast fast path is
+    * taken. */
   private[graft] val ntzToUtcTimestamp =
-    "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+    "timestamp_micros(" +
+      "cast(datediff(cast(ts as date), date'1970-01-01') as bigint) * 86400000000 + " +
+      "cast(hour(ts) as bigint) * 3600000000 + " +
+      "cast(minute(ts) as bigint) * 60000000 + " +
+      "cast(date_part('SECOND', ts) * 1000000 as bigint))"
+
+  /** Column form of the same timezone-free NTZ(UTC wall clock) → epoch
+    * micros arithmetic, for operators that need the LONG axis value
+    * (as-of distances, range binning) rather than a TimestampType. */
+  private[graft] def ntzMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    datediff(c.cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * lit(86400000000L) +
+      hour(c).cast("long") * lit(3600000000L) +
+      minute(c).cast("long") * lit(60000000L) +
+      (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
+  }
   private[graft] def sessionIsUtc(spark: SparkSession): Boolean =
     try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
       .normalized() == java.time.ZoneOffset.UTC

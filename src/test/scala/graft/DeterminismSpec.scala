@@ -66,6 +66,38 @@ class DeterminismSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("NTZ->UTC conversion is exact on non-UTC sessions, incl. the DST fall-back hour") {
+    import org.apache.spark.sql.functions._
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.session.timeZone", "America/New_York")
+    // 2025-11-02T06:30Z lands in New York's REPEATED 01:30 local hour: a
+    // wall-clock round trip through the session zone is ambiguous there
+    // and the old convert-then-cast path shifted it one hour early.
+    val wallClocks = Seq(
+      "2025-11-02 06:30:00",    // inside the fall-back ambiguity
+      "2025-11-02 05:30:00",    // the EDT occurrence of the same local time
+      "2025-03-09 07:30:00",    // spring-forward skipped local hour
+      "2026-01-15 12:00:00.25", // fractional seconds, plain winter date
+      "1969-12-31 23:59:59")    // pre-epoch
+    val df = fresh.range(1).select(wallClocks.zipWithIndex.map { case (s, i) =>
+      to_timestamp_ntz(lit(s)).as(s"t$i")
+    }: _*)
+    val got = df.select(wallClocks.indices.map(i =>
+      graft.sources.Tables.ntzMicros(col(s"t$i")).as(s"m$i")): _*).head()
+    wallClocks.zipWithIndex.foreach { case (s, i) =>
+      val expected = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC)
+      val us = expected.getEpochSecond * 1000000L + expected.getNano / 1000L
+      assert(got.getLong(i) === us, s"$s converted wrong on a non-UTC session")
+    }
+    // and the SQL-string form (Tables.events NTZ branch) agrees
+    val viaSql = df.select(expr(graft.sources.Tables.ntzToUtcTimestamp
+      .replaceAll("\\bts\\b", "t0")).cast("long")).head().getLong(0)
+    val e0 = java.time.LocalDateTime.parse(wallClocks.head.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+    assert(viaSql === e0, "SQL-form NTZ conversion shifted in the fall-back hour")
+  }
+
   // Three rows share one timestamp; values differ so neighbor picks and
   // lag() results depend on intra-ts order.
   private def dupTsDf = Seq(

@@ -147,4 +147,25 @@ class SemanticScaleSpec extends SparkSpec {
     val kept = twoPairs.intersect(flatPairs).size.toDouble / flatPairs.size
     assert(kept >= 0.8, s"two-level kept only $kept of flat pairs")
   }
+
+  test("two-level assignment keeps EVERY row even when coarse cells are empty") {
+    val df = separated(400)
+    val (cents, _) = Dedup.blockCentroids(df, "embedding", "vec_id", "label", 25)
+    // force more coarse cells than fine centroids can populate — KMeans
+    // leaves empty/stale coarse centroids, and rows routing to a cell
+    // holding no fine centroid must NOT vanish (they route among
+    // non-empty cells only)
+    for (coarseK <- Seq(2, 7, 64)) {
+      val out = Dedup.assignNearestTwoLevel(df, "embedding", "vec_id", cents, coarseK)
+      assert(out.count() === 400L,
+        s"coarseK=$coarseK dropped rows from the assignment")
+      assert(out.select("id").distinct().count() === 400L)
+    }
+    // clusterBits auto-sizing: ids over 2^10 still round-trip the pack
+    val bigIds = cents.withColumn("cluster", col("cluster") + lit(5000000))
+    val out = Dedup.assignNearestTwoLevel(df, "embedding", "vec_id", bigIds)
+    assert(out.count() === 400L)
+    assert(out.agg(org.apache.spark.sql.functions.min("cluster")).head().getInt(0) >= 5000000,
+      "auto-sized clusterBits must carry the large cluster ids intact")
+  }
 }

@@ -148,6 +148,10 @@ class SequenceOpsSpec extends SparkSpec {
     // axis order is free, a missing axis stays untouched (factor 1)
     val (p2, _) = Downsample.parseFlags("f 4 t 2, t 16")
     assert(p2 === Seq(Downsample.Plan("f4t2", 2, 4), Downsample.Plan("t16", 16, 1)))
+    // compact forms parse too — Plan names round-trip through the parser
+    val (p3, g3) = Downsample.parseFlags("t320f8, t64 f16, pscrunch")
+    assert(p3 === Seq(Downsample.Plan("t320f8", 320, 8), Downsample.Plan("t64f16", 64, 16)))
+    assert(g3 === Set("pscrunch"))
   }
 
   test("products: one-pass multi-resolution equals per-plan groupBys") {
