@@ -953,7 +953,7 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117)
 
   /** B31→oracle: FB-parameterized (orbital-frequency Taylor) mean
     * anomaly (`Orbital.meanAnomaly` FB branch + `ombRadPerDay`,
@@ -1609,6 +1609,44 @@ object SignalQueries {
         ',"view":' || COALESCE(CAST("view" AS VARCHAR), 'null') ||
         ',"dm_fit":null}' AS results_json
       FROM p
+    """),
+  )
+
+  /** B59: TOA selection-logic rules (`operators.ToaSelect`) — the
+    * reference's `.select` quality-rule format
+    * (default_toa_logic.select: `LOGIC -snr < 10 REJECT`) parsed and
+    * run as a codegen'd first-match-wins when-chain; events.value plays
+    * the per-TOA S/N. The rule file here layers an ACCEPT carve-out
+    * under the verbatim default rule so ordering (not just the
+    * predicate) is what the hash checks; rows matching no rule are
+    * ACCEPTED, and null attributes satisfy no comparison — both
+    * defaults the oracle CASE mirrors exactly. */
+  private lazy val q117 = Q(
+    "q117_toa_select",
+    (s, dir) => {
+      import graft.operators.ToaSelect
+      val rules = ToaSelect.parse(
+        """# default_toa_logic.select + an ordering carve-out
+          |LOGIC -snr < 2 ACCEPT
+          |LOGIC -snr < 10 REJECT
+          |LOGIC -err >= 400 REJECT
+          |""".stripMargin)
+      val toas = Tables.events(s, dir).select(
+        col("event_id"), col("value").as("snr"),
+        (col("user_id") * 3 % 500).cast("double").as("err"))
+      ToaSelect.filter(toas, rules,
+        Map("snr" -> col("snr"), "err" -> col("err")))
+    },
+    Some("""
+      WITH toas AS (
+        SELECT event_id, value AS snr,
+          CAST((user_id * 3) % 500 AS DOUBLE) AS err
+        FROM events)
+      SELECT event_id, snr, err FROM toas
+      WHERE CASE WHEN snr < 2 THEN true
+                 WHEN snr < 10 THEN false
+                 WHEN err >= 400 THEN false
+                 ELSE true END
     """),
   )
 

@@ -95,4 +95,27 @@ class SignalSpec extends SparkSpec {
     assert(l == Seq(5.0, 2.0))
     assert(sc == Seq(2.5, 1.0))
   }
+
+  test("ToaSelect: first-match-wins, default accept, loud failures") {
+    import graft.operators.ToaSelect
+    val rules = ToaSelect.parse(
+      """# comment
+        |LOGIC -snr < 2 ACCEPT
+        |LOGIC -snr < 10 REJECT
+        |""".stripMargin)
+    assert(rules === Seq(
+      ToaSelect.Rule("snr", "<", 2.0, accept = true),
+      ToaSelect.Rule("snr", "<", 10.0, accept = false)))
+    val df = Seq((1L, Some(1.0)), (2L, Some(5.0)), (3L, Some(50.0)), (4L, None))
+      .toDF("id", "snr")
+    val kept = ToaSelect.filter(df, rules, Map("snr" -> col("snr")))
+      .select("id").as[Long].collect().toSet
+    // 1.0 hits the ACCEPT carve-out before the REJECT rule; 5.0 rejects;
+    // 50.0 matches nothing -> default accept; null satisfies no
+    // comparison -> default accept
+    assert(kept === Set(1L, 3L, 4L))
+    intercept[IllegalArgumentException](ToaSelect.parse("LOGIC snr oops"))
+    intercept[IllegalArgumentException](
+      ToaSelect.filter(df, rules, Map("other" -> col("snr"))))
+  }
 }
