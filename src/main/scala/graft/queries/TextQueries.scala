@@ -1670,7 +1670,57 @@ object TextQueries {
     """),
   )
 
+  /** C65: DSIR importance scoring (`operators.Dsir`, Xie et al. 2023) —
+    * hashed unigram+bigram bucket counts for a target domain (the
+    * English slice) vs the raw corpus, per-bucket smoothed
+    * log-likelihood ratios, per-doc summed importance weights — the
+    * "select web data that looks like the target domain" step of a
+    * modern pretraining recipe. Both engines hash features with the
+    * same md5-prefix bucket function and round each bucket's lr to
+    * DECIMAL(38,6) before the order-free per-doc sum (q91's ln recipe),
+    * so scores hash-match exactly. */
+  private lazy val q118 = Q(
+    "q118_dsir_scores",
+    (s, dir) => {
+      val docs = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      graft.operators.Dsir.scores(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id", buckets = 1024)
+    },
+    Some("""
+      WITH rawf AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS f FROM documents
+          UNION ALL
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 2) w,
+               LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i))),
+      tc AS (
+        SELECT b, COUNT(*) AS ct FROM rawf
+        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+      rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY 1),
+      counts AS (
+        SELECT COALESCE(tc.b, rc.b) AS b,
+          COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+        FROM tc FULL OUTER JOIN rc ON tc.b = rc.b),
+      tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+      dim AS (
+        SELECT b,
+          CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+             - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))
+            AS DECIMAL(38,6)) AS lr
+        FROM counts, tot)
+      SELECT r.doc_id, COUNT(*) AS n_features,
+        CAST(SUM(lr) AS DOUBLE) AS score
+      FROM rawf r JOIN dim USING (b)
+      GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118)
 }

@@ -44,8 +44,10 @@ class DeterminismSpec extends SparkSpec {
       // round-7: broadcast min/max + bit-interleave layout key, and the
       // incremental dedup's asymmetric band join + shared component graph
       "q110_zorder_code", "q113_dedup_incremental",
-      // multi-plan Expand-style explode into one combine-keyed shuffle
-      "q115_decimation_products")
+      // multi-plan Expand-style explode into one combine-keyed shuffle,
+      // metric pivot, sign-bucket pair join + component resolution
+      "q115_decimation_products", "q114_results_assemble",
+      "q116_dedup_embeddings")
     val dir = "/root/testdata/sf0.001"
     names.foreach { name =>
       val fn = graft.queries.Queries.queryMap(name)
