@@ -617,8 +617,10 @@ object Dedup {
     * contract); same within-cluster pair semantics. */
   def semanticPairsTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, threshold: Double,
-                            coarseK: Int = 0): DataFrame =
-    pairsFromAssigned(assignNearestTwoLevel(df, vecCol, idCol, centroids, coarseK), threshold)
+                            coarseK: Int = 0, clusterBits: Int = 0): DataFrame =
+    pairsFromAssigned(
+      assignNearestTwoLevel(df, vecCol, idCol, centroids, coarseK, clusterBits),
+      threshold)
 
   /** Within-cluster cosine pairs over an (id, cluster, vec) assignment —
     * the shared tail of the flat and two-level SemDeDup paths. */
@@ -725,9 +727,12 @@ object Dedup {
     * at full precision); `clusterBits` auto-sizes to the codebook, so
     * k ∝ n never hits a fixed bit cap.
     *
-    * The centroid frame is evaluated twice here (coarse fit + cell
-    * keying) — cache/localCheckpoint expensively-derived codebooks
-    * before calling. */
+    * The centroid frame is evaluated SEVERAL times here (count, coarse
+    * fit passes, cell keying, the non-empty-cell collect, plus the
+    * auto-bits agg when `clusterBits` is left 0) — cache/localCheckpoint
+    * expensively-derived codebooks before calling, and pass
+    * `clusterBits` when the caller already knows k (the semanticDedup
+    * paths forward their labelBits). */
   def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, coarseK: Int = 0,
                             clusterBits: Int = 0): DataFrame = {
@@ -781,7 +786,11 @@ object Dedup {
     // whose nearest coarse cell were empty would silently vanish in the
     // inner join below — a contract break vs the flat form's
     // one-row-out-per-row-in. The non-empty cell set is ≤ √k ints.
-    val nonEmpty = fineByCell.select("__cell").distinct()
+    // null __cell = a null/ragged codebook vector: it can never join a
+    // routed row (null key), so exclude it here too — collecting it
+    // would NPE the getInt
+    val nonEmpty = fineByCell.select("__cell")
+      .filter(col("__cell").isNotNull).distinct()
       .collect().map(_.getInt(0)).toSet
     val routerArr = coarseArr.filter { case (id, _) => nonEmpty.contains(id) }
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
@@ -797,7 +806,10 @@ object Dedup {
                     centroids: DataFrame, threshold: Double,
                     labelBits: Int = 10, twoLevel: Boolean = false): DataFrame = {
     val pairs =
-      if (twoLevel) semanticPairsTwoLevel(df, vecCol, idCol, centroids, threshold)
+      // forward the caller-computed labelBits so the two-level path's
+      // auto-sizing agg never re-evaluates an uncached codebook
+      if (twoLevel) semanticPairsTwoLevel(df, vecCol, idCol, centroids, threshold,
+        clusterBits = labelBits)
       else semanticPairs(df, vecCol, idCol, centroids, threshold, labelBits)
     dropLosers(df, pairs.select("a_id", "b_id"), idCol)
   }

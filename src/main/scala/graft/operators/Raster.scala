@@ -153,19 +153,29 @@ object Raster {
   }
 
   /** Per-key S/N-curve PNGs (`generate_SNR_images`): one image per key
-    * from its (x, y) points. Output: (key, png, n_points, width, height). */
+    * from its (x, y) points. Output: (key, png, n_points, width,
+    * height). A key whose EVERY point is null still emits a row — with
+    * a null `png` and `n_points = 0` — so callers reconciling expected
+    * keys against rendered outputs see an explicit signal, not a
+    * silently missing file. */
   def renderCurves(df: DataFrame, keyCol: String, xCol: String, yCol: String,
                    width: Int = 640, height: Int = 480): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("string").as("k"),
-        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      // drop unplottable null points, not the key (see renderAnimation)
-      .filter(col("x").isNotNull && col("y").isNotNull)
+    val pts0 = df.select(col(keyCol).cast("string").as("k"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // drop unplottable null points, not the key
+    val grouped = pts0.filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
+    pts0.select("k").distinct()
+      .join(grouped, Seq("k"), "left")
       .as[(String, Seq[(Double, Double)])]
-      .map { case (k, pts) => (k, linePng(pts, width, height), pts.size, width, height) }
+      .map { case (k, pts0) =>
+        val pts = Option(pts0).getOrElse(Seq.empty)
+        if (pts.isEmpty) (k, null: Array[Byte], 0, width, height)
+        else (k, linePng(pts, width, height), pts.size, width, height)
+      }
       .toDF(keyCol, "png", "n_points", "width", "height")
   }
 
@@ -249,24 +259,32 @@ object Raster {
                       delayCs: Int = 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("string").as("k"),
-        col(frameCol).cast("long").as("f"),
-        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      // null frame/coordinate cells can't be plotted — drop the POINT,
-      // not the key (a single null flux would otherwise NPE the typed
-      // decode below and fail the whole per-key GIF job)
+    val pts0 = df.select(col(keyCol).cast("string").as("k"),
+      col(frameCol).cast("long").as("f"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // null frame/coordinate cells can't be plotted — drop the POINT,
+    // not the key (a single null flux would otherwise NPE the typed
+    // decode below and fail the whole per-key GIF job); a key with ZERO
+    // plottable points still emits an explicit (null gif, 0 frames) row
+    val grouped = pts0
       .filter(col("f").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("f"), col("x"), col("y"))).as("pts"))
+    pts0.select("k").distinct()
+      .join(grouped, Seq("k"), "left")
       .as[(String, Seq[(Long, Double, Double)])]
-      .map { case (k, pts) =>
-        val frames = pts.groupBy(_._1).toSeq.sortBy(_._1)
-        val xr = Some((pts.iterator.map(_._2).min, pts.iterator.map(_._2).max))
-        val yr = Some((pts.iterator.map(_._3).min, pts.iterator.map(_._3).max))
-        val imgs = frames.map { case (_, fp) =>
-          lineImage(fp.map(p => (p._2, p._3)), width, height, xr, yr)
+      .map { case (k, pts0) =>
+        val pts = Option(pts0).getOrElse(Seq.empty)
+        if (pts.isEmpty) (k, null: Array[Byte], 0, width, height)
+        else {
+          val frames = pts.groupBy(_._1).toSeq.sortBy(_._1)
+          val xr = Some((pts.iterator.map(_._2).min, pts.iterator.map(_._2).max))
+          val yr = Some((pts.iterator.map(_._3).min, pts.iterator.map(_._3).max))
+          val imgs = frames.map { case (_, fp) =>
+            lineImage(fp.map(p => (p._2, p._3)), width, height, xr, yr)
+          }
+          (k, gifBytes(imgs, delayCs), frames.size, width, height)
         }
-        (k, gifBytes(imgs, delayCs), frames.size, width, height)
       }
       .toDF(keyCol, "gif", "n_frames", "width", "height")
   }
@@ -280,22 +298,30 @@ object Raster {
                     maxBytes: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("string").as("k"),
-        col(timeCol).cast("int").as("t"), col(chanCol).cast("int").as("c"),
-        col(fluxCol).cast("double").as("v"))
-      // null cells can't be painted — drop the cell, not the key (a
-      // missing (t,c) just keeps the background color, matching the
-      // reference's masked-pixel behavior)
+    val cells0 = df.select(col(keyCol).cast("string").as("k"),
+      col(timeCol).cast("int").as("t"), col(chanCol).cast("int").as("c"),
+      col(fluxCol).cast("double").as("v"))
+    // null cells can't be painted — drop the cell, not the key (a
+    // missing (t,c) just keeps the background color, matching the
+    // reference's masked-pixel behavior); an all-null key still emits
+    // an explicit (null png, 0×0) row
+    val grouped = cells0
       .filter(col("t").isNotNull && col("c").isNotNull && col("v").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("t"), col("c"), col("v"))).as("cells"))
+    cells0.select("k").distinct()
+      .join(grouped, Seq("k"), "left")
       .as[(String, Seq[(Int, Int, Double)])]
-      .map { case (k, cells) =>
-        val nT = cells.iterator.map(_._1).max + 1
-        val nC = cells.iterator.map(_._2).max + 1
-        val png0 = heatmapPng(cells, cellSize)
-        val png = maxBytes.fold(png0)(shrinkToBudget(png0, _))
-        (k, png, nT, nC, nT * cellSize, nC * cellSize)
+      .map { case (k, cells0) =>
+        val cells = Option(cells0).getOrElse(Seq.empty)
+        if (cells.isEmpty) (k, null: Array[Byte], 0, 0, 0, 0)
+        else {
+          val nT = cells.iterator.map(_._1).max + 1
+          val nC = cells.iterator.map(_._2).max + 1
+          val png0 = heatmapPng(cells, cellSize)
+          val png = maxBytes.fold(png0)(shrinkToBudget(png0, _))
+          (k, png, nT, nC, nT * cellSize, nC * cellSize)
+        }
       }
       .toDF(keyCol, "png", "n_time", "n_chan", "width", "height")
   }

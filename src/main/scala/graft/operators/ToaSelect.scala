@@ -25,7 +25,11 @@ object ToaSelect {
 
   final case class Rule(attr: String, op: String, value: Double, accept: Boolean)
 
-  private val Line = """(?i)LOGIC\s+-(\w+)\s*(<=|>=|!=|=|<|>)\s*([-+0-9.eE]+)\s+(ACCEPT|REJECT)""".r
+  // value = a proper numeric literal, so a malformed number ("1.2.3")
+  // falls to the loud unparseable-rule error instead of escaping as a
+  // bare NumberFormatException from toDouble
+  private val Line =
+    """(?i)LOGIC\s+-(\w+)\s*(<=|>=|!=|=|<|>)\s*([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)\s+(ACCEPT|REJECT)""".r
 
   /** Parse a `.select` file's text. Unparseable non-comment lines throw
     * (a silently-skipped quality rule would admit bad TOAs). */

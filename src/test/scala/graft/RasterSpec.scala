@@ -130,4 +130,29 @@ class RasterSpec extends SparkSpec {
       assert(img.getWidth === w && img.getHeight === h)
     }
   }
+
+  test("all-null keys emit explicit null-image rows, never vanish") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", Some(1L), Some(1.0), Some(2.0)),
+      ("a", Some(1L), Some(2.0), Some(3.0)),
+      ("b", None, None, None),
+    ).toDF("obs", "epoch", "x", "y")
+    val curves = Raster.renderCurves(df, "obs", "x", "y").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getInt(2))).toMap
+    assert(curves.keySet === Set("a", "b"))
+    assert(curves("b")._1 == null && curves("b")._2 === 0)
+    assert(curves("a")._1 != null && curves("a")._2 === 2)
+    val anim = Raster.renderAnimation(df, "obs", "epoch", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(anim === Map("a" -> 1, "b" -> 0))
+    val dyn = Raster.renderDynspec(
+        df.select(col("obs"), col("epoch").cast("int").as("t"),
+          lit(0).as("c"), col("x").as("v"))
+          .withColumn("c", when(col("t").isNull, lit(null).cast("int")).otherwise(col("c"))),
+        "obs", "t", "c", "v").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getInt(2))).toMap
+    assert(dyn.keySet === Set("a", "b"))
+    assert(dyn("b")._1 == null && dyn("b")._2 === 0)
+  }
 }
