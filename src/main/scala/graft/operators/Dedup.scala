@@ -801,7 +801,11 @@ object Dedup {
 
   /** [[dedupCorpus]] with SemDeDup blocking: semantic pairs above
     * `threshold` → connected components → min-id survivor per cluster →
-    * the corpus with semantic duplicates dropped. */
+    * the corpus with semantic duplicates dropped. `labelBits` must
+    * cover the codebook's max cluster id on BOTH paths (the two-level
+    * path packs with it too; an undersized value throws loudly from
+    * ArgMaxPack, never a silent wrong argmax) — [[semanticDedupAuto]]
+    * sizes it from k. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     centroids: DataFrame, threshold: Double,
                     labelBits: Int = 10, twoLevel: Boolean = false): DataFrame = {
