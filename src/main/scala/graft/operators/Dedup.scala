@@ -733,6 +733,16 @@ object Dedup {
     * expensively-derived codebooks before calling, and pass
     * `clusterBits` when the caller already knows k (the semanticDedup
     * paths forward their labelBits). */
+  /** Packed-label bit width sized from a codebook's max `cluster` id —
+    * one tiny agg over the (small) centroid frame. */
+  private[graft] def autoBits(centroids: DataFrame): Int = {
+    val maxId = centroids.agg(max(col("cluster").cast("int"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => math.max(0, r.getInt(0))
+    }
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxId)))
+  }
+
   def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, coarseK: Int = 0,
                             clusterBits: Int = 0): DataFrame = {
@@ -740,15 +750,7 @@ object Dedup {
     // k ∝ n label spaces never hit a fixed-bit ceiling (ArgMaxPack
     // carries up to 31 bits — 2^31 fine centroids, n ≈ 5·10^10 at
     // S = 25, before the Int label itself becomes the next ceiling)
-    val bits =
-      if (clusterBits > 0) clusterBits
-      else {
-        val maxId = centroids.agg(max(col("cluster").cast("int"))).head() match {
-          case r if r.isNullAt(0) => 0
-          case r => math.max(0, r.getInt(0))
-        }
-        math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxId)))
-      }
+    val bits = if (clusterBits > 0) clusterBits else autoBits(centroids)
     val routed = twoLevelCandidates(df, vecCol, idCol, centroids, coarseK)
     val packed = graft.expressions.ArgMaxPack.of(
       col("__cos"), col("__fine"), bits)
@@ -804,17 +806,22 @@ object Dedup {
     * the corpus with semantic duplicates dropped. `labelBits` must
     * cover the codebook's max cluster id on BOTH paths (the two-level
     * path packs with it too; an undersized value throws loudly from
-    * ArgMaxPack, never a silent wrong argmax) — [[semanticDedupAuto]]
-    * sizes it from k. */
+    * ArgMaxPack, never a silent wrong argmax) — leave it 0 to auto-size
+    * from the codebook (one tiny agg; cache/localCheckpoint an
+    * expensively-derived centroid frame first), or pass the known width
+    * as [[semanticDedupAuto]] does from k. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     centroids: DataFrame, threshold: Double,
-                    labelBits: Int = 10, twoLevel: Boolean = false): DataFrame = {
+                    labelBits: Int = 0, twoLevel: Boolean = false): DataFrame = {
+    // labelBits = 0 ⇒ auto-size from the codebook, so a default-argument
+    // caller with > 2^bits clusters can never hit an undersized pack on
+    // EITHER path; explicit labelBits is forwarded so the two-level
+    // auto-sizing agg never re-evaluates an uncached codebook
+    val bits = if (labelBits > 0) labelBits else autoBits(centroids)
     val pairs =
-      // forward the caller-computed labelBits so the two-level path's
-      // auto-sizing agg never re-evaluates an uncached codebook
       if (twoLevel) semanticPairsTwoLevel(df, vecCol, idCol, centroids, threshold,
-        clusterBits = labelBits)
-      else semanticPairs(df, vecCol, idCol, centroids, threshold, labelBits)
+        clusterBits = bits)
+      else semanticPairs(df, vecCol, idCol, centroids, threshold, bits)
     dropLosers(df, pairs.select("a_id", "b_id"), idCol)
   }
 

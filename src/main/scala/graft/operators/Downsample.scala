@@ -71,10 +71,18 @@ object Downsample {
     * `t N`/`f M` tokens may appear in either order, with or without
     * whitespace (`t 320 f 8`, `t320 f8`, `t320f8` — the compact form is
     * exactly what [[Plan]] names round-trip to, so it MUST parse back);
-    * a missing axis keeps factor 1 (untouched). */
+    * a missing axis keeps factor 1 (untouched). A token that is neither
+    * a plan shape nor a known global flag (pscrunch / saveall / nozap /
+    * `subband N`) and carries a digit — a typo'd product spec like
+    * `t 320 g 8` — THROWS instead of silently dropping the requested
+    * decimation (same loud-failure contract as ToaSelect.parse);
+    * digit-free unknown tokens still pass through as global flags for
+    * forward compatibility with new config vocabulary. */
   def parseFlags(flags: String): (Seq[Plan], Set[String]) = {
     val axis = """([tf])\s*(\d+)""".r
     val planShape = """(?:\s*[tf]\s*\d+\s*){1,2}"""
+    val knownGlobal = Set("pscrunch", "saveall", "nozap")
+    val subband = """subband\s*\d+""".r
     val plans = Seq.newBuilder[Plan]
     val global = Set.newBuilder[String]
     flags.split(",").map(_.trim).filter(_.nonEmpty).foreach {
@@ -87,7 +95,15 @@ object Downsample {
         plans += Plan(item.toLowerCase.replaceAll("\\s+", ""), t, f)
       case item if item.equalsIgnoreCase("tscrunch") => plans += Plan("tscrunch", 0L, 1L)
       case item if item.equalsIgnoreCase("fscrunch") => plans += Plan("fscrunch", 1L, 0L)
-      case other => global += other.toLowerCase
+      case other =>
+        val low = other.toLowerCase
+        if (!knownGlobal.contains(low) && !subband.pattern.matcher(low).matches()
+            && low.exists(_.isDigit))
+          throw new IllegalArgumentException(
+            s"parseFlags: unparseable token '$other' — not a decimation plan " +
+              "(t N / f M / tscrunch / fscrunch) and not a known global flag " +
+              "(pscrunch, saveall, nozap, subband N)")
+        global += low
     }
     (plans.result(), global.result())
   }

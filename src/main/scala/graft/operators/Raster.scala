@@ -168,8 +168,10 @@ object Raster {
     val grouped = pts0.filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
-    pts0.select("k").distinct()
-      .join(grouped, Seq("k"), "left")
+    // null-safe join: a null key is a legal group and must keep its points
+    val keys = pts0.select("k").distinct()
+    keys.join(grouped, keys("k") <=> grouped("k"), "left")
+      .select(keys("k"), grouped("pts"))
       .as[(String, Seq[(Double, Double)])]
       .map { case (k, pts0) =>
         val pts = Option(pts0).getOrElse(Seq.empty)
@@ -270,8 +272,10 @@ object Raster {
       .filter(col("f").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("f"), col("x"), col("y"))).as("pts"))
-    pts0.select("k").distinct()
-      .join(grouped, Seq("k"), "left")
+    // null-safe join: a null key is a legal group and must keep its points
+    val keys = pts0.select("k").distinct()
+    keys.join(grouped, keys("k") <=> grouped("k"), "left")
+      .select(keys("k"), grouped("pts"))
       .as[(String, Seq[(Long, Double, Double)])]
       .map { case (k, pts0) =>
         val pts = Option(pts0).getOrElse(Seq.empty)
@@ -309,8 +313,10 @@ object Raster {
       .filter(col("t").isNotNull && col("c").isNotNull && col("v").isNotNull)
       .groupBy("k")
       .agg(collect_list(struct(col("t"), col("c"), col("v"))).as("cells"))
-    cells0.select("k").distinct()
-      .join(grouped, Seq("k"), "left")
+    // null-safe join: a null key is a legal group and must keep its cells
+    val keys = cells0.select("k").distinct()
+    keys.join(grouped, keys("k") <=> grouped("k"), "left")
+      .select(keys("k"), grouped("cells"))
       .as[(String, Seq[(Int, Int, Double)])]
       .map { case (k, cells0) =>
         val cells = Option(cells0).getOrElse(Seq.empty)

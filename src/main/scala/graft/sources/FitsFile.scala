@@ -149,9 +149,14 @@ object FitsFile {
     if (get(cards, "XTENSION").isEmpty) 0L
     else {
       val naxis = get(cards, "NAXIS").flatMap(_.longValue).getOrElse(0L).toInt
-      val sz = (1 to naxis)
-        .map(i => get(cards, s"NAXIS$i").flatMap(_.longValue).getOrElse(0L))
-        .product
+      // NAXIS = 0 ⇒ NO data array (an empty product would be 1 and
+      // round up to a phantom 2880-byte block, mis-walking any HDU
+      // that follows a data-less extension)
+      val sz =
+        if (naxis == 0) 0L
+        else (1 to naxis)
+          .map(i => get(cards, s"NAXIS$i").flatMap(_.longValue).getOrElse(0L))
+          .product
       if (sz % BlockSize > 0) sz + (BlockSize - sz % BlockSize) else sz
     }
 

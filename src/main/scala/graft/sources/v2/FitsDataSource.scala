@@ -45,6 +45,11 @@ import graft.sources.FitsFile
   *  - byte statistics from the file listing so Catalyst sees a real
   *    size (FITS header catalogs are classic broadcast-side tables).
   *
+  * Option `strict=true` turns corruption loud: a header truncated
+  * before its END card, sub-block trailing bytes, or a data region cut
+  * off by EOF all throw from the scan instead of silently ending the
+  * HDU walk (the default mirrors [[FitsFile.readHdus]]'s lenient stop).
+  *
   * Read-only: corrected-archive WRITE-BACK is the
   * [[FitsFile.transformFiles]] operator (the dlyfix rewrite loop),
   * which owns the byte-identical round-trip contract.
@@ -111,11 +116,12 @@ final class FitsScanBuilder(options: CaseInsensitiveStringMap)
           .readValue(options.get("paths"), classOf[Array[String]]).toSeq
       } else Option(options.get("path")).toSeq
     require(paths.nonEmpty, "graft-fits: no path specified")
-    new FitsScan(paths, required, pushed)
+    new FitsScan(paths, required, pushed, options.getBoolean("strict", false))
   }
 }
 
-final class FitsScan(paths: Seq[String], required: StructType, pushed: Array[Filter])
+final class FitsScan(paths: Seq[String], required: StructType, pushed: Array[Filter],
+                     strict: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
@@ -153,7 +159,7 @@ final class FitsScan(paths: Seq[String], required: StructType, pushed: Array[Fil
     prunedFiles.map(f => FitsInputPartition(f._1): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FitsReaderFactory(required, allowed("key"), hadoopConf)
+    new FitsReaderFactory(required, allowed("key"), hadoopConf, strict)
 }
 
 object FitsScan {
@@ -175,11 +181,12 @@ object FitsScan {
 final case class FitsInputPartition(file: String) extends InputPartition
 
 final class FitsReaderFactory(required: StructType, keyFilter: Option[Set[String]],
-                              hadoopConf: org.apache.spark.util.SerializableConfiguration)
+                              hadoopConf: org.apache.spark.util.SerializableConfiguration,
+                              strict: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FitsPartitionReader(partition.asInstanceOf[FitsInputPartition].file, required,
-      keyFilter, hadoopConf.value)
+      keyFilter, hadoopConf.value, strict)
 }
 
 /** Parses one FITS file's headers. The HDU walk reads header blocks and
@@ -189,7 +196,8 @@ final class FitsReaderFactory(required: StructType, keyFilter: Option[Set[String
   * during the walk. */
 final class FitsPartitionReader(file: String, required: StructType,
                                 keyFilter: Option[Set[String]],
-                                conf: Configuration)
+                                conf: Configuration,
+                                strict: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val cards: Iterator[(Int, Int, FitsFile.FitsCard)] = {
@@ -224,7 +232,17 @@ final class FitsPartitionReader(file: String, required: StructType,
               i += FitsFile.BlockSize
             }
           }
-          if (truncated) more = false
+          if (truncated) {
+            // A header started but hit EOF before its END card: the
+            // archive is corrupt or mid-write. Default (lenient, same as
+            // FitsFile.readHdus) drops the partial header and ends the
+            // walk; option strict=true makes corruption loud — a DSv2
+            // scan has no other channel to surface it.
+            if (strict) throw new java.io.IOException(
+              s"graft-fits strict: truncated header in $file at offset $off " +
+                s"(file length $len) — ${acc.result().size} cards read with no END")
+            more = false
+          }
           else {
             val raw = acc.result()
             out += ((hdu, FitsFile.mergeContinuations(raw)))
@@ -233,6 +251,14 @@ final class FitsPartitionReader(file: String, required: StructType,
             more = off + FitsFile.BlockSize <= len
           }
         }
+        // a clean FITS file is a whole number of 2880-byte blocks and the
+        // walk ends exactly at EOF; anything else (sub-block trailing
+        // garbage, or a data region the header promised but EOF cut off)
+        // is corruption strict mode must surface
+        if (strict && off != len) throw new java.io.IOException(
+          s"graft-fits strict: HDU walk ended at offset $off but $file is $len bytes — " +
+            (if (off < len) s"${len - off} trailing bytes (not a whole 2880-byte block)"
+             else s"data region truncated ${off - len} bytes short"))
         out.result()
       } finally in.close()
     val all = hdus.iterator.flatMap { case (hdu, hduCards) =>

@@ -145,4 +145,29 @@ class FitsDataSourceSpec extends SparkSpec {
     assert(pruned === fitsB.length,
       "pushed source_file filter must shrink the size estimate")
   }
+
+  test("strict=true throws on truncated headers and trailing garbage; default stays lenient") {
+    // corrupt archive: a full primary HDU, then a header block with no
+    // END card and nothing after it — a mid-write or damaged file
+    val d = java.nio.file.Files.createTempDirectory("fitsv2strict").toFile
+    val corrupt = fitsB ++ block(Seq(kv("XTENSION", "'BINTABLE'"),
+      kv("BITPIX", "8"))) // no END ⇒ header claims to continue past EOF
+    java.nio.file.Files.write(new java.io.File(d, "c.fits").toPath, corrupt)
+
+    // lenient (default): the partial trailing header is dropped silently
+    val lenient = spark.read.format("graft-fits").load(d.getAbsolutePath)
+    assert(lenient.select("hdu").distinct().as[Int].collect().toSet === Set(0))
+
+    // strict: the same scan throws, naming the file
+    val strict = spark.read.format("graft-fits").option("strict", true)
+      .load(d.getAbsolutePath)
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    val root = Iterator.iterate(e: Throwable)(_.getCause).find(t =>
+      t.getCause == null || t.getMessage.contains("graft-fits strict")).get
+    assert(root.getMessage.contains("c.fits"))
+
+    // strict on CLEAN archives is a no-op: same rows as lenient
+    val clean = spark.read.format("graft-fits").option("strict", true).load(dir)
+    assert(clean.count() === read().count())
+  }
 }

@@ -155,4 +155,29 @@ class RasterSpec extends SparkSpec {
     assert(dyn.keySet === Set("a", "b"))
     assert(dyn("b")._1 == null && dyn("b")._2 === 0)
   }
+
+  test("a NULL key with plottable points keeps them (null-safe join)") {
+    import org.apache.spark.sql.functions._
+    // key is null but every point is real: groupBy treats null as a
+    // group, so the key-preserving join must be null-safe or the group's
+    // points silently vanish into a (null image, 0 points) row
+    val df = Seq(
+      (Option.empty[String], Some(1L), Some(1.0), Some(2.0)),
+      (Option.empty[String], Some(2L), Some(2.0), Some(5.0)),
+      (Some("a"), Some(1L), Some(3.0), Some(4.0)),
+    ).toDF("obs", "epoch", "x", "y")
+    val curves = Raster.renderCurves(df, "obs", "x", "y").collect()
+      .map(r => Option(r.getString(0)) -> (r.get(1), r.getInt(2))).toMap
+    assert(curves.keySet === Set(None, Some("a")))
+    assert(curves(None)._1 != null && curves(None)._2 === 2)
+    val anim = Raster.renderAnimation(df, "obs", "epoch", "x", "y").collect()
+      .map(r => Option(r.getString(0)) -> r.getInt(2)).toMap
+    assert(anim === Map(None -> 2, Some("a") -> 1))
+    val dyn = Raster.renderDynspec(
+        df.select(col("obs"), col("epoch").cast("int").as("t"),
+          lit(0).as("c"), col("x").as("v")),
+        "obs", "t", "c", "v").collect()
+      .map(r => Option(r.getString(0)) -> (r.get(1), r.getInt(2))).toMap
+    assert(dyn(None)._1 != null && dyn(None)._2 === 3)
+  }
 }

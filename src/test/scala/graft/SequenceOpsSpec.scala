@@ -152,6 +152,14 @@ class SequenceOpsSpec extends SparkSpec {
     val (p3, g3) = Downsample.parseFlags("t320f8, t64 f16, pscrunch")
     assert(p3 === Seq(Downsample.Plan("t320f8", 320, 8), Downsample.Plan("t64f16", 64, 16)))
     assert(g3 === Set("pscrunch"))
+    // subband N is vocabulary, any other digit-bearing token is a typo'd
+    // product spec and must FAIL LOUDLY, not become a silent global flag
+    val (_, g4) = Downsample.parseFlags("subband 4, nozap")
+    assert(g4 === Set("subband 4", "nozap"))
+    intercept[IllegalArgumentException] { Downsample.parseFlags("t 320 g 8") }
+    intercept[IllegalArgumentException] { Downsample.parseFlags("t320x8") }
+    // digit-free unknown tokens still pass through (forward compat)
+    assert(Downsample.parseFlags("newflag")._2 === Set("newflag"))
   }
 
   test("products: one-pass multi-resolution equals per-plan groupBys") {
