@@ -745,13 +745,17 @@ object Dedup {
 
   def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, coarseK: Int = 0,
-                            clusterBits: Int = 0): DataFrame = {
+                            clusterBits: Int = 0,
+                            coarseInit: KMeans.Init = KMeans.KMeansParallel,
+                            coarseIters: Int = 5,
+                            coarseTol: Double = 1e-6): DataFrame = {
     // clusterBits = 0 ⇒ auto-size to the codebook's max cluster id, so
     // k ∝ n label spaces never hit a fixed-bit ceiling (ArgMaxPack
     // carries up to 31 bits — 2^31 fine centroids, n ≈ 5·10^10 at
     // S = 25, before the Int label itself becomes the next ceiling)
     val bits = if (clusterBits > 0) clusterBits else autoBits(centroids)
-    val routed = twoLevelCandidates(df, vecCol, idCol, centroids, coarseK)
+    val routed = twoLevelCandidates(df, vecCol, idCol, centroids, coarseK,
+      coarseInit, coarseIters, coarseTol)
     val packed = graft.expressions.ArgMaxPack.of(
       col("__cos"), col("__fine"), bits)
     routed
@@ -766,15 +770,23 @@ object Dedup {
     * fine centroid in its coarse cell) with the cosine attached — split
     * out so SemanticScaleSpec can count candidate work directly. */
   private[graft] def twoLevelCandidates(df: DataFrame, vecCol: String, idCol: String,
-                                        centroids: DataFrame, coarseK: Int = 0): DataFrame = {
+                                        centroids: DataFrame, coarseK: Int = 0,
+                                        coarseInit: KMeans.Init = KMeans.KMeansParallel,
+                                        coarseIters: Int = 5,
+                                        coarseTol: Double = 1e-6): DataFrame = {
     val cents = centroids.select(col("cluster").cast("int").as("__fine"),
       col("centroid").cast("array<double>").as("__fc"))
     val kc =
       if (coarseK > 0) coarseK
       else math.max(1, math.ceil(math.sqrt(
         math.max(1L, cents.count()).toDouble)).toInt)
+    // coarseInit/coarseIters/coarseTol expose the coarse fit to callers
+    // that need the SQL-mirrorable configuration (FirstIds seeds, fixed
+    // rounds, tol = 0 — the q89b recipe); the defaults keep the
+    // production k-means|| seeding with early stop
     val coarse = KMeans.fit(cents, "__fine", "__fc", kc,
-      maxIters = 5, diagnostics = false, seedRounds = 2)
+      maxIters = coarseIters, tol = coarseTol, diagnostics = false,
+      seedRounds = 2, init = coarseInit)
     val coarseArr = coarse.centroids
       .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

@@ -172,7 +172,10 @@ object Quantize {
       .partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
     lookups.join(broadcast(table), Seq("subspace", "code"))
       .groupBy("q_id", "t_id")
-      .agg(sum(col("d2")).as("adc_d2"))
+      // decimal accumulator (Num policy): the m-term sum is exact and
+      // order-free, so duplicate codes get BITWISE-equal distances and
+      // the t_id tie-break below is deterministic across partitionings
+      .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("adc_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "adc_d2", "rank")

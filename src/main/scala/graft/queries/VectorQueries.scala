@@ -652,5 +652,275 @@ object VectorQueries {
     },
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116)
+  /** One unrolled per-subspace PQ Lloyd round for the q119 oracle:
+    * decimal-exact squared distance per (vector, subspace, code), argmin
+    * with ties to the SMALLER code (matching Quantize.assignCodes's
+    * bit-flipped ArgMaxPack), then the decimal-exact per-component mean
+    * mirroring Quantize.lloydUpdate, empty codes keeping their previous
+    * centroid (the LEFT JOIN COALESCE = trainCodebook's coalesce). */
+  private def pqLloydRoundCte(r: Int): String = {
+    val p = r - 1
+    s"""pd$r AS (
+        SELECT s.vec_id, s.subspace, c.code,
+          SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
+        FROM psubs s JOIN pcent$p c ON c.subspace = s.subspace AND c.pos = s.pos
+        GROUP BY 1, 2, 3),
+      pa$r AS (
+        SELECT vec_id, subspace, code FROM (
+          SELECT vec_id, subspace, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+          FROM pd$r) WHERE rn = 1),
+      pm$r AS (
+        SELECT a.subspace, a.code, s.pos,
+          CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM pa$r a JOIN psubs s ON s.vec_id = a.vec_id AND s.subspace = a.subspace
+        GROUP BY 1, 2, 3),
+      pcent$r AS (
+        SELECT c.subspace, c.code, c.pos, COALESCE(m.c, c.c) AS c
+        FROM pcent$p c LEFT JOIN pm$r m
+          ON m.subspace = c.subspace AND m.code = c.code AND m.pos = c.pos)"""
+  }
+
+  /** C23/C27→oracle: the full PQ chain — per-subspace codebook training
+    * (`Quantize.trainCodebook`: FirstIds-seeded, fixed 2-round tol-0
+    * Lloyd, the q89b recipe applied per subspace), byte-code `encode` of
+    * EVERY vector (pinned exactly by `code_key` = Σ code·2^(4·subspace);
+    * m=8, k=16 ⇒ 32 bits), and `adcTopK` asymmetric-distance search from
+    * the smallest-id query (top-100 rank + distance). Cross-engine
+    * contract: training distances are decimal-exact in the oracle vs
+    * native-double sqDist in Spark (diff ≤ ulps, assignment margins on
+    * this data orders wider — the q89b argument); ADC sums ride the
+    * decimal accumulator on BOTH sides, so duplicate codes get bitwise-
+    * equal distances and the t_id tie-break is engine-free. */
+  private val q119 = Q(
+    "q119_pq_adc",
+    (s, dir) => {
+      val base = emb(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val m = 8
+      val dim = 64
+      val cb = graft.operators.Quantize
+        .trainCodebook(base, "vec_id", "embedding", m, dim, k = 16, iters = 2)
+        .localCheckpoint() // k·m = 128 rows, reused by encode + both ADC sides
+      val enc = graft.operators.Quantize.encode(base, "vec_id", "embedding", cb, m, dim)
+      val q0 = base
+        .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
+        .select("vec_id", "embedding")
+      val top = graft.operators.Quantize
+        .adcTopK(q0, enc, cb, "vec_id", "embedding", m, dim, k = 100)
+      val key = enc
+        .select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        .groupBy("id")
+        .agg(sum(expr("shiftleft(cast(code as bigint), 4 * subspace)")).as("code_key"))
+      key
+        .join(top.select(col("t_id").as("id"), col("adc_d2"), col("rank").as("rnk")),
+          Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("code_key"), col("adc_d2"), col("rnk"))
+    },
+    Some(s"""
+      WITH pbase AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      psubs AS (
+        SELECT vec_id, u.s AS subspace, v.p AS pos,
+          CAST(embedding[u.s * 8 + v.p + 1] AS DOUBLE) AS x
+        FROM pbase,
+          LATERAL unnest(generate_series(0, 7)) AS u(s),
+          LATERAL unnest(generate_series(0, 7)) AS v(p)),
+      psd AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM pbase
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+      pcent0 AS (
+        SELECT s.subspace, psd.code, s.pos, s.x AS c
+        FROM psd JOIN psubs s USING (vec_id)),
+      ${pqLloydRoundCte(1)},
+      ${pqLloydRoundCte(2)},
+      penc0 AS (
+        SELECT s.vec_id, s.subspace, c.code,
+          SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
+        FROM psubs s JOIN pcent2 c ON c.subspace = s.subspace AND c.pos = s.pos
+        GROUP BY 1, 2, 3),
+      penc AS (
+        SELECT vec_id, subspace, code FROM (
+          SELECT vec_id, subspace, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+          FROM penc0) WHERE rn = 1),
+      pkey AS (
+        SELECT vec_id, CAST(SUM(CAST(code AS BIGINT) << (4 * subspace)) AS BIGINT) AS code_key
+        FROM penc GROUP BY 1),
+      pq0 AS (SELECT vec_id FROM pbase WHERE vec_id = (SELECT MIN(vec_id) FROM pbase)),
+      pqd AS (
+        SELECT c.subspace, c.code,
+          SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
+        FROM psubs s JOIN pq0 ON s.vec_id = pq0.vec_id
+        JOIN pcent2 c ON c.subspace = s.subspace AND c.pos = s.pos
+        GROUP BY 1, 2),
+      padc AS (
+        SELECT a.vec_id AS t_id, CAST(SUM(q.d2) AS DOUBLE) AS adc_d2
+        FROM penc a JOIN pqd q ON q.subspace = a.subspace AND q.code = a.code
+        GROUP BY 1),
+      ptop AS (
+        SELECT t_id, adc_d2, rnk FROM (
+          SELECT t_id, adc_d2,
+            ROW_NUMBER() OVER (ORDER BY adc_d2 ASC, t_id ASC) AS rnk
+          FROM padc) WHERE rnk <= 100)
+      SELECT k.vec_id, k.code_key, t.adc_d2, CAST(t.rnk AS INT) AS rnk
+      FROM pkey k LEFT JOIN ptop t ON t.t_id = k.vec_id
+    """),
+  )
+
+  /** One unrolled coarse-Lloyd round for the q120 oracle, over POINTS =
+    * the fine centroids (`cent`: assigned, pos, c): decimal-exact L2
+    * argmin with ties to the SMALLER coarse code (KMeans.localAssign /
+    * NearestCentroid.l2), decimal-exact mean update, empty coarse codes
+    * keeping their previous centroid (KMeans.fit's driver fallback). */
+  private def coarseLloydRoundCte(r: Int): String = {
+    val p = r - 1
+    s"""gd$r AS (
+        SELECT p.assigned, g.code,
+          SUM(CAST((p.c - g.c) * (p.c - g.c) AS DECIMAL(38,18))) AS d2
+        FROM cent p JOIN gcent$p g ON g.pos = p.pos
+        GROUP BY 1, 2),
+      ga$r AS (
+        SELECT assigned, code FROM (
+          SELECT assigned, code,
+            ROW_NUMBER() OVER (PARTITION BY assigned ORDER BY d2 ASC, code ASC) AS rn
+          FROM gd$r) WHERE rn = 1),
+      gm$r AS (
+        SELECT a.code, p.pos,
+          CAST(SUM(CAST(p.c AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+        FROM ga$r a JOIN cent p ON p.assigned = a.assigned
+        GROUP BY 1, 2),
+      gcent$r AS (
+        SELECT g.code, g.pos, COALESCE(m.c, g.c) AS c
+        FROM gcent$p g LEFT JOIN gm$r m ON m.code = g.code AND m.pos = g.pos)"""
+  }
+
+  /** C64→oracle: the two-level (coarse → fine) centroid assignment —
+    * the thing that makes k ∝ n semantic dedup viable at 100 TB — hash-
+    * proven against BOTH the SQL mirror and the flat assignment in one
+    * query. Fine codebook = q89's data-scaled blockCentroids (exact
+    * decimal means — bit-rebuildable); coarse fit = FirstIds-seeded
+    * fixed-2-round tol-0 L2 Lloyd over the √k fine centroids (the q89b
+    * recipe, here over the CODEBOOK not the corpus); then the oracle
+    * replays fine→cell routing (cosine argmax, ties to larger coarse
+    * code), row→cell routing over NON-EMPTY cells only, and the
+    * cell-local fine argmax (cosine, ties to larger fine id). `agree`
+    * pins the flat-vs-two-level comparison row by row, honestly: on
+    * this UNstructured random data ~40% of rows keep their exact flat
+    * cluster (sf0.1: 800/2000 fixed-seed, 759/2000 with the production
+    * k-means|| coarse fit — routing loss is intrinsic here, not a
+    * seeding artifact), while near-duplicate PAIRS still co-route
+    * because their vectors are nearly identical — pair recall, the
+    * thing SemDeDup blocking actually needs, is what
+    * SemanticScaleSpec's subset pin covers. Margins: same 7.2e-6
+    * assignment-gap vs ~1e-10 engine-agreement argument as q89. */
+  private val q120 = Q(
+    "q120_two_level_assign",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val (centroids, labelBits) = graft.operators.Dedup.blockCentroids(
+        e, "embedding", "vec_id", "label", targetClusterSize = 25)
+      // the two-level path evaluates the codebook several times (count,
+      // coarse fit, cell keying, non-empty collect) — pin it once
+      val cents = centroids.localCheckpoint()
+      val flat = graft.operators.Dedup
+        .assignNearest(e, "embedding", "vec_id", cents, labelBits)
+        .select(col("id").as("vec_id"), col("cluster").as("flat_cl"))
+      val two = graft.operators.Dedup
+        .assignNearestTwoLevel(e, "embedding", "vec_id", cents,
+          clusterBits = labelBits,
+          coarseInit = graft.operators.KMeans.FirstIds,
+          coarseIters = 2, coarseTol = 0.0)
+        .select(col("id").as("vec_id"), col("cluster").as("two_cl"))
+      flat.join(two, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("flat_cl"), col("two_cl"),
+          (col("flat_cl") <=> col("two_cl")).as("agree"))
+    },
+    Some(s"""
+      WITH prm AS (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / (COUNT(DISTINCT label) * 25.0)) AS BIGINT)) AS b
+        FROM embeddings),
+      cent AS (
+        SELECT CAST(label AS BIGINT) * prm.b + (vec_id % prm.b) AS assigned, i - 1 AS pos,
+          CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(embedding[i]) AS c
+        FROM embeddings, prm, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1, 2),
+      cnorm AS (
+        SELECT assigned, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_c
+        FROM cent GROUP BY 1),
+      $normsCte,
+      fdots AS (
+        SELECT e.vec_id, cent.assigned,
+          CAST(SUM(CAST(CAST(e.embedding[cent.pos + 1] AS DOUBLE) * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent
+        GROUP BY 1, 2),
+      fcos AS (
+        SELECT fdots.vec_id, fdots.assigned, dot / (norms.nrm * cnorm.nrm_c) AS cosine
+        FROM fdots
+        JOIN norms ON norms.vec_id = fdots.vec_id
+        JOIN cnorm ON cnorm.assigned = fdots.assigned),
+      flat AS (
+        SELECT vec_id, assigned AS flat_cl FROM (
+          SELECT vec_id, assigned,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, assigned DESC) AS rn
+          FROM fcos) WHERE rn = 1),
+      kc AS (
+        SELECT CAST(CEIL(SQRT(COUNT(DISTINCT assigned))) AS BIGINT) AS kc FROM cent),
+      seeds AS (
+        SELECT assigned, ROW_NUMBER() OVER (ORDER BY assigned) - 1 AS code
+        FROM (SELECT DISTINCT assigned FROM cent)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY assigned) <= (SELECT kc FROM kc)),
+      gcent0 AS (
+        SELECT s.code, c.pos, c.c FROM seeds s JOIN cent c ON c.assigned = s.assigned),
+      ${coarseLloydRoundCte(1)},
+      ${coarseLloydRoundCte(2)},
+      gnorm AS (
+        SELECT code, SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm_g
+        FROM gcent2 GROUP BY 1),
+      celldots AS (
+        SELECT p.assigned, g.code,
+          CAST(SUM(CAST(p.c * g.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cent p JOIN gcent2 g ON g.pos = p.pos
+        GROUP BY 1, 2),
+      fcell AS (
+        SELECT assigned, code AS cell FROM (
+          SELECT cd.assigned, cd.code,
+            ROW_NUMBER() OVER (PARTITION BY cd.assigned
+              ORDER BY cd.dot / (cnorm.nrm_c * gnorm.nrm_g) DESC, cd.code DESC) AS rn
+          FROM celldots cd
+          JOIN cnorm ON cnorm.assigned = cd.assigned
+          JOIN gnorm ON gnorm.code = cd.code) WHERE rn = 1),
+      nonempty AS (SELECT DISTINCT cell FROM fcell),
+      rdots AS (
+        SELECT e.vec_id, g.code,
+          CAST(SUM(CAST(CAST(e.embedding[g.pos + 1] AS DOUBLE) * g.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN gcent2 g
+        WHERE g.code IN (SELECT cell FROM nonempty)
+        GROUP BY 1, 2),
+      rcell AS (
+        SELECT vec_id, code AS cell FROM (
+          SELECT rd.vec_id, rd.code,
+            ROW_NUMBER() OVER (PARTITION BY rd.vec_id
+              ORDER BY rd.dot / (norms.nrm * gnorm.nrm_g) DESC, rd.code DESC) AS rn
+          FROM rdots rd
+          JOIN norms ON norms.vec_id = rd.vec_id
+          JOIN gnorm ON gnorm.code = rd.code) WHERE rn = 1),
+      two AS (
+        SELECT vec_id, assigned AS two_cl FROM (
+          SELECT f.vec_id, f.assigned,
+            ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY f.cosine DESC, f.assigned DESC) AS rn
+          FROM fcos f
+          JOIN rcell r ON r.vec_id = f.vec_id
+          JOIN fcell fc ON fc.assigned = f.assigned AND fc.cell = r.cell
+        ) WHERE rn = 1)
+      SELECT f.vec_id, CAST(f.flat_cl AS INT) AS flat_cl, CAST(t.two_cl AS INT) AS two_cl,
+        (CAST(f.flat_cl AS INT) IS NOT DISTINCT FROM CAST(t.two_cl AS INT)) AS agree
+      FROM flat f LEFT JOIN two t ON t.vec_id = f.vec_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120)
 }
