@@ -953,7 +953,119 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121)
+
+  /** B60: polarisation calibration (`PolnCal.applyJones` — the
+    * reference README's Functionalities §1, its one routine with no
+    * prior engine analog; meerpipe shells the math to psrchive `pac`).
+    * Per-channel 2×2 complex Jones matrices (fabricated here as
+    * deterministic integer-derived rationals — gains near 1, small
+    * phases and cross-leakage, so every matrix is invertible) applied
+    * in the calibrating direction J⁻¹ ρ (J⁻¹)^H to per-event Stokes
+    * derived from `value`. The oracle unrolls the complex adjugate-
+    * over-determinant inverse and the two matrix products into real
+    * arithmetic in the SAME operation order as the Cx column algebra,
+    * so doubles match bitwise (zero-term eliminations are exact;
+    * float addition is commutative). Null `value` (nulls gate) poisons
+    * all four calibrated components identically in both engines.
+    * Scale shape: the Jones table broadcasts (one row per channel);
+    * the correction is one scan-fused codegen'd projection — no
+    * shuffle at any size. */
+  private lazy val q121 = Q(
+    "q121_poln_cal",
+    (s, dir) => {
+      val obs = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .select(col("event_id"), (col("event_id") % 64).as("channel"),
+          (abs(col("value")) + lit(1.0)).as("stokes_i"),
+          (col("value") * lit(0.5)).as("stokes_q"),
+          (col("value") * lit(0.25)).as("stokes_u"),
+          (col("value") * lit(0.125)).as("stokes_v"))
+      val c = col("id")
+      val jones = s.range(64).select(
+        col("id").as("channel"),
+        (lit(1.0) + (c % 7 - lit(3)).cast("double") * lit(0.01)).as("j00_re"),
+        ((c % 3 - lit(1)).cast("double") * lit(0.02)).as("j00_im"),
+        ((c % 4).cast("double") * lit(0.02) - lit(0.03)).as("j01_re"),
+        ((c % 6).cast("double") * lit(0.01) - lit(0.025)).as("j01_im"),
+        ((c % 5).cast("double") * lit(-0.01) + lit(0.02)).as("j10_re"),
+        ((c % 3).cast("double") * lit(0.015) - lit(0.015)).as("j10_im"),
+        (lit(1.0) - (c % 5 - lit(2)).cast("double") * lit(0.01)).as("j11_re"),
+        ((c % 4).cast("double") * lit(0.01) - lit(0.015)).as("j11_im"))
+      graft.operators.PolnCal.applyJones(obs, jones, Seq("channel"))
+        .select("event_id", "channel", "stokes_i_cal", "stokes_q_cal",
+          "stokes_u_cal", "stokes_v_cal")
+    },
+    Some("""
+      WITH jones AS (
+        SELECT ch AS channel,
+          1.0 + (ch % 7 - 3) * 0.01 AS j00_re,
+          (ch % 3 - 1) * 0.02 AS j00_im,
+          (ch % 4) * 0.02 - 0.03 AS j01_re,
+          (ch % 6) * 0.01 - 0.025 AS j01_im,
+          (ch % 5) * -0.01 + 0.02 AS j10_re,
+          (ch % 3) * 0.015 - 0.015 AS j10_im,
+          1.0 - (ch % 5 - 2) * 0.01 AS j11_re,
+          (ch % 4) * 0.01 - 0.015 AS j11_im
+        FROM generate_series(0, 63) AS t(ch)),
+      obs AS (
+        SELECT event_id, event_id % 64 AS channel,
+          ABS(value) + 1.0 AS si, value * 0.5 AS sq,
+          value * 0.25 AS su, value * 0.125 AS sv
+        FROM events),
+      minv AS (
+        SELECT channel,
+          j00_re*j11_re - j00_im*j11_im - (j01_re*j10_re - j01_im*j10_im) AS det_re,
+          j00_re*j11_im + j00_im*j11_re - (j01_re*j10_im + j01_im*j10_re) AS det_im,
+          j00_re, j00_im, j01_re, j01_im, j10_re, j10_im, j11_re, j11_im
+        FROM jones),
+      m AS (
+        SELECT channel,
+          (j11_re*det_re + j11_im*det_im) / (det_re*det_re + det_im*det_im) AS m00_re,
+          (j11_im*det_re - j11_re*det_im) / (det_re*det_re + det_im*det_im) AS m00_im,
+          (-j01_re*det_re - j01_im*det_im) / (det_re*det_re + det_im*det_im) AS m01_re,
+          (-j01_im*det_re + j01_re*det_im) / (det_re*det_re + det_im*det_im) AS m01_im,
+          (-j10_re*det_re - j10_im*det_im) / (det_re*det_re + det_im*det_im) AS m10_re,
+          (-j10_im*det_re + j10_re*det_im) / (det_re*det_re + det_im*det_im) AS m10_im,
+          (j00_re*det_re + j00_im*det_im) / (det_re*det_re + det_im*det_im) AS m11_re,
+          (j00_im*det_re - j00_re*det_im) / (det_re*det_re + det_im*det_im) AS m11_im
+        FROM minv),
+      r AS (
+        SELECT o.event_id, o.channel,
+          0.5 * (o.si + o.sq) AS r00,
+          0.5 * o.su AS r01_re, 0.5 * o.sv AS r01_im,
+          0.5 * o.su AS r10_re, -(0.5 * o.sv) AS r10_im,
+          0.5 * (o.si - o.sq) AS r11,
+          m.* EXCLUDE (channel)
+        FROM obs o JOIN m ON m.channel = o.channel),
+      t AS (
+        SELECT event_id, channel,
+          m00_re, m00_im, m01_re, m01_im, m10_re, m10_im, m11_re, m11_im,
+          m00_re*r00 + (m01_re*r10_re - m01_im*r10_im) AS t00_re,
+          m00_im*r00 + (m01_re*r10_im + m01_im*r10_re) AS t00_im,
+          (m00_re*r01_re - m00_im*r01_im) + m01_re*r11 AS t01_re,
+          (m00_re*r01_im + m00_im*r01_re) + m01_im*r11 AS t01_im,
+          m10_re*r00 + (m11_re*r10_re - m11_im*r10_im) AS t10_re,
+          m10_im*r00 + (m11_re*r10_im + m11_im*r10_re) AS t10_im,
+          (m10_re*r01_re - m10_im*r01_im) + m11_re*r11 AS t11_re,
+          (m10_re*r01_im + m10_im*r01_re) + m11_im*r11 AS t11_im
+        FROM r),
+      p AS (
+        SELECT event_id, channel,
+          (t00_re*m00_re + t00_im*m00_im) + (t01_re*m01_re + t01_im*m01_im) AS p00_re,
+          (t10_re*m10_re + t10_im*m10_im) + (t11_re*m11_re + t11_im*m11_im) AS p11_re,
+          (t00_re*m10_re + t00_im*m10_im) + (t01_re*m11_re + t01_im*m11_im) AS p01_re,
+          (t00_im*m10_re - t00_re*m10_im) + (t01_im*m11_re - t01_re*m11_im) AS p01_im,
+          (t10_re*m00_re + t10_im*m00_im) + (t11_re*m01_re + t11_im*m01_im) AS p10_re,
+          (t10_im*m00_re - t10_re*m00_im) + (t11_im*m01_re - t11_re*m01_im) AS p10_im
+        FROM t)
+      SELECT event_id, channel,
+        p00_re + p11_re AS stokes_i_cal,
+        p00_re - p11_re AS stokes_q_cal,
+        p01_re + p10_re AS stokes_u_cal,
+        p01_im - p10_im AS stokes_v_cal
+      FROM p
+    """),
+  )
 
   /** B31→oracle: FB-parameterized (orbital-frequency Taylor) mean
     * anomaly (`Orbital.meanAnomaly` FB branch + `ombRadPerDay`,
