@@ -66,18 +66,38 @@ object VectorFns {
       when(element_at(a, i + 1) > 0.0f, lit(1L << (bits - 1 - i))).otherwise(0L)
     }.reduce(_ + _)
 
+  /** One hash-derived standard-normal draw: md5 of the tag supplies two
+    * 53-bit uniforms (u1 ∈ (0,1] so the log is finite, u2 ∈ [0,1)),
+    * combined by Box–Muller z = √(−2 ln u1)·cos(2π u2). A pure function
+    * of the tag string through a UNIVERSAL hash — any engine or language
+    * regenerates the identical plane from md5 alone, unlike a JVM
+    * `Random.nextGaussian` stream (polar method + hidden generator
+    * state), which made the multi-table LSH mode engine-private. */
+  private[graft] def hashGaussian(tag: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.wrap(md) // big-endian
+    val u1 = ((bb.getLong >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+    val u2 = (bb.getLong >>> 11).toDouble / (1L << 53).toDouble
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** The deterministic hyperplane behind [[planeBucket]] bit `i`:
+    * component j = [[hashGaussian]] of `graft-plane:<seed>:<i>:<j>`. */
+  private[graft] def planeFor(seed: Int, i: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => hashGaussian(s"graft-plane:$seed:$i:$j"))
+
   /** Random-hyperplane sign-LSH bucket: bit i set when a · h_i > 0, with
-    * `bits` hyperplanes drawn from a deterministic seeded RNG and inlined
-    * as array literals — each bit is one native DotProduct against a
-    * constant, so the whole bucket stays in whole-stage codegen. Unlike
-    * `signBucket` (single fixed projection), different seeds give
-    * independent bucketings for multi-table LSH recall. */
-  def planeBucket(a: Column, bits: Int, seed: Int, dim: Int = 64): Column = {
-    val rng = new scala.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + 1L)
+    * `bits` hyperplanes derived per-component from md5 Box–Muller
+    * ([[hashGaussian]] — engine-portable, reproducible from the seed in
+    * ANY system with md5) and inlined as array literals — each bit is
+    * one native DotProduct against a constant, so the whole bucket stays
+    * in whole-stage codegen. Unlike `signBucket` (single fixed
+    * projection), different seeds give independent bucketings for
+    * multi-table LSH recall. */
+  def planeBucket(a: Column, bits: Int, seed: Int, dim: Int = 64): Column =
     (0 until bits).map { i =>
-      val plane = Array.fill(dim)(rng.nextGaussian())
-      val h = lit(plane) // array<double> literal
+      val h = lit(planeFor(seed, i, dim)) // array<double> literal
       when(graft.expressions.DotProduct.of(a, h) > 0.0, lit(1L << (bits - 1 - i))).otherwise(0L)
     }.reduce(_ + _)
-  }
 }

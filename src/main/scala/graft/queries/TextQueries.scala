@@ -1060,12 +1060,19 @@ object TextQueries {
     * text (no newlines), so the demo runs the operator's generic
     * separator at word granularity: same explode → (id, line)-keyed
     * min-pos aggregate → order-preserving reassembly the newline form
-    * takes, fully oracle-mirrorable (string_agg ORDER BY pos). */
+    * takes, fully oracle-mirrorable (string_agg ORDER BY pos).
+    *
+    * minBytes = 0 (not TextHeavyMinBytes): q90 is SINGLE-pass and its
+    * per-row split/explode dominates, so the spread pays even at
+    * sf0.1's sub-MB documents file — the round-7 floor change cost it
+    * 0.68 → 0.90 s (same-session best-of-3 A/B, round 8); the 2 MB
+    * floor exists for MULTI-pass pipelines (q92/q89b) where re-reading
+    * a spread input loses more than one pass gains. */
   private val q90 = Q(
     "q90_dedup_lines",
     (s, dir) =>
       graft.operators.TextClean.dedupLines(
-        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = Tables.TextHeavyMinBytes),
+        Tables.parallelized(Tables.documents(s, dir), "doc_id", minBytes = 0L),
         "text", "doc_id", sep = " "),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

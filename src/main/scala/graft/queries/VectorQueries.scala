@@ -922,5 +922,82 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120)
+  /** C12→oracle (round 8): MULTI-TABLE embedding near-dup dedup
+    * (`Dedup.dedupCorpusByEmbedding`, tables = 2) — previously spec-only
+    * because the second table's hyperplanes were JVM-RNG artifacts; the
+    * planes are now md5 Box–Muller draws (VectorFns.hashGaussian — a
+    * pure function of `graft-plane:<seed>:<i>:<j>` through a universal
+    * hash), so the oracle REGENERATES them: DuckDB slices the same md5
+    * into two 53-bit uniforms and applies the same √(−2 ln u1)·cos(2π u2).
+    * Table 0 = first-4-component sign bucket, table 1 = 4 hyperplane
+    * sign bits (+2³² table offset), candidates deduped across tables,
+    * bucket-local cosine ≥ τ verify, components, min-id survivors.
+    * Cross-engine contract: plane components agree to ~1ulp of libm
+    * (ln/cos), dots are decimal-summed, and a sign flip would need
+    * |dot| ≲ 1e-14 — orders below any observed margin (same argument
+    * family as q89b). */
+  private val q122 = Q(
+    "q122_dedup_multitable",
+    (s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Dedup.dedupCorpusByEmbedding(e, "embedding", "vec_id",
+          threshold = 0.4, bits = 4, tables = 2)
+        .select("vec_id", "label")
+    },
+    Some {
+      val sign4 = (0 until 4)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (3 - i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH RECURSIVE planes AS (
+        SELECT a.i, b.j,
+          sqrt(-2.0 * ln(((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 1, 16)) AS UBIGINT) >> 11) + 1.0) / 9007199254740992.0))
+            * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 17, 16)) AS UBIGINT) >> 11) / 9007199254740992.0)) AS h
+        FROM generate_series(0, 3) AS a(i), generate_series(0, 63) AS b(j)),
+      pdots AS (
+        SELECT e.vec_id, p.i,
+          CAST(SUM(CAST(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.h AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY 1, 2),
+      b1 AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (3 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
+        FROM pdots GROUP BY 1),
+      b0 AS (SELECT vec_id, CAST($sign4 AS BIGINT) AS bucket FROM embeddings),
+      buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      $normsCte,
+      dots AS (
+        SELECT c.a_id, c.b_id,
+          CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+            AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id,
+        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT d.a_id, d.b_id FROM dots d
+        JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.4),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)
+      """
+    },
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120, q122)
 }

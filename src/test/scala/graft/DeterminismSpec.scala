@@ -131,4 +131,23 @@ class DeterminismSpec extends SparkSpec {
     // Missing row 101 sits between good neighbors 100 (1.0) and 102 (2.0).
     assert(runs.head(101L) == 1.5)
   }
+
+  test("hashGaussian planes are engine-portable: md5 Box-Muller matches independent references") {
+    import graft.functions.VectorFns
+    // reference values computed INDEPENDENTLY (python hashlib/struct/math
+    // and DuckDB md5 + ln/cos agree on these to the printed digit) — a
+    // pin against the exact md5-slicing convention: big-endian first/
+    // second 8 bytes, top-53-bit uniforms, u1 = (x+1)/2^53 so ln stays
+    // finite, z = sqrt(-2 ln u1) * cos(2 pi u2)
+    assert(math.abs(VectorFns.hashGaussian("graft-plane:1:0:0") - 0.9445090726019857) < 1e-12)
+    // pure function of the tag: stable across calls, distinct across tags
+    assert(VectorFns.hashGaussian("graft-plane:1:0:0")
+      === VectorFns.hashGaussian("graft-plane:1:0:0"))
+    val draws = (0 until 256).map(j => VectorFns.hashGaussian(s"graft-plane:2:1:$j"))
+    assert(draws.distinct.size === 256)
+    // roughly standard normal: mean ~0, sd ~1 (loose sanity bounds)
+    val mean = draws.sum / draws.size
+    val sd = math.sqrt(draws.map(d => (d - mean) * (d - mean)).sum / draws.size)
+    assert(math.abs(mean) < 0.2 && sd > 0.8 && sd < 1.2, s"mean=$mean sd=$sd")
+  }
 }
