@@ -138,7 +138,10 @@ object IvfPq {
     val rw = w.partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
     cand.join(broadcast(table), Seq("qc", "subspace", "code"))
       .groupBy("q_id", "t_id")
-      .agg(sum(col("d2")).as("adc_d2"))
+      // decimal accumulator (Num policy, same as Quantize.adcTopK): the
+      // m-term sum is exact and order-free, so equal code sequences get
+      // bitwise-equal distances and the t_id tie-break is deterministic
+      .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("adc_d2"))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "adc_d2", "rank")

@@ -652,33 +652,52 @@ object VectorQueries {
     },
   )
 
-  /** One unrolled per-subspace PQ Lloyd round for the q119 oracle:
+  /** One unrolled per-subspace PQ Lloyd round (q119/q123 oracles):
     * decimal-exact squared distance per (vector, subspace, code), argmin
     * with ties to the SMALLER code (matching Quantize.assignCodes's
     * bit-flipped ArgMaxPack), then the decimal-exact per-component mean
     * mirroring Quantize.lloydUpdate, empty codes keeping their previous
-    * centroid (the LEFT JOIN COALESCE = trainCodebook's coalesce). */
-  private def pqLloydRoundCte(r: Int): String = {
+    * centroid (the LEFT JOIN COALESCE = trainCodebook's coalesce).
+    * `pfx`/`subs` parameterize the CTE namespace and the point relation
+    * so one helper trains raw-vector subspaces (q119), the coarse
+    * quantizer (q123, one subspace spanning the vector), and residual
+    * subspaces (q123) in the same query. */
+  private def pqLloydRoundCte(r: Int, pfx: String = "p", subs: String = "psubs"): String = {
     val p = r - 1
-    s"""pd$r AS (
+    s"""${pfx}d$r AS (
         SELECT s.vec_id, s.subspace, c.code,
           SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
-        FROM psubs s JOIN pcent$p c ON c.subspace = s.subspace AND c.pos = s.pos
+        FROM $subs s JOIN ${pfx}cent$p c ON c.subspace = s.subspace AND c.pos = s.pos
         GROUP BY 1, 2, 3),
-      pa$r AS (
+      ${pfx}a$r AS (
         SELECT vec_id, subspace, code FROM (
           SELECT vec_id, subspace, code,
             ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
-          FROM pd$r) WHERE rn = 1),
-      pm$r AS (
+          FROM ${pfx}d$r) WHERE rn = 1),
+      ${pfx}m$r AS (
         SELECT a.subspace, a.code, s.pos,
           CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
-        FROM pa$r a JOIN psubs s ON s.vec_id = a.vec_id AND s.subspace = a.subspace
+        FROM ${pfx}a$r a JOIN $subs s ON s.vec_id = a.vec_id AND s.subspace = a.subspace
         GROUP BY 1, 2, 3),
-      pcent$r AS (
+      ${pfx}cent$r AS (
         SELECT c.subspace, c.code, c.pos, COALESCE(m.c, c.c) AS c
-        FROM pcent$p c LEFT JOIN pm$r m
+        FROM ${pfx}cent$p c LEFT JOIN ${pfx}m$r m
           ON m.subspace = c.subspace AND m.code = c.code AND m.pos = c.pos)"""
+  }
+
+  /** Seed + fixed-round training CTE block for [[pqLloydRoundCte]]:
+    * seeds = the `k` smallest vec_ids' subvectors (trainCodebook's
+    * deterministic init), then `rounds` unrolled Lloyd rounds. */
+  private def pqTrainCtes(pfx: String, subs: String, kSeeds: String, rounds: Int): String = {
+    val seedAndInit = s"""${pfx}sd AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM (SELECT DISTINCT vec_id FROM $subs)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= ($kSeeds)),
+      ${pfx}cent0 AS (
+        SELECT s.subspace, d.code, s.pos, s.x AS c
+        FROM ${pfx}sd d JOIN $subs s USING (vec_id))"""
+    (seedAndInit +: (1 to rounds).map(r => pqLloydRoundCte(r, pfx, subs)))
+      .mkString(",\n      ")
   }
 
   /** C23/C27→oracle: the full PQ chain — per-subspace codebook training
@@ -929,9 +948,14 @@ object VectorQueries {
     * pure function of `graft-plane:<seed>:<i>:<j>` through a universal
     * hash), so the oracle REGENERATES them: DuckDB slices the same md5
     * into two 53-bit uniforms and applies the same √(−2 ln u1)·cos(2π u2).
-    * Table 0 = first-4-component sign bucket, table 1 = 4 hyperplane
+    * Table 0 = first-8-component sign bucket, table 1 = 8 hyperplane
     * sign bits (+2³² table offset), candidates deduped across tables,
     * bucket-local cosine ≥ τ verify, components, min-id survivors.
+    * bits = 8 (256 buckets/table, q116's sizing): a first cut at
+    * bits = 4 measured 31× on 10× data — 16 buckets make bucket
+    * populations grow linearly and the bucket-local join quadratic;
+    * at 8 bits the remeasured pair is back under the data factor
+    * (production sizes bits from n via KnnJoin.bitsFor).
     * Cross-engine contract: plane components agree to ~1ulp of libm
     * (ln/cos), dots are decimal-summed, and a sign flip would need
     * |dot| ≲ 1e-14 — orders below any observed margin (same argument
@@ -941,19 +965,19 @@ object VectorQueries {
     (s, dir) => {
       val e = emb(s, dir)
       graft.operators.Dedup.dedupCorpusByEmbedding(e, "embedding", "vec_id",
-          threshold = 0.4, bits = 4, tables = 2)
+          threshold = 0.4, bits = 8, tables = 2)
         .select("vec_id", "label")
     },
     Some {
-      val sign4 = (0 until 4)
-        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (3 - i)} ELSE 0 END")
+      val sign8 = (0 until 8)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
         .mkString(" + ")
       s"""
       WITH RECURSIVE planes AS (
         SELECT a.i, b.j,
           sqrt(-2.0 * ln(((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 1, 16)) AS UBIGINT) >> 11) + 1.0) / 9007199254740992.0))
             * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 17, 16)) AS UBIGINT) >> 11) / 9007199254740992.0)) AS h
-        FROM generate_series(0, 3) AS a(i), generate_series(0, 63) AS b(j)),
+        FROM generate_series(0, 7) AS a(i), generate_series(0, 63) AS b(j)),
       pdots AS (
         SELECT e.vec_id, p.i,
           CAST(SUM(CAST(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.h AS DECIMAL(38,18))) AS DOUBLE) AS dot
@@ -961,9 +985,9 @@ object VectorQueries {
         GROUP BY 1, 2),
       b1 AS (
         SELECT vec_id,
-          CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (3 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
+          CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (7 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
         FROM pdots GROUP BY 1),
-      b0 AS (SELECT vec_id, CAST($sign4 AS BIGINT) AS bucket FROM embeddings),
+      b0 AS (SELECT vec_id, CAST($sign8 AS BIGINT) AS bucket FROM embeddings),
       buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
       cand AS (
         SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -999,5 +1023,127 @@ object VectorQueries {
     },
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120, q122)
+  /** C27→oracle (round 8): IVF+PQ residual quantization END TO END
+    * (`IvfPq.train`/`encode`/`search`, the FAISS IndexIVFPQ layout) —
+    * closing the last mirrorable spec-only composition. The oracle
+    * replays BOTH trainings with [[pqTrainCtes]] (coarse = one subspace
+    * spanning the vector, nlist=8; PQ = m=4 subspaces of 16 over the
+    * RESIDUAL vec − coarse centroid, k=16; each FirstIds-seeded fixed
+    * 2-round tol-0 Lloyd), the coarse assignment (L2 argmin, ties to
+    * smaller cluster), residual computation, byte-code encode (pinned
+    * per vector by `code_key` = Σ code·2^(4·subspace)), and the probe
+    * search from the smallest-id query: nprobe=2 clusters ranked by
+    * coarse distance, per-cluster residual-query ADC tables, candidates
+    * cluster-local, distances decimal-accumulated, top-200 ranks.
+    * Vectors OUTSIDE the probed clusters have null adc_d2/rnk — the
+    * probe-selection decision itself is part of the hash. Same q89b
+    * margin family for the argmins; ADC sums exact on both sides. */
+  private val q123 = Q(
+    "q123_ivfpq_search",
+    (s, dir) => {
+      val base = emb(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val model0 = graft.operators.IvfPq.train(base, "vec_id", "embedding",
+        dim = 64, nlist = 8, m = 4, k = 16, iters = 2)
+      // both codebooks are reused by encode + the two search sides — pin
+      // the small frames so the Lloyd lineage never re-executes
+      val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
+        pq = model0.pq.localCheckpoint())
+      val enc = graft.operators.IvfPq.encode(base, "vec_id", "embedding", model)
+      val q0 = base
+        .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
+        .select("vec_id", "embedding")
+      val top = graft.operators.IvfPq.search(q0, enc, model,
+        "vec_id", "embedding", nprobe = 2, k = 200)
+      val key = enc
+        .select(col("id"), col("cluster"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .groupBy("id", "cluster")
+        .agg(sum(expr("shiftleft(cast(code as bigint), 4 * subspace)")).as("code_key"))
+      key
+        .join(top.select(col("t_id").as("id"), col("adc_d2"), col("rank").as("rnk")),
+          Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("cluster"), col("code_key"),
+          col("adc_d2"), col("rnk"))
+    },
+    Some(s"""
+      WITH ibase AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      csubs AS (
+        SELECT vec_id, 0 AS subspace, u.p AS pos, CAST(embedding[u.p + 1] AS DOUBLE) AS x
+        FROM ibase, LATERAL unnest(generate_series(0, 63)) AS u(p)),
+      ${pqTrainCtes("c", "csubs", "8", 2)},
+      cassign AS (
+        SELECT vec_id, code AS cluster FROM (
+          SELECT vec_id, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn
+          FROM (
+            SELECT s.vec_id, c.code,
+              SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
+            FROM csubs s JOIN ccent2 c ON c.pos = s.pos
+            GROUP BY 1, 2)
+        ) WHERE rn = 1),
+      rsubs AS (
+        SELECT s.vec_id, s.pos // 16 AS subspace, s.pos % 16 AS pos,
+          s.x - c.c AS x
+        FROM csubs s
+        JOIN cassign a ON a.vec_id = s.vec_id
+        JOIN ccent2 c ON c.code = a.cluster AND c.pos = s.pos),
+      ${pqTrainCtes("r", "rsubs", "16", 2)},
+      rencd AS (
+        SELECT s.vec_id, s.subspace, c.code,
+          SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS d2
+        FROM rsubs s JOIN rcent2 c ON c.subspace = s.subspace AND c.pos = s.pos
+        GROUP BY 1, 2, 3),
+      renc AS (
+        SELECT vec_id, subspace, code FROM (
+          SELECT vec_id, subspace, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) AS rn
+          FROM rencd) WHERE rn = 1),
+      ckey AS (
+        SELECT r.vec_id, a.cluster,
+          CAST(SUM(CAST(r.code AS BIGINT) << (4 * r.subspace)) AS BIGINT) AS code_key
+        FROM renc r JOIN cassign a ON a.vec_id = r.vec_id
+        GROUP BY 1, 2),
+      iq0 AS (SELECT vec_id FROM ibase WHERE vec_id = (SELECT MIN(vec_id) FROM ibase)),
+      qcd AS (
+        SELECT c.code AS cluster,
+          SUM(CAST((s.x - c.c) * (s.x - c.c) AS DECIMAL(38,18))) AS cd2
+        FROM csubs s JOIN iq0 ON s.vec_id = iq0.vec_id
+        JOIN ccent2 c ON c.pos = s.pos
+        GROUP BY 1),
+      probes AS (
+        SELECT cluster FROM (
+          SELECT cluster, ROW_NUMBER() OVER (ORDER BY cd2 ASC, cluster ASC) AS pr
+          FROM qcd) WHERE pr <= 2),
+      qr AS (
+        SELECT p.cluster, s.pos // 16 AS subspace, s.pos % 16 AS pos,
+          s.x - c.c AS x
+        FROM csubs s
+        JOIN iq0 ON s.vec_id = iq0.vec_id
+        CROSS JOIN probes p
+        JOIN ccent2 c ON c.code = p.cluster AND c.pos = s.pos),
+      qtable AS (
+        SELECT q.cluster, r.subspace, r.code,
+          SUM(CAST((q.x - r.c) * (q.x - r.c) AS DECIMAL(38,18))) AS d2
+        FROM qr q JOIN rcent2 r ON r.subspace = q.subspace AND r.pos = q.pos
+        GROUP BY 1, 2, 3),
+      adc AS (
+        SELECT e.vec_id AS t_id, CAST(SUM(t.d2) AS DOUBLE) AS adc_d2
+        FROM renc e
+        JOIN cassign a ON a.vec_id = e.vec_id
+        JOIN qtable t ON t.cluster = a.cluster AND t.subspace = e.subspace AND t.code = e.code
+        GROUP BY 1),
+      itop AS (
+        SELECT t_id, adc_d2, rnk FROM (
+          SELECT t_id, adc_d2, ROW_NUMBER() OVER (ORDER BY adc_d2 ASC, t_id ASC) AS rnk
+          FROM adc) WHERE rnk <= 200)
+      SELECT k.vec_id, CAST(k.cluster AS INT) AS cluster, k.code_key,
+        t.adc_d2, CAST(t.rnk AS INT) AS rnk
+      FROM ckey k LEFT JOIN itop t ON t.t_id = k.vec_id
+    """),
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120, q122, q123)
 }
