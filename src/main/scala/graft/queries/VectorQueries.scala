@@ -1145,5 +1145,96 @@ object VectorQueries {
     """),
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116, q119, q120, q122, q123)
+  /** C43→oracle (round 8): INCREMENTAL embedding dedup
+    * (`Dedup.dedupIncrementalByEmbedding`) — the daily-ingest mode for
+    * vectors, previously spec-only as a composition: its bucketing went
+    * oracle-able with the md5 hyperplanes (q122) and its asymmetric
+    * pair-graph semantics were proven on the text side (q113); this
+    * query hashes the composition itself. Split = vec_id parity
+    * (existing even / batch odd), bits=8, tables=2. The oracle replays
+    * the asymmetric new×existing bucket join, the new×new self join,
+    * ONE unified pair graph across the boundary (a batch vector tied to
+    * the corpus only through another dropped batch vector still
+    * collapses into the corpus cluster), the contaminated-cluster rule
+    * (existing vectors always win), and the min-id survivor rule for
+    * all-new clusters. Output = the batch rows that survive. */
+  private val q124 = Q(
+    "q124_dedup_incr_embed",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val existing = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      graft.operators.Dedup.dedupIncrementalByEmbedding(batch, existing,
+          "embedding", "vec_id", threshold = 0.4, bits = 8, tables = 2)
+        .select("vec_id", "label")
+    },
+    Some {
+      val sign8 = (0 until 8)
+        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH RECURSIVE planes AS (
+        SELECT a.i, b.j,
+          sqrt(-2.0 * ln(((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 1, 16)) AS UBIGINT) >> 11) + 1.0) / 9007199254740992.0))
+            * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 17, 16)) AS UBIGINT) >> 11) / 9007199254740992.0)) AS h
+        FROM generate_series(0, 7) AS a(i), generate_series(0, 63) AS b(j)),
+      pdots AS (
+        SELECT e.vec_id, p.i,
+          CAST(SUM(CAST(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.h AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY 1, 2),
+      b1 AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (7 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
+        FROM pdots GROUP BY 1),
+      b0 AS (SELECT vec_id, CAST($sign8 AS BIGINT) AS bucket FROM embeddings),
+      buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+      cand AS (
+        -- asymmetric new x existing, plus new x new self join — ONE graph
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM buckets x JOIN buckets y ON x.bucket = y.bucket
+        WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 0
+        UNION
+        SELECT DISTINCT x.vec_id, y.vec_id
+        FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 1),
+      $normsCte,
+      dots AS (
+        SELECT c.a_id, c.b_id,
+          CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+            AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id,
+        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT d.a_id, d.b_id FROM dots d
+        JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.4),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1),
+      contaminated AS (SELECT DISTINCT cluster_id FROM cl WHERE node % 2 = 0),
+      dropnew AS (
+        SELECT node FROM cl
+        WHERE node % 2 = 1
+          AND (cluster_id IN (SELECT cluster_id FROM contaminated)
+               OR node <> cluster_id))
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT node FROM dropnew)
+      """
+    },
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
+    q119, q120, q122, q123, q124)
 }
