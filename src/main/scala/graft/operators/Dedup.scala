@@ -587,6 +587,52 @@ object Dedup {
     newDocs.join(dropNew, newDocs(idCol) === dropNew("doc_id"), "left_anti")
   }
 
+  /** Near-duplicate pairs over a 64-bit FINGERPRINT column (SimHash,
+    * image aHash/dHash/pHash — [[graft.multimodal.ImageHash]], any
+    * 64-bit sketch) within Hamming distance `maxDist`, found by banded
+    * Hamming LSH: the hash splits into `bands` disjoint bit chunks, and
+    * by pigeonhole two hashes differing in ≤ maxDist < bands bits MUST
+    * agree exactly on at least one chunk — so the chunk-keyed self-join
+    * has PERFECT recall (never a heuristic), and `bit_count(a ^ b)`
+    * verifies candidates exactly.
+    *
+    * Scale shape: candidates shuffle on (band, chunk-key) — with
+    * 64/bands-bit chunks the per-band collision rate on unrelated
+    * hashes is 2^-(64/bands), so candidate volume tracks the true
+    * near-dup volume, not n². Verify is one codegen'd XOR+popcount per
+    * candidate. Same contract as the MinHash band join (q31) with the
+    * Jaccard verify replaced by exact popcount. */
+  def hammingPairs(df: DataFrame, hashCol: String, idCol: String,
+                   maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole recall guarantee needs maxDist < bands (got $maxDist >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val keyed = df
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"), explode(array((0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("h"), i * width).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = keyed.select(col("id").as("a_id"), col("h").as("a_h"), col("band"), col("key"))
+    val b = keyed.select(col("id").as("b_id"), col("h").as("b_h"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("dist", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
+  /** [[dedupCorpus]] for fingerprint columns: Hamming pairs within
+    * `maxDist` → connected components → min-id survivor per cluster →
+    * the corpus with fingerprint near-duplicates dropped. */
+  def dedupCorpusByHammingHash(df: DataFrame, hashCol: String, idCol: String,
+                               maxDist: Int, bands: Int = 4): DataFrame =
+    dropLosers(df, hammingPairs(df, hashCol, idCol, maxDist, bands)
+      .select("a_id", "b_id"), idCol)
+
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid by
     * cosine, then search for pairs above `threshold` ONLY inside a

@@ -1727,7 +1727,77 @@ object TextQueries {
     """),
   )
 
+  /** C66 (round 8): banded Hamming-LSH dedup over a 64-bit FINGERPRINT
+    * column (`Dedup.hammingPairs` / `dedupCorpusByHammingHash`) — the
+    * relational half of perceptual-hash image dedup
+    * (`multimodal.ImageHash` computes aHash/dHash/pHash; that decode
+    * half is spec-only binary I/O, THIS half is the corpus-scale
+    * machinery and it is hash-proven). Fingerprints here are fabricated
+    * engine-portably: the md5 of each doc's text as a signed big-endian
+    * 64-bit (the q113 md5-parity trick lifted to ints), low 2 bits
+    * replaced by doc_id % 4 so exact-duplicate texts yield fingerprints
+    * at Hamming distance 1-2, exercising nonzero-distance verify, not
+    * just dist-0 collisions. maxDist=3 < bands=4 ⇒ pigeonhole recall is
+    * PERFECT (a ≤3-bit difference must leave one 16-bit chunk intact),
+    * so the oracle can replay candidates exactly: band keys are
+    * (fp >> 16i) & 0xffff (arithmetic shift matches both engines),
+    * verify is bit_count(xor). Null text ⇒ null fingerprint ⇒ no bands,
+    * row kept — identical both sides. */
+  private lazy val q125 = Q(
+    "q125_dedup_hamming",
+    (s, dir) => {
+      val docs = Tables.parallelized(
+        Tables.documents(s, dir).select("doc_id", "source", "text"), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      val fp = docs
+        .withColumn("h64",
+          expr("shiftleft(cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint), 32)")
+            .bitwiseOR(expr("cast(conv(substring(md5(text), 9, 8), 16, 10) as bigint)")))
+        .withColumn("fp",
+          col("h64").bitwiseAND(lit(-4L)).bitwiseOR(col("doc_id") % 4))
+      graft.operators.Dedup.dedupCorpusByHammingHash(fp, "fp", "doc_id",
+          maxDist = 3, bands = 4)
+        .select("doc_id", "source")
+    },
+    Some("""
+      WITH RECURSIVE f0 AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN u >= 9223372036854775808
+                    THEN CAST(u AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS h64
+        FROM (SELECT doc_id, source,
+                CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS u
+              FROM documents)),
+      fp AS (
+        SELECT doc_id, source,
+          (h64 & CAST(-4 AS BIGINT)) | (doc_id % 4) AS fp
+        FROM f0),
+      bands AS (
+        SELECT doc_id, fp, b.i AS band, (fp >> (b.i * 16)) & 65535 AS key
+        FROM fp, generate_series(0, 3) AS b(i)
+        WHERE fp IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, a.fp AS a_fp, b.doc_id AS b_id, b.fp AS b_fp
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT a_id, b_id FROM cand
+        WHERE bit_count(xor(a_fp, b_fp)) <= 3),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, r2) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125)
 }
