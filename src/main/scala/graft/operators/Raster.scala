@@ -230,6 +230,78 @@ object Raster {
     out.toByteArray
   }
 
+  /** A REAL movie container, pure JDK: Motion-JPEG in AVI (RIFF). The
+    * closest JDK-only analog to the reference's ffmpeg mp4 assembly
+    * (make_stokes_movie.py:103-112) — the JDK has no H.264 encoder, but
+    * it HAS a JPEG encoder, and MJPEG-AVI is a first-class container
+    * every mainstream player and ffmpeg itself read (and can transcode
+    * to mp4 losslessly in one pass). Layout: RIFF('AVI ') → LIST hdrl
+    * (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) →
+    * LIST movi ('00dc' JPEG chunk per frame, even-padded) → idx1
+    * keyframe index (every MJPEG frame is a keyframe). All frames must
+    * share the first frame's dimensions. */
+  def aviMjpegBytes(frames: Seq[BufferedImage], fps: Int = 5): Array[Byte] = {
+    require(frames.nonEmpty, "aviMjpegBytes: no frames")
+    require(fps >= 1, s"fps must be >= 1, got $fps")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "aviMjpegBytes: all frames must share dimensions")
+    val jpegs = frames.map { f =>
+      // JPEG writer wants RGB without alpha
+      val rgb =
+        if (f.getType == BufferedImage.TYPE_INT_RGB) f
+        else {
+          val c = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = c.createGraphics(); try g.drawImage(f, 0, 0, null) finally g.dispose()
+          c
+        }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(rgb, "jpg", bos)
+      bos.toByteArray
+    }
+    val maxFrame = jpegs.map(_.length).max
+
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(body.length + 4) ++ fcc(typ) ++ body
+
+    val avih = chunk("avih",
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10 /* HASINDEX */) ++
+        le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+        le32(1) ++ le32(fps) ++ le32(0) ++ le32(frames.size) ++
+        le32(maxFrame) ++ le32(10000) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ fcc("MJPG") ++
+        le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+
+    val moviChunks = jpegs.map(j => chunk("00dc", j))
+    val movi = list("movi", moviChunks.toArray.flatten)
+    // idx1 offsets are from the movi LIST's type fourcc (offset 4 points
+    // at the first chunk id — the convention players expect)
+    val offsets = moviChunks.scanLeft(4)((off, c) => off + c.length)
+    val idx1 = chunk("idx1",
+      jpegs.zip(offsets).flatMap { case (j, off) =>
+        fcc("00dc") ++ le32(0x10 /* KEYFRAME */) ++ le32(off) ++ le32(j.length)
+      }.toArray)
+
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
   /** Find-or-append a named child of a GIF metadata tree node. */
   private def childNode(root: javax.imageio.metadata.IIOMetadataNode,
                         name: String): javax.imageio.metadata.IIOMetadataNode = {

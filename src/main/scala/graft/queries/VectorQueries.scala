@@ -1067,7 +1067,17 @@ object VectorQueries {
           col("adc_d2"), col("rnk"))
     },
     Some(s"""
-      WITH ibase AS (
+      WITH $ivfPqChainCtes
+      SELECT k.vec_id, CAST(k.cluster AS INT) AS cluster, k.code_key,
+        t.adc_d2, CAST(t.rnk AS INT) AS rnk
+      FROM ckey k LEFT JOIN itop t ON t.t_id = k.vec_id
+    """),
+  )
+
+  /** The shared q123/q126 oracle chain: base → coarse training →
+    * assignment → residual PQ training → encode → smallest-id query →
+    * probe selection → ADC tables → top-200 ADC shortlist (`itop`). */
+  private lazy val ivfPqChainCtes: String = s"""ibase AS (
         SELECT vec_id, embedding FROM embeddings
         WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
       csubs AS (
@@ -1138,10 +1148,47 @@ object VectorQueries {
       itop AS (
         SELECT t_id, adc_d2, rnk FROM (
           SELECT t_id, adc_d2, ROW_NUMBER() OVER (ORDER BY adc_d2 ASC, t_id ASC) AS rnk
-          FROM adc) WHERE rnk <= 200)
-      SELECT k.vec_id, CAST(k.cluster AS INT) AS cluster, k.code_key,
-        t.adc_d2, CAST(t.rnk AS INT) AS rnk
-      FROM ckey k LEFT JOIN itop t ON t.t_id = k.vec_id
+          FROM adc) WHERE rnk <= 200)"""
+
+  /** C27b (round 8): the REFINE stage (`IvfPq.searchRefined`, FAISS-style
+    * exact re-rank): q123's ADC top-200 shortlist re-ranked by EXACT
+    * squared L2 against the raw vectors, top-50 kept. The oracle extends
+    * the shared chain with one decimal-exact Σ(qᵢ−tᵢ)² per shortlist
+    * member — compression error now only costs recall when a true
+    * neighbor misses the shortlist entirely, and THAT decision is
+    * hashed (the shortlist set is itop). */
+  private val q126 = Q(
+    "q126_ivfpq_refined",
+    (s, dir) => {
+      val base = emb(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val model0 = graft.operators.IvfPq.train(base, "vec_id", "embedding",
+        dim = 64, nlist = 8, m = 4, k = 16, iters = 2)
+      val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
+        pq = model0.pq.localCheckpoint())
+      val enc = graft.operators.IvfPq.encode(base, "vec_id", "embedding", model)
+      val q0 = base
+        .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
+        .select("vec_id", "embedding")
+      graft.operators.IvfPq.searchRefined(q0, base, enc, model,
+          "vec_id", "embedding", "vec_id", "embedding",
+          nprobe = 2, k = 50, shortlist = 200)
+        .select(col("q_id"), col("t_id"), col("d2"), col("rank").as("rnk"))
+    },
+    Some(s"""
+      WITH $ivfPqChainCtes,
+      rerank AS (
+        SELECT t.t_id,
+          CAST(SUM(CAST((sq.x - st.x) * (sq.x - st.x) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM itop t
+        JOIN csubs st ON st.vec_id = t.t_id
+        JOIN csubs sq ON sq.vec_id = (SELECT vec_id FROM iq0) AND sq.pos = st.pos
+        GROUP BY 1)
+      SELECT (SELECT vec_id FROM iq0) AS q_id, t_id, d2, CAST(rnk AS INT) AS rnk
+      FROM (
+        SELECT t_id, d2, ROW_NUMBER() OVER (ORDER BY d2 ASC, t_id ASC) AS rnk
+        FROM rerank)
+      WHERE rnk <= 50
     """),
   )
 
@@ -1236,5 +1283,5 @@ object VectorQueries {
   )
 
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
-    q119, q120, q122, q123, q124)
+    q119, q120, q122, q123, q124, q126)
 }

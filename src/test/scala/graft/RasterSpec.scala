@@ -156,6 +156,53 @@ class RasterSpec extends SparkSpec {
     assert(dyn("b")._1 == null && dyn("b")._2 === 0)
   }
 
+  test("aviMjpegBytes writes a valid MJPEG-AVI: RIFF layout, header counts, decodable frames") {
+    val frames = (0 until 4).map { i =>
+      val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(40 * i, 80, 255 - 50 * i)); g.fillRect(0, 0, 64, 48) }
+      finally g.dispose()
+      img
+    }
+    val avi = Raster.aviMjpegBytes(frames, fps = 10)
+    def fcc(off: Int) = new String(avi.slice(off, off + 4), "US-ASCII")
+    def le32(off: Int) =
+      (avi(off) & 0xff) | ((avi(off + 1) & 0xff) << 8) |
+        ((avi(off + 2) & 0xff) << 16) | ((avi(off + 3) & 0xff) << 24)
+    assert(fcc(0) === "RIFF" && fcc(8) === "AVI ")
+    assert(le32(4) === avi.length - 8, "RIFF size covers the file")
+    // avih: first chunk inside LIST hdrl at offset 12
+    assert(fcc(12) === "LIST" && fcc(20) === "hdrl" && fcc(24) === "avih")
+    val avih = 32
+    assert(le32(avih) === 100000, "microseconds per frame at 10 fps")
+    assert(le32(avih + 16) === 4, "dwTotalFrames")
+    assert(le32(avih + 32) === 64 && le32(avih + 36) === 48, "dims")
+    // walk the movi list: every '00dc' payload is a decodable JPEG
+    var off = 12
+    var moviAt = -1
+    while (moviAt < 0) {
+      val id = fcc(off)
+      val sz = le32(off + 4)
+      if (id == "LIST" && fcc(off + 8) == "movi") moviAt = off
+      else off += 8 + sz + (sz % 2)
+    }
+    var p = moviAt + 12
+    val end = moviAt + 8 + le32(moviAt + 4)
+    var n = 0
+    while (p < end) {
+      assert(fcc(p) === "00dc")
+      val sz = le32(p + 4)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(avi.slice(p + 8, p + 8 + sz)))
+      assert(img.getWidth === 64 && img.getHeight === 48)
+      n += 1
+      p += 8 + sz + (sz % 2)
+    }
+    assert(n === 4)
+    // idx1 follows with one 16-byte keyframe entry per frame
+    assert(fcc(end) === "idx1" && le32(end + 4) === 4 * 16)
+  }
+
   test("a NULL key with plottable points keeps them (null-safe join)") {
     import org.apache.spark.sql.functions._
     // key is null but every point is real: groupBy treats null as a
