@@ -97,20 +97,27 @@ object ImageHash {
     * lowest-frequency block with the DC term dropped; bit = coefficient
     * above the MEDIAN of the remaining 63 (median = the 32nd smallest,
     * so exactly 31 bits are ever set — scale- and offset-invariant). */
+  // DCT-II basis for the 32×32 pHash grid — a constant; computed once
+  // per JVM, not per image (pHash is a corpus-scale map stage)
+  private val PHashN = 32
+  private val cosTab: Array[Array[Double]] =
+    Array.tabulate(PHashN, PHashN)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PHashN)))
+
   def pHash(img: BufferedImage): Long = {
-    val n = 32
+    val n = PHashN
     val g = lumaGrid(img, n, n)
-    // separable DCT-II, rows then columns; fixed evaluation order
-    val cosTab = Array.tabulate(n, n)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
-    val rows = new Array[Double](n * n)
+    // separable DCT-II, rows then columns; fixed evaluation order; only
+    // the first 8 frequencies per row are ever read, so size to n×8
+    val rows = new Array[Double](n * 8)
     var y = 0
     while (y < n) {
       var u = 0
-      while (u < 8) { // only the first 8 frequencies are ever read
+      while (u < 8) {
         var s = 0.0
         var x = 0
         while (x < n) { s += g(y * n + x) * cosTab(u)(x); x += 1 }
-        rows(y * n + u) = s
+        rows(y * 8 + u) = s
         u += 1
       }
       y += 1
@@ -122,7 +129,7 @@ object ImageHash {
       while (u < 8) {
         var s = 0.0
         var yy = 0
-        while (yy < n) { s += rows(yy * n + u) * cosTab(v)(yy); yy += 1 }
+        while (yy < n) { s += rows(yy * 8 + u) * cosTab(v)(yy); yy += 1 }
         coef(v * 8 + u) = s
         u += 1
       }

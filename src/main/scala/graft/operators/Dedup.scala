@@ -497,6 +497,16 @@ object Dedup {
     unique.join(losers, unique(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** Packed-label bit width sized from a codebook's max `cluster` id —
+    * one tiny agg over the (small) centroid frame. */
+  private[graft] def autoBits(centroids: DataFrame): Int = {
+    val maxId = centroids.agg(max(col("cluster").cast("int"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => math.max(0, r.getInt(0))
+    }
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxId)))
+  }
+
   /** Shared survivor tail of the one-call dedup pipelines: resolve the
     * verified pair graph to clusters, drop every doc that is not its
     * cluster's min-id survivor. */
@@ -618,10 +628,14 @@ object Dedup {
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = keyed.select(col("id").as("a_id"), col("h").as("a_h"), col("band"), col("key"))
     val b = keyed.select(col("id").as("b_id"), col("h").as("b_h"), col("band"), col("key"))
+    // popcount-filter BEFORE the pair dedup: dist is computable from
+    // columns already on the joined row, so the dominant candidate class
+    // (unrelated chunk collisions, 2^-(64/bands) of n²/2) dies map-side
+    // instead of shuffling through dropDuplicates
     a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
       .withColumn("dist", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "dist")
   }
 
@@ -779,16 +793,6 @@ object Dedup {
     * expensively-derived codebooks before calling, and pass
     * `clusterBits` when the caller already knows k (the semanticDedup
     * paths forward their labelBits). */
-  /** Packed-label bit width sized from a codebook's max `cluster` id —
-    * one tiny agg over the (small) centroid frame. */
-  private[graft] def autoBits(centroids: DataFrame): Int = {
-    val maxId = centroids.agg(max(col("cluster").cast("int"))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => math.max(0, r.getInt(0))
-    }
-    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxId)))
-  }
-
   def assignNearestTwoLevel(df: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, coarseK: Int = 0,
                             clusterBits: Int = 0,

@@ -64,8 +64,11 @@ object PolnCal {
     * Output: the input rows with four new columns
     * `{i,q,u,v}Col + outSuffix`. Null Stokes inputs (a masked channel)
     * propagate to null calibrated values; a non-matching key leaves the
-    * row with null calibration (left join) rather than dropping it —
-    * the caller decides whether missing calibration is fatal. */
+    * row with null calibration (left join) rather than dropping it; a
+    * SINGULAR Jones matrix under `invert = true` (det = 0 — a dead
+    * receptor) also yields null calibrated values instead of silent
+    * NaN/Infinity — in all three cases the caller decides whether
+    * missing calibration is fatal. */
   def applyJones(df: DataFrame, jones: DataFrame, keys: Seq[String],
                  iCol: String = "stokes_i", qCol: String = "stokes_q",
                  uCol: String = "stokes_u", vCol: String = "stokes_v",
@@ -83,13 +86,18 @@ object PolnCal {
     val j10 = Cx(col(s"${prefix}10_re"), col(s"${prefix}10_im"))
     val j11 = Cx(col(s"${prefix}11_re"), col(s"${prefix}11_im"))
 
-    // M = J⁻¹ (calibrate) or J (simulate)
-    val (m00, m01, m10, m11) =
+    // M = J⁻¹ (calibrate) or J (simulate). A SINGULAR matrix (a dead
+    // receptor row in a real calibration table) has no inverse — its
+    // rows get null calibrated values, the same explicit signal as a
+    // missing calibration row, never silent NaN/Infinity from the
+    // zero-determinant division.
+    val (m00, m01, m10, m11, singular) =
       if (invert) {
         val det = j00 * j11 - j01 * j10
         (j11 / det, Cx(-j01.re, -j01.im) / det,
-          Cx(-j10.re, -j10.im) / det, j00 / det)
-      } else (j00, j01, j10, j11)
+          Cx(-j10.re, -j10.im) / det, j00 / det,
+          Some(det.re * det.re + det.im * det.im === lit(0.0)))
+      } else (j00, j01, j10, j11, None)
 
     val half = lit(0.5)
     val i = col(iCol).cast("double")
@@ -111,11 +119,13 @@ object PolnCal {
     val p10 = t10 * m00.conj + t11 * m01.conj
     val p11 = t10 * m10.conj + t11 * m11.conj
 
+    def guard(c: Column): Column =
+      singular.fold(c)(s => when(s, lit(null).cast("double")).otherwise(c))
     joined
-      .withColumn(iCol + outSuffix, p00.re + p11.re)
-      .withColumn(qCol + outSuffix, p00.re - p11.re)
-      .withColumn(uCol + outSuffix, p01.re + p10.re)
-      .withColumn(vCol + outSuffix, p01.im - p10.im)
+      .withColumn(iCol + outSuffix, guard(p00.re + p11.re))
+      .withColumn(qCol + outSuffix, guard(p00.re - p11.re))
+      .withColumn(uCol + outSuffix, guard(p01.re + p10.re))
+      .withColumn(vCol + outSuffix, guard(p01.im - p10.im))
       .drop(jonesColumns(prefix): _*)
   }
 }

@@ -968,12 +968,26 @@ object VectorQueries {
           threshold = 0.4, bits = 8, tables = 2)
         .select("vec_id", "label")
     },
-    Some {
-      val sign8 = (0 until 8)
-        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
-        .mkString(" + ")
-      s"""
-      WITH RECURSIVE planes AS (
+    Some(s"""
+      WITH RECURSIVE $twoTableBucketCtes,
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      $cosineComponentTailCtes
+      SELECT e.vec_id, e.label FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)
+    """),
+  )
+
+  /** Shared q122/q124 bucket block: the 8 md5 Box–Muller hyperplanes
+    * regenerated in SQL, table-1 sign bits over their decimal dots,
+    * table-0 first-8-component sign bucket, both unioned with the 2³²
+    * table offset separating key spaces. */
+  private lazy val twoTableBucketCtes: String = {
+    val sign8 = (0 until 8)
+      .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""planes AS (
         SELECT a.i, b.j,
           sqrt(-2.0 * ln(((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 1, 16)) AS UBIGINT) >> 11) + 1.0) / 9007199254740992.0))
             * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 17, 16)) AS UBIGINT) >> 11) / 9007199254740992.0)) AS h
@@ -988,11 +1002,13 @@ object VectorQueries {
           CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (7 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
         FROM pdots GROUP BY 1),
       b0 AS (SELECT vec_id, CAST($sign8 AS BIGINT) AS bucket FROM embeddings),
-      buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
-      cand AS (
-        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-        FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-      $normsCte,
+      buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)"""
+  }
+
+  /** Shared q122/q124 verify + component tail over a `cand(a_id, b_id)`
+    * CTE: decimal-dot cosine ≥ 0.4 verify, undirected edges, recursive
+    * reachability, min-id cluster labels (`cl(node, cluster_id)`). */
+  private lazy val cosineComponentTailCtes: String = s"""$normsCte,
       dots AS (
         SELECT c.a_id, c.b_id,
           CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
@@ -1016,12 +1032,7 @@ object VectorQueries {
         SELECT node, node FROM nodes
         UNION
         SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
-      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)
-      SELECT e.vec_id, e.label FROM embeddings e
-      WHERE e.vec_id NOT IN (SELECT node FROM cl WHERE node <> cluster_id)
-      """
-    },
-  )
+      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1)"""
 
   /** C27→oracle (round 8): IVF+PQ residual quantization END TO END
     * (`IvfPq.train`/`encode`/`search`, the FAISS IndexIVFPQ layout) —
@@ -1215,27 +1226,8 @@ object VectorQueries {
           "embedding", "vec_id", threshold = 0.4, bits = 8, tables = 2)
         .select("vec_id", "label")
     },
-    Some {
-      val sign8 = (0 until 8)
-        .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (7 - i)} ELSE 0 END")
-        .mkString(" + ")
-      s"""
-      WITH RECURSIVE planes AS (
-        SELECT a.i, b.j,
-          sqrt(-2.0 * ln(((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 1, 16)) AS UBIGINT) >> 11) + 1.0) / 9007199254740992.0))
-            * cos(2 * pi() * ((CAST(concat('0x', substr(md5(concat('graft-plane:1:', a.i, ':', b.j)), 17, 16)) AS UBIGINT) >> 11) / 9007199254740992.0)) AS h
-        FROM generate_series(0, 7) AS a(i), generate_series(0, 63) AS b(j)),
-      pdots AS (
-        SELECT e.vec_id, p.i,
-          CAST(SUM(CAST(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.h AS DECIMAL(38,18))) AS DOUBLE) AS dot
-        FROM embeddings e CROSS JOIN planes p
-        GROUP BY 1, 2),
-      b1 AS (
-        SELECT vec_id,
-          CAST(SUM(CASE WHEN dot > 0.0 THEN 1 << (7 - i) ELSE 0 END) + 4294967296 AS BIGINT) AS bucket
-        FROM pdots GROUP BY 1),
-      b0 AS (SELECT vec_id, CAST($sign8 AS BIGINT) AS bucket FROM embeddings),
-      buckets AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+    Some(s"""
+      WITH RECURSIVE $twoTableBucketCtes,
       cand AS (
         -- asymmetric new x existing, plus new x new self join — ONE graph
         SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -1245,31 +1237,7 @@ object VectorQueries {
         SELECT DISTINCT x.vec_id, y.vec_id
         FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE x.vec_id % 2 = 1 AND y.vec_id % 2 = 1),
-      $normsCte,
-      dots AS (
-        SELECT c.a_id, c.b_id,
-          CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
-            AS DECIMAL(38,18))) AS DOUBLE) AS dot
-        FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.a_id
-        JOIN embeddings eb ON eb.vec_id = c.b_id,
-        LATERAL unnest(generate_series(1, len(ea.embedding))) AS u(i)
-        GROUP BY 1, 2),
-      pairs AS (
-        SELECT d.a_id, d.b_id FROM dots d
-        JOIN norms na ON na.vec_id = d.a_id
-        JOIN norms nb ON nb.vec_id = d.b_id
-        WHERE d.dot / (na.nrm * nb.nrm) >= 0.4),
-      edges AS (
-        SELECT a_id AS src, b_id AS dst FROM pairs
-        UNION
-        SELECT b_id AS src, a_id AS dst FROM pairs),
-      nodes AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, r2) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.dst, r.r2 FROM reach r JOIN edges e ON e.src = r.node),
-      cl AS (SELECT node, MIN(r2) AS cluster_id FROM reach GROUP BY 1),
+      $cosineComponentTailCtes,
       contaminated AS (SELECT DISTINCT cluster_id FROM cl WHERE node % 2 = 0),
       dropnew AS (
         SELECT node FROM cl
@@ -1278,8 +1246,7 @@ object VectorQueries {
                OR node <> cluster_id))
       SELECT vec_id, label FROM embeddings
       WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT node FROM dropnew)
-      """
-    },
+    """),
   )
 
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,

@@ -98,4 +98,23 @@ class PolnCalSpec extends SparkSpec {
     // missing calibration: row kept, calibrated values null
     assert(out(1L) === ((true, true)))
   }
+
+  test("a singular Jones matrix calibrates to null, never NaN/Infinity") {
+    // rank-1: second row = first row (det = 0), plus an all-zero matrix
+    val singular = Seq(
+      jonesRow(0L, (1.0, 0.5), (0.2, -0.1), (1.0, 0.5), (0.2, -0.1)),
+      jonesRow(1L, (0, 0), (0, 0), (0, 0), (0, 0)),
+    ).toDF(jonesCols: _*)
+    val out = PolnCal.applyJones(stokes, singular, Seq("channel"), invert = true)
+      .select("id", "stokes_i_cal", "stokes_q_cal", "stokes_u_cal", "stokes_v_cal")
+      .collect()
+    assert(out.length === 3)
+    out.foreach(r => (1 to 4).foreach(c =>
+      assert(r.isNullAt(c), s"row $r col $c must be null, not NaN")))
+    // forward application of the same singular J is well-defined (no inverse)
+    val fwd = PolnCal.applyJones(stokes.filter(col("channel") === 0), singular,
+        Seq("channel"), invert = false)
+      .select("stokes_i_cal").collect()
+    fwd.foreach(r => assert(!r.isNullAt(0) && !r.getDouble(0).isNaN))
+  }
 }
