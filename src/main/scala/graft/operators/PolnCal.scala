@@ -79,25 +79,40 @@ object PolnCal {
     need.foreach(c => require(jones.columns.contains(c),
       s"applyJones: jones table is missing column $c"))
 
-    val joined = df.join(broadcast(jones.select(need.map(col): _*)), keys, "left")
+    // A SINGULAR matrix (det = 0 — a dead receptor row) has no inverse:
+    // null out its 8 components ON THE CALIBRATION TABLE (per channel,
+    // a handful of rows) so nulls propagate through the per-row algebra
+    // for free. Guarding inside the big projection instead (when(d=0,
+    // null).otherwise(...)) disables Catalyst subexpression elimination
+    // across the conditional and measured 0.9 → 4.3 s on the sf0.1 run.
+    val cleanJones =
+      if (!invert) jones.select(need.map(col): _*)
+      else {
+        val jc = jonesColumns(prefix)
+        def c(rc: String, p: String) = col(s"$prefix$rc$p")
+        val detRe = c("00", "_re") * c("11", "_re") - c("00", "_im") * c("11", "_im") -
+          (c("01", "_re") * c("10", "_re") - c("01", "_im") * c("10", "_im"))
+        val detIm = c("00", "_re") * c("11", "_im") + c("00", "_im") * c("11", "_re") -
+          (c("01", "_re") * c("10", "_im") + c("01", "_im") * c("10", "_re"))
+        val singular = (detRe * detRe + detIm * detIm) === lit(0.0)
+        jones.select(keys.map(col) ++ jc.map(n =>
+          when(singular, lit(null).cast("double")).otherwise(col(n)).as(n)): _*)
+      }
+    val joined = df.join(broadcast(cleanJones), keys, "left")
 
     val j00 = Cx(col(s"${prefix}00_re"), col(s"${prefix}00_im"))
     val j01 = Cx(col(s"${prefix}01_re"), col(s"${prefix}01_im"))
     val j10 = Cx(col(s"${prefix}10_re"), col(s"${prefix}10_im"))
     val j11 = Cx(col(s"${prefix}11_re"), col(s"${prefix}11_im"))
 
-    // M = J⁻¹ (calibrate) or J (simulate). A SINGULAR matrix (a dead
-    // receptor row in a real calibration table) has no inverse — its
-    // rows get null calibrated values, the same explicit signal as a
-    // missing calibration row, never silent NaN/Infinity from the
-    // zero-determinant division.
-    val (m00, m01, m10, m11, singular) =
+    // M = J⁻¹ (calibrate; singular rows arrive pre-nulled from
+    // cleanJones, and null propagates) or J (simulate)
+    val (m00, m01, m10, m11) =
       if (invert) {
         val det = j00 * j11 - j01 * j10
         (j11 / det, Cx(-j01.re, -j01.im) / det,
-          Cx(-j10.re, -j10.im) / det, j00 / det,
-          Some(det.re * det.re + det.im * det.im === lit(0.0)))
-      } else (j00, j01, j10, j11, None)
+          Cx(-j10.re, -j10.im) / det, j00 / det)
+      } else (j00, j01, j10, j11)
 
     val half = lit(0.5)
     val i = col(iCol).cast("double")
@@ -119,13 +134,11 @@ object PolnCal {
     val p10 = t10 * m00.conj + t11 * m01.conj
     val p11 = t10 * m10.conj + t11 * m11.conj
 
-    def guard(c: Column): Column =
-      singular.fold(c)(s => when(s, lit(null).cast("double")).otherwise(c))
     joined
-      .withColumn(iCol + outSuffix, guard(p00.re + p11.re))
-      .withColumn(qCol + outSuffix, guard(p00.re - p11.re))
-      .withColumn(uCol + outSuffix, guard(p01.re + p10.re))
-      .withColumn(vCol + outSuffix, guard(p01.im - p10.im))
+      .withColumn(iCol + outSuffix, p00.re + p11.re)
+      .withColumn(qCol + outSuffix, p00.re - p11.re)
+      .withColumn(uCol + outSuffix, p01.re + p10.re)
+      .withColumn(vCol + outSuffix, p01.im - p10.im)
       .drop(jonesColumns(prefix): _*)
   }
 }
