@@ -222,6 +222,65 @@ object EventStream {
     survivors.union(bypass)
   }
 
+  case class FpDoc(doc_id: Long, ts: Timestamp, fp: Long)
+  case class FpKeyed(doc_id: Long, ts: Timestamp, fp: Long, bucket: Long)
+  case class FpSeen(fps: scala.collection.Seq[Long], maxTsMs: Long)
+
+  /** Streaming FINGERPRINT near-dup drop — the live twin of
+    * `Dedup.dedupCorpusByHammingHash` for 64-bit perceptual hashes
+    * (image aHash/dHash/pHash, AudioHash, SimHash): docs key by their
+    * LOW 16-bit fingerprint chunk (band 0 of the batch operator's
+    * banded LSH), so a pair within Hamming distance d co-keys with
+    * probability C(48,d)/C(64,d) (all flipped bits avoid the chunk —
+    * 1.0 / 0.74 / 0.55 / 0.41 for d = 0/1/2/3); within the key the full
+    * fingerprint is popcount-verified against up to `maxStored` stored
+    * hashes (FIFO cap → bounded state and O(maxStored) work per doc),
+    * which keeps unrelated chunk-collisions from being dropped. State
+    * expires one `horizonMs` past the bucket's newest doc.
+    *
+    * Same disclosed tradeoff as the text variants: per-event bounded
+    * decisions with single-key recall, no cluster resolution — the
+    * archived corpus's exact drop set comes from the batch operator,
+    * whose pigeonhole recall is perfect. `docs` needs
+    * (`doc_id`, `ts`, `fpCol`: long). */
+  def deduplicatedNearFingerprint(docs: DataFrame, fpCol: String,
+                                  maxDist: Int = 3, maxStored: Int = 64,
+                                  watermark: String = "30 minutes",
+                                  horizonMs: Long = 30L * 60 * 1000): Dataset[FpDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        col(fpCol).cast("long").as("fp"))
+      .withColumn("bucket", col("fp").bitwiseAND(lit(0xffffL)))
+      .as[FpKeyed]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[FpSeen, FpDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[FpKeyed], state: GroupState[FpSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var seen = state.getOption.map(_.fps.toVector).getOrElse(Vector.empty)
+            var maxTs = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[FpDoc]
+            sorted.foreach { r =>
+              val dup = seen.exists(s => java.lang.Long.bitCount(s ^ r.fp) <= maxDist)
+              if (!dup) {
+                out += FpDoc(r.doc_id, r.ts, r.fp)
+                seen = (seen :+ r.fp).takeRight(maxStored)
+              }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update(FpSeen(seen, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** File-source stream over the events layout (parquet dir → stream).
     * `ts` normalizes to micros TimestampType whatever physical type the
     * files carry — TIMESTAMP(NANOS) (readable only as long; rounds 1-5)

@@ -129,4 +129,30 @@ class StreamingDedupSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("deduplicatedNearFingerprint drops Hamming-near fingerprints, keeps far ones, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    // near-dup flips HIGH bits only (the low 16-bit bucket must match for
+    // single-key recall — a low-chunk flip is the documented recall miss);
+    // doc 4 shares the bucket but sits at distance 6 > maxDist
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), base),
+      (2L, t("2024-01-01 10:00:30"), base ^ (1L << 40) ^ (1L << 17)), // dist 2, bucket intact
+      (3L, t("2024-01-01 10:01:00"), base ^ 0x00ff00ff00ff00ffL),    // far, different bucket
+      (4L, t("2024-01-01 10:01:30"), base ^ (0x3fL << 58)),          // dist 6, same bucket: SURVIVES
+    )
+    val q = EventStream.deduplicatedNearFingerprint(
+        mem.toDF().toDF("doc_id", "ts", "fp"), "fp",
+        maxDist = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fpdedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM fpdedup_out").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L, 4L),
+        s"near-dup 2 dropped; far 3 and same-bucket-but-distant 4 kept, got $ids")
+    } finally q.stop()
+  }
 }
