@@ -953,7 +953,8 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
-    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121)
+    q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
+    q127, q128)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no
@@ -1809,6 +1810,194 @@ object SignalQueries {
         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
       FROM rep GROUP BY 1, 2, 3, 4
+    """),
+  )
+
+  /** B61: template-matching TOA estimation (`operators.Toa`) — the
+    * reference README §5's `pat` step (TOAs "computed using PSRCHIVE"),
+    * the one routine between the decimation products (q115) and TOA
+    * selection (q117) that meerpipe shells out for. Per-obs 8-bin
+    * profiles (decimal-exact conditional bin sums, so raggedness can't
+    * occur) are cross-correlated against the corpus-summed template —
+    * the standard high-S/N standard-profile choice — peak-picked,
+    * parabolic-refined to sub-bin phase, and converted to
+    * `toa_us = epoch + phase·period`. The oracle unrolls the circular
+    * lag fold into an explicit `0.0 + p[..]*t[1] + …` chain (the
+    * q121/q26 fixed-order recipe) so doubles match bitwise. Scale
+    * shape: one binned aggregate + a 1-row broadcast template; the
+    * O(nbin²) lag scan is per-row, nbin-bounded. */
+  private lazy val q127 = Q(
+    "q127_toa_estimate",
+    (s, dir) => {
+      import graft.operators.Toa
+      val nbin = 8
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .select(col("user_id"),
+          pmod(col("event_id"), lit(nbin.toLong)).as("bin"),
+          col("value"), unix_micros(col("ts")).as("tus"))
+      def binSum(j: Int) =
+        coalesce(dsum(when(col("bin") === lit(j.toLong), col("value"))), lit(0.0))
+          .as(s"c$j")
+      val profAggs = (0 until nbin).map(binSum) :+ min(col("tus")).as("epoch_us")
+      val prof = e.groupBy("user_id")
+        .agg(profAggs.head, profAggs.tail: _*)
+        .select(col("user_id"),
+          array((0 until nbin).map(j => col(s"c$j")): _*).as("profile"),
+          col("epoch_us"))
+      val tmplAggs = (0 until nbin).map(binSum)
+      val tmpl = e.groupBy()
+        .agg(tmplAggs.head, tmplAggs.tail: _*)
+        .select(array((0 until nbin).map(j => col(s"c$j")): _*).as("template"))
+      val joined = prof.crossJoin(broadcast(tmpl))
+        .withColumn("period_us",
+          (pmod(col("user_id"), lit(5L)) + lit(1L)).cast("double") * lit(1000000.0))
+      Toa.estimate(joined, col("profile"), col("template"),
+          col("epoch_us"), col("period_us"))
+        .select(col("user_id").as("obs_id"), col("k_peak"),
+          col("shift_bins"), col("phase"), col("toa_us"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id % 8 AS bin, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events),
+      p AS (
+        SELECT user_id,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c0,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c1,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 2 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c2,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 3 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c3,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 4 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c4,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 5 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c5,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 6 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c6,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 7 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c7,
+          MIN(tus) AS epoch_us
+        FROM e GROUP BY 1),
+      tt AS (
+        SELECT
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t0,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t1,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 2 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t2,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 3 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t3,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 4 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t4,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 5 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t5,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 6 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t6,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 7 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t7
+        FROM e),
+      pr AS (
+        SELECT user_id, [c0, c1, c2, c3, c4, c5, c6, c7] AS p, epoch_us,
+          CAST((user_id % 5) + 1 AS DOUBLE) * 1000000.0 AS period_us
+        FROM p),
+      tl AS (SELECT [t0, t1, t2, t3, t4, t5, t6, t7] AS t FROM tt),
+      cc AS (
+        SELECT user_id, epoch_us, period_us, k,
+          0.0 + p[(0+k)%8+1]*t[1] + p[(1+k)%8+1]*t[2] + p[(2+k)%8+1]*t[3]
+              + p[(3+k)%8+1]*t[4] + p[(4+k)%8+1]*t[5] + p[(5+k)%8+1]*t[6]
+              + p[(6+k)%8+1]*t[7] + p[(7+k)%8+1]*t[8] AS ccf
+        FROM pr, tl, LATERAL unnest(generate_series(0, 7)) lk(k)),
+      l AS (
+        SELECT user_id, epoch_us, period_us, list(ccf ORDER BY k) AS ccf
+        FROM cc GROUP BY 1, 2, 3),
+      m AS (
+        SELECT user_id, epoch_us, period_us, ccf,
+          CAST(list_position(ccf, list_max(ccf)) - 1 AS BIGINT) AS k
+        FROM l),
+      d AS (
+        SELECT user_id, epoch_us, period_us, k,
+          ccf[CAST(((k - 1) % 8 + 8) % 8 AS INT) + 1] AS cm1,
+          ccf[CAST(k AS INT) + 1] AS c0v,
+          ccf[CAST((k + 1) % 8 AS INT) + 1] AS cp1
+        FROM m),
+      r AS (
+        SELECT user_id, epoch_us, period_us, k,
+          k + (CASE WHEN cm1 - 2.0 * c0v + cp1 = 0.0 THEN 0.0
+                    ELSE 0.5 * (cm1 - cp1) / (cm1 - 2.0 * c0v + cp1) END)
+            AS shift_bins
+        FROM d),
+      f AS (
+        SELECT user_id, k AS k_peak, shift_bins,
+          CASE WHEN shift_bins > 4.0 THEN (shift_bins - 8.0) / 8.0
+               ELSE shift_bins / 8.0 END AS phase,
+          epoch_us, period_us
+        FROM r)
+      SELECT user_id AS obs_id, k_peak, shift_bins, phase,
+        epoch_us + phase * period_us AS toa_us
+      FROM f
+    """),
+  )
+
+  /** B62: weighted multi-parameter timing fit (`operators.TimingFit`) —
+    * the reference's tempo2 step (`tempo2_wrapper.sh`): a weighted
+    * normal-equations solve `(XᵀWX)β = XᵀWy`, here the 3-parameter
+    * quadratic-trend case (intercept, x, x²) per event_type, solved in
+    * closed Cramer form so every term mirrors into SQL (the general-p
+    * driver-solve path is spec-pinned in TimingFitSpec). Moments are
+    * decimal-exact (Num policy); per-row products and the Cramer
+    * expansion are fixed-order double chains. Scale shape: one
+    * map-side-combined aggregation; the solve is O(groups). */
+  private lazy val q128 = Q(
+    "q128_timing_fit",
+    (s, dir) => {
+      import graft.operators.TimingFit
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          // integer-valued covariate grid: products w·xᵢ·xⱼ(·y) then have
+          // ≤5-place decimal expansions, so the DECIMAL(38,6) per-row cast
+          // never sits on a half-boundary where Spark's shortest-repr
+          // rounding and DuckDB's exact-binary rounding disagree (a
+          // measured 1e-9-level Cramer divergence with fractional grids)
+          pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
+          col("value").as("y"),
+          (lit(1.0) / (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double"))).as("w"))
+        .withColumn("x2", col("x1") * col("x1"))
+      val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
+        Seq(lit(1.0), col("x1"), col("x2")))
+      TimingFit.solveCramer3(m)
+        .select(col("event_type"), col("n"),
+          col("beta0"), col("beta1"), col("beta2"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+          CAST(event_id % 13 AS DOUBLE) AS x1,
+          value AS y,
+          1.0 / (1.0 + CAST(event_id % 10 AS DOUBLE)) AS w
+        FROM events WHERE value IS NOT NULL),
+      e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),
+      mo AS (
+        SELECT event_type,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
+          COUNT(*) AS n
+        FROM e2 GROUP BY 1),
+      dd AS (
+        SELECT *,
+          s00 * (s11 * s22 - s12 * s12) -
+          s01 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * s12 - s11 * s02) AS det
+        FROM mo)
+      SELECT event_type, n,
+        CASE WHEN det = 0.0 THEN NULL ELSE (
+          b0 * (s11 * s22 - s12 * s12) -
+          s01 * (b1 * s22 - s12 * b2) +
+          s02 * (b1 * s12 - s11 * b2)) / det END AS beta0,
+        CASE WHEN det = 0.0 THEN NULL ELSE (
+          s00 * (b1 * s22 - s12 * b2) -
+          b0 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * b2 - b1 * s02)) / det END AS beta1,
+        CASE WHEN det = 0.0 THEN NULL ELSE (
+          s00 * (s11 * b2 - b1 * s12) -
+          s01 * (s01 * b2 - b1 * s02) +
+          b0 * (s01 * s12 - s11 * s02)) / det END AS beta2
+      FROM dd
     """),
   )
 }
