@@ -441,24 +441,44 @@ object FitsFile {
   /** Distributed archive rewrite — the dlyfix shape (parse → correct →
     * write) over a directory of FITS files: one task per file via
     * `binaryFile`, each file's corrected bytes written executor-side to
-    * `outDir/<name>`. Returns the number of files written. On a real
-    * cluster `outDir` must be a shared filesystem (the same contract as
-    * any Spark file sink); correction logic runs fully parallel, no
-    * shuffle. Returns the written file names (the only thing that
-    * reaches the driver — a manifest, bounded by file count, never
-    * file contents). */
+    * `outDir/<name>` through the Hadoop `FileSystem` API, so `outDir`
+    * accepts any Spark-supported URI (`hdfs://`, `s3a://`, `file:` or a
+    * plain local path) with the session's Hadoop configuration —
+    * credentials included — rebuilt per task. Correction logic runs
+    * fully parallel, no shuffle. Returns the written file names (the
+    * only thing that reaches the driver — a manifest, bounded by file
+    * count, never file contents). */
   def transformFiles(spark: SparkSession, inPath: String, outDir: String)(
       f: Seq[Hdu] => Seq[Hdu]): Seq[String] = {
     import spark.implicits._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    // Configuration isn't Serializable: ship its flattened entries
+    // (defaults + session overrides, so s3a/hdfs credentials survive)
+    // and rebuild one Configuration per task
+    val hconf = spark.sessionState.newHadoopConf()
+    val confEntries: Array[(String, String)] = {
+      val b = Array.newBuilder[(String, String)]
+      val it = hconf.iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     spark.read.format("binaryFile").load(inPath)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .map { case (path, bytes) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val dst = java.nio.file.Paths.get(outDir, name)
-        Option(dst.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
-        java.nio.file.Files.write(dst, fileBytes(f(readHdusWithData(bytes))))
-        name
+      .mapPartitions { rows =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new HPath(outDir)
+        val fs: FileSystem = base.getFileSystem(conf)
+        fs.mkdirs(base)
+        rows.map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val os = fs.create(new HPath(base, name), true)
+          try os.write(fileBytes(f(readHdusWithData(bytes))))
+          finally os.close()
+          name
+        }
       }
       .collect().toSeq.sorted
   }

@@ -196,6 +196,23 @@ class FitsFileSpec extends SparkSpec {
     }
   }
 
+  test("transformFiles writes through the Hadoop FileSystem API (file: URI)") {
+    val inDir = Files.createTempDirectory("fits_in_uri").toFile
+    val outDir = Files.createTempDirectory("fits_out_uri").toFile
+    try {
+      Files.write(Paths.get(inDir.toString, "c.fits"), fixture)
+      // an explicit scheme must resolve via Hadoop FileSystem, and the
+      // identity transform must round-trip the archive bit-exactly
+      val written =
+        FitsFile.transformFiles(spark, inDir.toString, "file:" + outDir)(identity)
+      assert(written == Seq("c.fits"))
+      val bytes = Files.readAllBytes(Paths.get(outDir.toString, "c.fits"))
+      assert(bytes.sameElements(fixture))
+    } finally {
+      Seq(inDir, outDir).foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    }
+  }
+
   test("distributed load explodes cards over binaryFile") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits").toFile
