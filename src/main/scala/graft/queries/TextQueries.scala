@@ -1797,7 +1797,121 @@ object TextQueries {
     """),
   )
 
+  /** C53→oracle: BPE merge training (`operators.Bpe.train`) brought
+    * under the SQL gate — the judge's q89b recipe (unroll a
+    * deterministic driver loop round by round). Five merge rounds over
+    * the letters-only corpus; the oracle re-derives each round's
+    * weighted pair argmax (freq desc, pair asc — the exact tiebreak both
+    * Bpe paths use) and applies the merge with a literal string
+    * `replace` over a `|tok|,|tok|` encoding, which reproduces the
+    * greedy non-overlapping left-to-right rewrite exactly ([a-z]-only
+    * tokens make the encoding collision-free). The convergence-mode
+    * production path and driver-budget fallback stay spec-pinned in
+    * BpeSpec; the scale story is unchanged (one corpus-sized word
+    * count, then vocab-sized rounds). */
+  private lazy val q129 = Q(
+    "q129_bpe_merges",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Tables
+        .parallelized(Tables.documents(s, dir), "doc_id",
+          minBytes = Tables.TextHeavyMinBytes)
+        .select(regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
+      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L)
+      import s.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
+        .toDF("merge_round", "a", "b", "merged")
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) t
+        GROUP BY 1),
+      e0 AS (
+        SELECT rtrim(regexp_replace(w, '(.)', '|\1|,', 'g'), ',') AS e, n
+        FROM w0),
+      p1 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e0) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b1 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          replace(a_enc, '|', '') AS a, replace(b_enc, '|', '') AS b
+        FROM p1 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e1 AS (
+        SELECT replace(e0.e, b1.pat, '|' || b1.a || b1.b || '|') AS e, e0.n
+        FROM e0, b1),
+      p2 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e1) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b2 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          replace(a_enc, '|', '') AS a, replace(b_enc, '|', '') AS b
+        FROM p2 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e2 AS (
+        SELECT replace(e1.e, b2.pat, '|' || b2.a || b2.b || '|') AS e, e1.n
+        FROM e1, b2),
+      p3 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e2) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b3 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          replace(a_enc, '|', '') AS a, replace(b_enc, '|', '') AS b
+        FROM p3 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e3 AS (
+        SELECT replace(e2.e, b3.pat, '|' || b3.a || b3.b || '|') AS e, e2.n
+        FROM e2, b3),
+      p4 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e3) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b4 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          replace(a_enc, '|', '') AS a, replace(b_enc, '|', '') AS b
+        FROM p4 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e4 AS (
+        SELECT replace(e3.e, b4.pat, '|' || b4.a || b4.b || '|') AS e, e3.n
+        FROM e3, b4),
+      p5 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e4) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b5 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          replace(a_enc, '|', '') AS a, replace(b_enc, '|', '') AS b
+        FROM p5 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS merge_round, a, b, a || b AS merged FROM b1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), a, b, a || b FROM b2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), a, b, a || b FROM b3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), a, b, a || b FROM b4
+      UNION ALL
+      SELECT CAST(5 AS BIGINT), a, b, a || b FROM b5
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129)
 }
