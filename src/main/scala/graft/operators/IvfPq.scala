@@ -177,4 +177,62 @@ object IvfPq {
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "d2", "rank")
   }
+
+  // -------------------------------------------------------------------
+  // Model persistence — a production index trains ONCE and serves many
+  // sessions; without this every job would re-run the two Lloyd
+  // trainings (the dominant cost of q123-style chains). Layout:
+  //   <path>/manifest.json   {"format":"graft-ivfpq","version":1,m,dim,clusterBits}
+  //   <path>/coarse/         parquet (cluster, c_centroid)
+  //   <path>/pq/             parquet (subspace, code, centroid)
+  // Centroids are doubles and parquet stores them bit-exactly, so a
+  // loaded model searches identically to the freshly trained one
+  // (IvfPqSpec pins this). Paths go through the Hadoop FileSystem API,
+  // so any Spark-supported URI works (same contract as
+  // FitsFile.transformFiles).
+  // -------------------------------------------------------------------
+
+  private val FormatName = "graft-ivfpq"
+  private val FormatVersion = 1
+
+  /** Persist a trained model under `path` (overwrites). */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.coarse.sparkSession
+    model.coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    model.pq.write.mode("overwrite").parquet(s"$path/pq")
+    val manifest =
+      s"""{"format":"$FormatName","version":$FormatVersion,""" +
+      s""""m":${model.m},"dim":${model.dim},"clusterBits":${model.clusterBits}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** Load a model persisted by [[save]]; fails loudly on a missing or
+    * incompatible manifest rather than mis-searching with wrong m/dim. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val is = fs.open(p)
+    val text =
+      try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally is.close()
+    def field(name: String): String =
+      s""""$name":\\s*"?([^",}]+)"?""".r.findFirstMatchIn(text)
+        .map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"IvfPq.load: manifest at $path missing field '$name'"))
+    require(field("format") == FormatName,
+      s"IvfPq.load: not a $FormatName index: ${field("format")}")
+    require(field("version").toInt == FormatVersion,
+      s"IvfPq.load: unsupported version ${field("version")} (want $FormatVersion)")
+    Model(
+      spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/pq"),
+      m = field("m").toInt,
+      dim = field("dim").toInt,
+      clusterBits = field("clusterBits").toInt)
+  }
 }

@@ -129,6 +129,49 @@ class IvfPqSpec extends SparkSpec {
       f"full-probe refined recall $fullRecall%.3f < 0.8 — ADC shortlist at 10k is dropping true neighbors")
   }
 
+  test("save/load round-trips the model and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_model").toString
+    try {
+      val model = IvfPq.train(corpus, "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
+      IvfPq.save(model, dir)
+      val loaded = IvfPq.load(spark, dir)
+      assert(loaded.m == model.m && loaded.dim == model.dim &&
+        loaded.clusterBits == model.clusterBits)
+      // centroid tables are bit-identical through parquet
+      assert(loaded.coarse.collect().toSet == model.coarse.collect().toSet)
+      assert(loaded.pq.collect().toSet == model.pq.collect().toSet)
+      // a session that only loads the index must search identically to
+      // the session that trained it
+      val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
+      val queries = corpus.filter($"vec_id".isin(0L, 5L, 11L))
+      val a = IvfPq.search(queries, encoded, model, "vec_id", "embedding", nprobe = 2, k = 3)
+        .collect().map(_.toSeq).toSet
+      val b = IvfPq.search(queries, IvfPq.encode(corpus, "vec_id", "embedding", loaded),
+          loaded, "vec_id", "embedding", nprobe = 2, k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, "loaded-model search differs from trained-model search")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("load fails loudly on a foreign or future manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_bad").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "manifest.json"),
+        """{"format":"graft-ivfpq","version":99,"m":2,"dim":8,"clusterBits":2}""")
+      val e = intercept[IllegalArgumentException](IvfPq.load(spark, dir))
+      assert(e.getMessage.contains("version"))
+    } finally {
+      new java.io.File(dir, "manifest.json").delete()
+      new java.io.File(dir).delete()
+    }
+  }
+
   test("residual PQ reconstructs tighter than raw PQ at the same bit budget") {
     // ADC self-distance is the PQ reconstruction error of the (residual)
     // vector; compare against raw-vector PQ (Quantize.adcTopK) self-match.
