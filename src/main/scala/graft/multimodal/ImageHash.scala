@@ -96,7 +96,11 @@ object ImageHash {
   /** Perceptual hash: 32×32 luma grid → 2D DCT-II → the 8×8
     * lowest-frequency block with the DC term dropped; bit = coefficient
     * above the MEDIAN of the remaining 63 (median = the 32nd smallest,
-    * so exactly 31 bits are ever set — scale- and offset-invariant). */
+    * so AT MOST 31 bits are set — scale- and offset-invariant; a
+    * structured image sets exactly 31, but median TIES lose bits: a
+    * constant-luma image has all 63 AC coefficients equal, so ZERO bits
+    * are set — degenerate inputs collapse to hash 0 rather than
+    * splitting ties arbitrarily). */
   // DCT-II basis for the 32×32 pHash grid — a constant; computed once
   // per JVM, not per image (pHash is a corpus-scale map stage)
   private val PHashN = 32
@@ -148,4 +152,25 @@ object ImageHash {
 
   /** Hamming distance between two 64-bit hashes. */
   def distance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // -------------------------------------------------------------------
+  // Option-returning corpus-scale entry points — the raw hashes REQUIRE
+  // the image to cover the grid, and one 1×1 tracking pixel in an
+  // advertised map stage must degrade to a skipped row, not a failed
+  // Spark stage (the same contract as AudioHash.fingerprint returning
+  // None for un-hashable input). Callers that have already filtered by
+  // decoded dimensions may use the throwing forms directly.
+  // -------------------------------------------------------------------
+
+  /** [[aHash]], or None when the image is smaller than its 8×8 grid. */
+  def tryAHash(img: BufferedImage): Option[Long] =
+    if (img.getWidth >= 8 && img.getHeight >= 8) Some(aHash(img)) else None
+
+  /** [[dHash]], or None when the image is smaller than its 9×8 grid. */
+  def tryDHash(img: BufferedImage): Option[Long] =
+    if (img.getWidth >= 9 && img.getHeight >= 8) Some(dHash(img)) else None
+
+  /** [[pHash]], or None when the image is smaller than its 32×32 grid. */
+  def tryPHash(img: BufferedImage): Option[Long] =
+    if (img.getWidth >= PHashN && img.getHeight >= PHashN) Some(pHash(img)) else None
 }

@@ -510,7 +510,7 @@ object Dedup {
   /** Shared survivor tail of the one-call dedup pipelines: resolve the
     * verified pair graph to clusters, drop every doc that is not its
     * cluster's min-id survivor. */
-  private def dropLosers(df: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
+  private[graft] def dropLosers(df: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
     val losers = resolveClusters(verifiedPairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
