@@ -65,15 +65,24 @@ object PolnCal {
     * `{i,q,u,v}Col + outSuffix`. Null Stokes inputs (a masked channel)
     * propagate to null calibrated values; a non-matching key leaves the
     * row with null calibration (left join) rather than dropping it; a
-    * SINGULAR Jones matrix under `invert = true` (det = 0 — a dead
-    * receptor) also yields null calibrated values instead of silent
-    * NaN/Infinity — in all three cases the caller decides whether
-    * missing calibration is fatal. */
+    * SINGULAR Jones matrix under `invert = true` (a dead receptor) also
+    * yields null calibrated values instead of silent NaN/Infinity — in
+    * all three cases the caller decides whether missing calibration is
+    * fatal.
+    *
+    * `singularEps2` is the |det|² threshold for "singular". The default
+    * 0.0 nulls EXACTLY det = 0 (bitwise-mirrorable, the q121 oracle
+    * semantics); a NEAR-singular matrix (det ~ 1e-300) then passes and
+    * produces huge/±Inf calibrated values — if near-singular
+    * observatory tables are plausible, set e.g. `singularEps2 = 1e-24`
+    * (|det| ≲ 1e-12) to null them too. The guard runs on the broadcast
+    * calibration table (a handful of rows), never the hot projection. */
   def applyJones(df: DataFrame, jones: DataFrame, keys: Seq[String],
                  iCol: String = "stokes_i", qCol: String = "stokes_q",
                  uCol: String = "stokes_u", vCol: String = "stokes_v",
                  prefix: String = "j", invert: Boolean = true,
-                 outSuffix: String = "_cal"): DataFrame = {
+                 outSuffix: String = "_cal",
+                 singularEps2: Double = 0.0): DataFrame = {
     require(keys.nonEmpty, "applyJones: at least one join key")
     val need = keys ++ jonesColumns(prefix)
     need.foreach(c => require(jones.columns.contains(c),
@@ -94,7 +103,9 @@ object PolnCal {
           (c("01", "_re") * c("10", "_re") - c("01", "_im") * c("10", "_im"))
         val detIm = c("00", "_re") * c("11", "_im") + c("00", "_im") * c("11", "_re") -
           (c("01", "_re") * c("10", "_im") + c("01", "_im") * c("10", "_re"))
-        val singular = (detRe * detRe + detIm * detIm) === lit(0.0)
+        // |det|² is a sum of squares (≥ 0), so <= 0.0 is exactly the
+        // det = 0 test when singularEps2 is the 0.0 default
+        val singular = (detRe * detRe + detIm * detIm) <= lit(singularEps2)
         jones.select(keys.map(col) ++ jc.map(n =>
           when(singular, lit(null).cast("double")).otherwise(col(n)).as(n)): _*)
       }

@@ -174,7 +174,13 @@ object Quantize {
       .groupBy("q_id", "t_id")
       // decimal accumulator (Num policy): the m-term sum is exact and
       // order-free, so duplicate codes get BITWISE-equal distances and
-      // the t_id tie-break below is deterministic across partitionings
+      // the t_id tie-break below is deterministic across partitionings.
+      // MAGNITUDE CONTRACT: decimal(38,18) holds |Σd2| < 1e20, i.e.
+      // per-subspace squared distances to ~1e19 — comfortable for
+      // unit-scale embeddings (d2 ~ 1), and under ANSI mode (Spark 4's
+      // default, which graft sessions keep) an overflow fails LOUDLY
+      // rather than silently nulling the ranking; only a non-ANSI
+      // deployment with ~1e9-scale components needs to pre-scale.
       .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("adc_d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -69,6 +69,16 @@ object RangeJoin {
     * Duplicate-free by construction: a point lives in exactly one bin
     * and an interval copies into each touched bin once, so each
     * qualifying (point, interval) pair meets exactly once.
+    *
+    * OUTPUT-BOUND AT SCALE: this form MATERIALIZES every qualifying
+    * pair, and on a densifying axis the pair count grows as points ×
+    * intervals (measured 19× on a 10× sf step — q56's SCALING.md row;
+    * that is the output's size, not an inefficiency). If the downstream
+    * need is an aggregate per interval/group (counts, sums), use
+    * [[aggregatePointsInIntervals]] instead — it folds the pairs inside
+    * the join stage and stays linear in the INPUT row counts (the
+    * q88_interval_agg form). Reach for `pointInInterval` only when the
+    * pairs themselves are the product.
     */
   def pointInInterval(
       points: DataFrame,

@@ -232,7 +232,7 @@ object EventStream {
     * LOW 16-bit fingerprint chunk (band 0 of the batch operator's
     * banded LSH), so a pair within Hamming distance d co-keys with
     * probability C(48,d)/C(64,d) (all flipped bits avoid the chunk —
-    * 1.0 / 0.74 / 0.55 / 0.41 for d = 0/1/2/3); within the key the full
+    * 1.0 / 0.75 / 0.56 / 0.42 for d = 0/1/2/3); within the key the full
     * fingerprint is popcount-verified against up to `maxStored` stored
     * hashes (FIFO cap → bounded state and O(maxStored) work per doc),
     * which keeps unrelated chunk-collisions from being dropped. State

@@ -117,4 +117,26 @@ class PolnCalSpec extends SparkSpec {
       .select("stokes_i_cal").collect()
     fwd.foreach(r => assert(!r.isNullAt(0) && !r.getDouble(0).isNaN))
   }
+
+  test("near-singular Jones passes the default exact-0 guard but nulls under singularEps2") {
+    // det = 1e-8·(scale of the matrix): numerically near-singular
+    val nearSing = Seq(
+      jonesRow(0L, (1.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0 + 1e-8, 0.0)),
+      jonesRow(1L, (1.0, 0.0), (0.0, 0.0), (0.0, 0.0), (1.0, 0.0)),
+    ).toDF(jonesCols: _*)
+    // default: exact-0 semantics — the near-singular channel calibrates
+    // to huge but non-null values (the documented contract)
+    val loose = PolnCal.applyJones(stokes, nearSing, Seq("channel"))
+      .filter(col("channel") === 0).select("stokes_i_cal").collect()
+    loose.foreach(r => assert(!r.isNullAt(0)))
+    // with a |det|² threshold the channel is treated as dead (null),
+    // while the well-conditioned channel still calibrates
+    val strict = PolnCal.applyJones(stokes, nearSing, Seq("channel"),
+        singularEps2 = 1e-12)
+      .select("channel", "stokes_i_cal").collect()
+    strict.foreach { r =>
+      if (r.getLong(0) == 0L) assert(r.isNullAt(1), s"near-singular channel must null: $r")
+      else assert(!r.isNullAt(1) && !r.getDouble(1).isNaN)
+    }
+  }
 }
