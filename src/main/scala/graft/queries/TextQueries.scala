@@ -1911,7 +1911,127 @@ object TextQueries {
     """),
   )
 
+  /** C53b: BPE TOKENIZATION under the gate (`Bpe.encode` — the typed-map
+    * production tokenizer) — q129's other half. Equivalence that makes
+    * the oracle possible: `encodeWord`'s greedy loop (repeatedly merge
+    * the lowest-rank pair present, leftmost first) equals applying the
+    * merges in LEARNED ORDER, each as an exhaustive left-to-right
+    * non-overlapping rewrite — because a merge can only create pairs
+    * containing its (strictly longer) output token, and any learned pair
+    * containing that token was necessarily learned LATER; so no merge
+    * ever re-enables an earlier rank, and one string `replace` per merge
+    * over the `|tok|,|tok|` encoding reproduces the loop exactly. The
+    * oracle therefore tokenizes the DISTINCT-WORD table (5 replaces) and
+    * joins docs' words against it — also exactly how the operator
+    * amortizes cost (encode touches each distinct word's merge loop
+    * once per task, not once per occurrence, via the rank map). Output:
+    * per-doc token count + the space-joined token stream. */
+  private lazy val q130 = Q(
+    "q130_bpe_encode",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Tables
+        .parallelized(Tables.documents(s, dir), "doc_id",
+          minBytes = Tables.TextHeavyMinBytes)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
+      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L)
+      Bpe.encode(docs, "t", "doc_id", model)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_tokens"), " ").as("tokens_str"))
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) t
+        GROUP BY 1),
+      e0 AS (
+        SELECT w, rtrim(regexp_replace(w, '(.)', '|\1|,', 'g'), ',') AS e, n
+        FROM w0),
+      p1 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e0) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b1 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          '|' || replace(a_enc, '|', '') || replace(b_enc, '|', '') || '|' AS merged
+        FROM p1 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e1 AS (SELECT w, replace(e0.e, b1.pat, b1.merged) AS e, n FROM e0, b1),
+      p2 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e1) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b2 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          '|' || replace(a_enc, '|', '') || replace(b_enc, '|', '') || '|' AS merged
+        FROM p2 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e2 AS (SELECT w, replace(e1.e, b2.pat, b2.merged) AS e, n FROM e1, b2),
+      p3 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e2) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b3 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          '|' || replace(a_enc, '|', '') || replace(b_enc, '|', '') || '|' AS merged
+        FROM p3 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e3 AS (SELECT w, replace(e2.e, b3.pat, b3.merged) AS e, n FROM e2, b3),
+      p4 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e3) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b4 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          '|' || replace(a_enc, '|', '') || replace(b_enc, '|', '') || '|' AS merged
+        FROM p4 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e4 AS (SELECT w, replace(e3.e, b4.pat, b4.merged) AS e, n FROM e3, b4),
+      p5 AS (
+        SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
+        FROM (SELECT string_split(e, ',') AS toks, n FROM e4) t,
+             LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+        GROUP BY 1, 2),
+      b5 AS (
+        SELECT a_enc || ',' || b_enc AS pat,
+          '|' || replace(a_enc, '|', '') || replace(b_enc, '|', '') || '|' AS merged
+        FROM p5 WHERE freq >= 2
+        ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
+        LIMIT 1),
+      e5 AS (SELECT w, replace(e4.e, b5.pat, b5.merged) AS e FROM e4, b5),
+      docw AS (
+        SELECT doc_id, i AS idx, ws[i] AS w
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+              FROM documents) d,
+             LATERAL unnest(generate_series(1, len(ws))) u(i)),
+      tok AS (
+        SELECT d.doc_id, d.idx,
+          replace(replace(e5.e, '|,|', ' '), '|', '') AS word_toks,
+          len(string_split(e5.e, ',')) AS n_toks
+        FROM docw d JOIN e5 ON e5.w = d.w),
+      agg AS (
+        SELECT doc_id,
+          CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+          string_agg(word_toks, ' ' ORDER BY idx) AS tokens_str
+        FROM tok GROUP BY 1)
+      SELECT doc_id,
+        COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+        COALESCE(a.tokens_str, '') AS tokens_str
+      FROM documents LEFT JOIN agg a USING (doc_id)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129, q130)
 }

@@ -560,6 +560,52 @@ object EventStream {
       .select(col("window"), col("chi2"), col("n_total"), col("n_other"))
   }
 
+  /** D21: streaming per-key windowed TREND — the live twin of q65/q128's
+    * batch fits: per (tumbling window, key), the least-squares slope and
+    * start-of-window intercept of `valueCol` against event time, from
+    * decomposable moment sums (the `TimingFit` normal-equation shape —
+    * sums merge, so the whole fit is ONE watermarked streaming
+    * aggregation with five doubles of state per open (window, key); no
+    * mapGroupsWithState, no per-event state). The drifting-calibration
+    * alarm shape: a sensor whose slope_per_sec walks away from 0 is
+    * drifting within the window, visible before the window even closes.
+    *
+    * Numerics: x is the event's offset WITHIN its window (ts mod the
+    * window length — exact for epoch-aligned tumbling windows, which is
+    * why the duration is taken in seconds rather than a free-form
+    * interval string), keeping x in [0, windowSeconds) so the moment
+    * difference n·Σx² − (Σx)² never catastrophically cancels the way
+    * epoch-scale x would (~14 digits lost at 10-minute windows).
+    * Moments are IEEE double sums — streaming carries no oracle; the
+    * decimal-exact gate lives on the batch twins (q65/q128).
+    * `slope_per_sec` is null for degenerate windows (n < 2 or a single
+    * distinct timestamp). */
+  def windowedTrend(events: DataFrame, keyCol: String, valueCol: String,
+                    windowSeconds: Long = 600L,
+                    watermark: String = "30 minutes"): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val us = windowSeconds * 1000000L
+    val x = (unix_micros(col("ts")) % lit(us)).cast("double") / lit(1e6)
+    val y = col(valueCol).cast("double")
+    val agged = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val denom = n * col("sxx") - col("sx") * col("sx")
+    val slope = when(denom === lit(0.0), lit(null).cast("double"))
+      .otherwise((n * col("sxy") - col("sx") * col("sy")) / denom)
+    agged
+      .withColumn("slope_per_sec", slope)
+      .withColumn("intercept_at_start",
+        when(col("slope_per_sec").isNull, lit(null).cast("double"))
+          .otherwise(col("sy") / n - col("slope_per_sec") * (col("sx") / n)))
+      .select(col("window"), col(keyCol), col("n"),
+        col("slope_per_sec"), col("intercept_at_start"))
+  }
+
   /** Built-in `session_window` sessionization on a STREAM — the
     * one-aggregation form of [[sessionized]] (which uses explicit
     * flatMapGroupsWithState for custom state/emission control): Spark

@@ -31,6 +31,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTrend recovers a planted linear drift per key and window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // key "a": value = 100 + 2·(seconds into the 10-min window);
+    // key "b": constant (slope 0); key "c": one event (degenerate)
+    val events = (0 until 5).flatMap { i =>
+      val ts = t(f"2024-01-01 10:0$i:00")
+      Seq(Event(i * 10L, ts, 1, "a", 100.0 + 2.0 * (60.0 * i)),
+          Event(i * 10L + 1, ts, 2, "b", 7.5))
+    } :+ Event(99L, t("2024-01-01 10:02:30"), 3, "c", 1.0)
+    mem.addData(events: _*)
+    val q = EventStream.windowedTrend(mem.toDF(), "event_type", "value",
+        windowSeconds = 600L)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT event_type, n, slope_per_sec, intercept_at_start FROM trend_out")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val a = rows("a")
+      assert(a.getLong(1) === 5L)
+      assert(math.abs(a.getDouble(2) - 2.0) < 1e-9, s"slope ${a.getDouble(2)}")
+      assert(math.abs(a.getDouble(3) - 100.0) < 1e-6, s"intercept ${a.getDouble(3)}")
+      val b = rows("b")
+      assert(math.abs(b.getDouble(2)) < 1e-12 && math.abs(b.getDouble(3) - 7.5) < 1e-9)
+      assert(rows("c").isNullAt(2) && rows("c").isNullAt(3),
+        "single-event window must yield null slope, not 0/0")
+    } finally q.stop()
+  }
+
   test("orbitalScored tags live events with binary phase and bins per window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
