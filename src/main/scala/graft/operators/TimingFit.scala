@@ -36,13 +36,14 @@ object TimingFit {
     * (upper triangle, i ≤ j), `b{i}` = Σ w·xᵢ·y, `n` = row count. Pass
     * `lit(1.0)` as the first design column for an intercept. */
   def moments(df: DataFrame, groupCols: Seq[String], y: Column, w: Column,
-              xs: Seq[Column]): DataFrame = {
+              xs: Seq[Column], withY2: Boolean = false): DataFrame = {
     require(xs.nonEmpty, "at least one design column required")
     val p = xs.length
     val aggs =
       (for { i <- 0 until p; j <- i until p } yield
         dsum(w * xs(i) * xs(j)).as(s"s$i$j")) ++
-      (0 until p).map(i => dsum(w * xs(i) * y).as(s"b$i")) :+
+      (0 until p).map(i => dsum(w * xs(i) * y).as(s"b$i")) ++
+      (if (withY2) Seq(dsum(w * y * y).as("syy")) else Seq.empty) :+
       count(lit(1)).as("n")
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -76,6 +77,56 @@ object TimingFit {
         s00 * (s11 * b2 - b1 * s12) -
         s01 * (s01 * b2 - b1 * s02) +
         b0 * (s01 * s12 - s11 * s02)))
+  }
+
+  /** Goodness-of-fit diagnostics over a `solveCramer3` output whose
+    * moments were built `withY2 = true` — the residual summary a timing
+    * user reads off a tempo2 run, WITHOUT a second pass over the rows:
+    *
+    *   chi2 = Σ w·r² = syy − (β₀b₀ + β₁b₁ + β₂b₂)   (normal-equation
+    *     identity — exact for the exact β; with the float β the
+    *     second-order defect is identical in any engine running the same
+    *     chain, which is the contract that lets q131 carry an oracle),
+    *   wrms = √(max(chi2, 0) / Σw)   (the weighted RMS residual; the
+    *     clamp absorbs the ≤ulp-negative chi2 of a perfect fit),
+    *   chi2_red = chi2 / (n − 3)      (null when n ≤ 3).
+    *
+    * All three are fixed-order double chains over the per-group moment
+    * row — zero extra shuffles, zero extra scans; the corpus is touched
+    * exactly once (by `moments`). Null betas (singular normal matrix)
+    * null all three. */
+  def diagnostics3(m: DataFrame): DataFrame = {
+    val fitted = solveCramer3(m)
+    val explained =
+      col("beta0") * col("b0") + col("beta1") * col("b1") + col("beta2") * col("b2")
+    fitted
+      .withColumn("chi2",
+        when(col("beta0").isNull, lit(null).cast("double"))
+          .otherwise(col("syy") - explained))
+      .withColumn("wrms",
+        when(col("chi2").isNull, lit(null).cast("double"))
+          .otherwise(sqrt(greatest(col("chi2"), lit(0.0)) / col("s00"))))
+      .withColumn("chi2_red",
+        when(col("chi2").isNull || col("n") <= lit(3L), lit(null).cast("double"))
+          .otherwise(col("chi2") / (col("n") - lit(3L)).cast("double")))
+  }
+
+  /** Per-row weighted residuals against a per-group Cramer-3 fit: joins
+    * the (small — one row per group key) beta table back and computes
+    * `resid = y − (β₀x₀ + β₁x₁ + β₂x₂)` as a pure map stage. The beta
+    * side is broadcast — group cardinality is a GROUP BY key set, same
+    * boundedness contract as `fit`. Rows in singular groups get null. */
+  def residuals3(df: DataFrame, groupCols: Seq[String], y: Column, w: Column,
+                 xs: Seq[Column]): DataFrame = {
+    require(xs.length == 3, "residuals3 is the p=3 closed-form path")
+    val betas = solveCramer3(moments(df, groupCols, y, w, xs))
+      .select((groupCols.map(col) ++ Seq(col("beta0"), col("beta1"), col("beta2"))): _*)
+    val predicted =
+      col("beta0") * xs(0) + col("beta1") * xs(1) + col("beta2") * xs(2)
+    df.join(org.apache.spark.sql.functions.broadcast(betas), groupCols)
+      .withColumn("resid",
+        when(col("beta0").isNull, lit(null).cast("double"))
+          .otherwise(y - predicted))
   }
 
   /** General weighted fit: one row per group with `betas: array<double>`

@@ -954,7 +954,7 @@ object SignalQueries {
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128)
+    q127, q128, q131)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no
@@ -1998,6 +1998,92 @@ object SignalQueries {
           s01 * (s01 * b2 - b1 * s02) +
           b0 * (s01 * s12 - s11 * s02)) / det END AS beta2
       FROM dd
+    """),
+  )
+
+  /** B63: fit-residual diagnostics (`TimingFit.diagnostics3`) — the
+    * numbers a timing user actually reads off a tempo2 run (reference
+    * README §5: the fit's wRMS/χ² decide whether an ephemeris update is
+    * accepted): per group, residual χ² = Σw·r², weighted RMS residual,
+    * reduced χ². Computed CLOSED-FORM from the same one-pass decimal
+    * moment row that produced the betas (χ² = syy − βᵀb — the
+    * normal-equation identity), so the whole diagnostic costs ZERO extra
+    * passes over the corpus: one map-side-combined aggregation total,
+    * O(groups) everything after. The per-row residual path
+    * (`TimingFit.residuals3`) is spec-pinned on a planted-coefficient
+    * recovery. Same integer covariate grid as q128 (decimal half-boundary
+    * discipline). */
+  private lazy val q131 = Q(
+    "q131_fit_residuals",
+    (s, dir) => {
+      import graft.operators.TimingFit
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
+          col("value").as("y"),
+          (lit(1.0) / (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double"))).as("w"))
+        .withColumn("x2", col("x1") * col("x1"))
+      val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
+        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true)
+      TimingFit.diagnostics3(m)
+        .select(col("event_type"), col("n"),
+          col("chi2"), col("wrms"), col("chi2_red"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+          CAST(event_id % 13 AS DOUBLE) AS x1,
+          value AS y,
+          1.0 / (1.0 + CAST(event_id % 10 AS DOUBLE)) AS w
+        FROM events WHERE value IS NOT NULL),
+      e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),
+      mo AS (
+        SELECT event_type,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(w * y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+          COUNT(*) AS n
+        FROM e2 GROUP BY 1),
+      dd AS (
+        SELECT *,
+          s00 * (s11 * s22 - s12 * s12) -
+          s01 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * s12 - s11 * s02) AS det
+        FROM mo),
+      bb AS (
+        SELECT *,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            b0 * (s11 * s22 - s12 * s12) -
+            s01 * (b1 * s22 - s12 * b2) +
+            s02 * (b1 * s12 - s11 * b2)) / det END AS beta0,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            s00 * (b1 * s22 - s12 * b2) -
+            b0 * (s01 * s22 - s12 * s02) +
+            s02 * (s01 * b2 - b1 * s02)) / det END AS beta1,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            s00 * (s11 * b2 - b1 * s12) -
+            s01 * (s01 * b2 - b1 * s02) +
+            b0 * (s01 * s12 - s11 * s02)) / det END AS beta2
+        FROM dd),
+      cc AS (
+        SELECT *,
+          CASE WHEN beta0 IS NULL THEN NULL
+               ELSE syy - (beta0 * b0 + beta1 * b1 + beta2 * b2) END AS chi2
+        FROM bb)
+      SELECT event_type, n, chi2,
+        CASE WHEN chi2 IS NULL THEN NULL
+             ELSE SQRT(GREATEST(chi2, 0.0) / s00) END AS wrms,
+        CASE WHEN chi2 IS NULL OR n <= 3 THEN NULL
+             ELSE chi2 / CAST(n - 3 AS DOUBLE) END AS chi2_red
+      FROM cc
     """),
   )
 }

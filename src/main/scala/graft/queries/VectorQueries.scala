@@ -1249,6 +1249,72 @@ object VectorQueries {
     """),
   )
 
+  /** C72: ANN recall evaluation (`AnnEval.recallAt`) — measure, don't
+    * assume: per sampled query, how much of the exact cosine top-k the
+    * sign-LSH bucketed index (q39's scale path) actually returns.
+    * Membership is matched by neighbor ID — no float comparison can flip
+    * a hit — and queries whose bucket missed entirely surface with
+    * n_hit = 0 rather than disappearing. Scale shape: ground truth costs
+    * sample × corpus (the sample is the knob, disclosed in AnnEval's
+    * scaladoc); the evaluation itself joins two ≤ k·|sample|-row result
+    * sets. The same operator evaluates any (q_id, t_id) result pair —
+    * IVF (q46), IVF+PQ (q123/q126) — spec-pinned; `summarize` collapses
+    * to macro/micro/worst recall. */
+  private val q132 = Q(
+    "q132_ann_recall",
+    (s, dir) => {
+      import graft.operators.AnnEval
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val t = e.filter(col("vec_id") >= 5)
+      val exact = KnnJoin.bruteForce(q, t, "embedding", "vec_id", k = 3)
+      val approx = KnnJoin.bucketed(q, t, "embedding", "vec_id", k = 3, bits = 4)
+      AnnEval.recallAt(exact, approx)
+        .select(col("q_id"), col("n_exact"), col("n_hit"), col("recall"))
+    },
+    Some(s"""
+      WITH qq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      tt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+      dots AS (
+        SELECT qq.vec_id AS q_id, tt.vec_id AS t_id, ${dotSql.format("qq.embedding", "tt.embedding")} AS dot
+        FROM qq, tt, LATERAL unnest(generate_series(1, len(qq.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      $normsCte,
+      cos AS (
+        SELECT q_id, t_id, dot / (nq.nrm * nt.nrm) AS cosine
+        FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nt ON nt.vec_id = t_id),
+      ex AS (
+        SELECT q_id, t_id FROM (
+          SELECT q_id, t_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS rn
+          FROM cos) WHERE rn <= 3),
+      eb AS (
+        SELECT vec_id,
+          (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+           + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+           + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+           + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      ap AS (
+        SELECT q_id, t_id FROM (
+          SELECT c.q_id, c.t_id,
+            ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY c.cosine DESC, c.t_id) AS rn
+          FROM cos c
+          JOIN eb bq ON bq.vec_id = c.q_id
+          JOIN eb bt ON bt.vec_id = c.t_id AND bt.bucket = bq.bucket) WHERE rn <= 3),
+      base AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+      hits AS (
+        SELECT ex.q_id, COUNT(*) AS n_hit
+        FROM ex JOIN ap ON ap.q_id = ex.q_id AND ap.t_id = ex.t_id
+        GROUP BY 1)
+      SELECT b.q_id, b.n_exact,
+        COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        CAST(COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS DOUBLE)
+          / CAST(b.n_exact AS DOUBLE) AS recall
+      FROM base b LEFT JOIN hits h ON h.q_id = b.q_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
-    q119, q120, q122, q123, q124, q126)
+    q119, q120, q122, q123, q124, q126, q132)
 }
