@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF+PQ with residual quantization — the billion-vector ANN index
@@ -90,6 +90,67 @@ object IvfPq {
     val resid = residuals(df, idCol, vecCol, model.coarse, model.clusterBits)
     val codes = Quantize.encode(resid, "id", "resid", model.pq, model.m, model.dim)
     resid.select("id", "cluster").join(codes, Seq("id"))
+  }
+
+  /** Stateless per-row encoding against LITERAL codebooks — the
+    * streaming-ingest path that keeps a trained index FRESH: `encode`
+    * routes through a groupBy-per-id argmin (aggregation ⇒ state stores
+    * and output-mode constraints on a stream), while this variant folds
+    * each row over the codebooks embedded as literal arrays, making the
+    * whole encoding ONE stateless projection — legal in any streaming
+    * output mode, no watermark, no state; and on batch inputs it trades
+    * the two broadcast-join+aggregate rounds for zero shuffles.
+    *
+    * Driver/plan state is the codebook itself (nlist·dim + m·k·(dim/m)
+    * doubles — the same bounded tables `save` persists), collected once
+    * at plan-build time.
+    *
+    * Parity contract (spec-pinned against `encode` on trained models):
+    * distances are the same `sqDist` chains over the same doubles, and
+    * the fold's strict `<` keeps the FIRST (= smallest id) minimum —
+    * the same tie direction as the batch ArgMaxPack path. The one
+    * disclosed divergence window is ArgMaxPack's: the packed argmin
+    * quantizes away the low labelBits mantissa bits, so two distances
+    * within ~2^-48 relative collapse to a tie batch-side while the fold
+    * compares full-precision — same bounded window as q44's scaladoc. */
+  def encodeStateless(df: DataFrame, idCol: String, vecCol: String,
+                      model: Model, keep: Seq[String] = Nil): DataFrame = {
+    val sub = model.dim / model.m
+    val vec = col(vecCol).cast("array<double>")
+
+    // fold target over (id, centroid) candidates in ascending id order;
+    // result: struct(d2, id, c) of the argmin
+    def argminFold(cands: Seq[(Int, Seq[Double])], target: Column): Column = {
+      require(cands.nonEmpty, "empty codebook")
+      val arr = array(cands.map { case (cid, c) =>
+        struct(lit(cid).as("id"), typedLit(c).as("c"))
+      }: _*)
+      val zero = struct(lit(Double.PositiveInfinity).as("d2"),
+        lit(-1).as("id"), typedLit(Seq.empty[Double]).as("c"))
+      aggregate(arr, zero, (acc, e) => {
+        val d2 = Quantize.sqDist(target, e.getField("c"))
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), e.getField("id").as("id"), e.getField("c").as("c")))
+          .otherwise(acc)
+      })
+    }
+
+    val coarseRows = model.coarse.select("cluster", "c_centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val pqBySub = model.pq.select("subspace", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    require((0 until model.m).forall(pqBySub.contains), "PQ codebook missing a subspace")
+
+    val withCluster = df
+      .withColumn("__best", argminFold(coarseRows, vec))
+      .withColumn("__resid", zip_with(vec, col("__best").getField("c"), (a, b) => a - b))
+    val codeCols = (0 until model.m).map { s =>
+      argminFold(pqBySub(s), slice(col("__resid"), s * sub + 1, sub)).getField("id")
+    }
+    withCluster.select(Seq(col(idCol).as("id"),
+      col("__best").getField("id").as("cluster"),
+      array(codeCols: _*).as("codes")) ++ keep.map(col): _*)
   }
 
   /** Probe search: per query, rank coarse centroids by squared L2 and keep

@@ -606,6 +606,39 @@ object EventStream {
         col("slope_per_sec"), col("intercept_at_start"))
   }
 
+  /** D22: streaming IVF+PQ index ingest — the live half of the
+    * train-once/serve-many index lifecycle (`IvfPq.train` → `save` →
+    * `load` → THIS): newly arriving vectors are routed to their coarse
+    * cluster and PQ-encoded against the loaded model's codebooks as ONE
+    * STATELESS projection (`IvfPq.encodeStateless` — codebooks are plan
+    * literals, distances fold per row), so the encoded stream appends
+    * straight into the index's partition layout in any output mode, with
+    * no state store, no watermark requirement, at line rate. The
+    * timestamp column rides along for downstream windowed audits.
+    * Same bounded divergence disclosure as encodeStateless vs the batch
+    * path (ArgMaxPack's ~2^-48 tie window). */
+  def ivfIngested(vectors: DataFrame, tsCol: String, idCol: String,
+                  vecCol: String, model: graft.operators.IvfPq.Model): DataFrame =
+    graft.operators.IvfPq.encodeStateless(vectors, idCol, vecCol, model,
+      keep = Seq(tsCol))
+
+  /** D23: streaming index-health monitor — per (tumbling window, coarse
+    * cluster) ingest counts over the SAME stateless assignment as
+    * [[ivfIngested]]. Cluster balance is the index operator's retrain
+    * signal: a cluster absorbing a disproportionate share of new vectors
+    * means the coarse quantizer no longer matches the data distribution
+    * (probe lists balloon → recall and latency drift). One watermarked
+    * windowed aggregation; state is one count per open (window, cluster),
+    * bounded by nlist. */
+  def ivfClusterBalance(vectors: DataFrame, tsCol: String, idCol: String,
+                        vecCol: String, model: graft.operators.IvfPq.Model,
+                        windowLength: String = "10 minutes",
+                        watermark: String = "30 minutes"): DataFrame =
+    ivfIngested(vectors, tsCol, idCol, vecCol, model)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("cluster"))
+      .agg(count(lit(1)).as("n_ingested"))
+
   /** Built-in `session_window` sessionization on a STREAM — the
     * one-aggregation form of [[sessionized]] (which uses explicit
     * flatMapGroupsWithState for custom state/emission control): Spark

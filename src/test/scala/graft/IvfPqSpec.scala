@@ -31,6 +31,23 @@ class IvfPqSpec extends SparkSpec {
     assert(byTrue.values.forall(_.size == 1), s"coarse clusters split a true cluster: $byTrue")
   }
 
+  test("encodeStateless matches encode cluster-for-cluster and code-for-code") {
+    val model = IvfPq.train(corpus, "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Int]]("codes").toList))).toMap
+    val batch = asMap(IvfPq.encode(corpus, "vec_id", "embedding", model))
+    val stateless = asMap(IvfPq.encodeStateless(corpus, "vec_id", "embedding", model))
+    assert(stateless.size === 40)
+    assert(stateless === batch)
+    // keep-columns ride through the stateless projection
+    val kept = IvfPq.encodeStateless(
+        corpus.withColumn("tag", $"vec_id" * 2), "vec_id", "embedding", model,
+        keep = Seq("tag"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tag")).toMap
+    assert(kept(7L) === 14L)
+  }
+
   test("search: probing the home cluster finds the vector itself at rank 1") {
     val model = IvfPq.train(corpus, "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
     val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)

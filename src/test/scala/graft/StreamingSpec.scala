@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, SessionOut}
 
+/** Top-level so spark.implicits can derive its encoder (local case
+  * classes carry no TypeTag). */
+case class StreamVec(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+
 class StreamingSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
@@ -60,6 +64,66 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(b.getDouble(2)) < 1e-12 && math.abs(b.getDouble(3) - 7.5) < 1e-9)
       assert(rows("c").isNullAt(2) && rows("c").isNullAt(3),
         "single-event window must yield null slope, not 0/0")
+    } finally q.stop()
+  }
+
+  test("ivfIngested encodes a live vector stream identically to the batch encoder") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.IvfPq
+    // 4 separated centers, deterministic jitter (the IvfPqSpec corpus shape)
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      StreamVec(i.toLong, t(f"2024-01-01 10:${i % 60}%02d:00"),
+        Array.tabulate(8)(d => (if (d / 2 == c) 10.0f else 0.0f) +
+          ((i * 7 + d * 3) % 5) * 0.01f).toSeq)
+    }
+    val staticDf = rows.toDF()
+    val model = IvfPq.train(staticDf, "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
+    val batch = IvfPq.encode(staticDf, "vec_id", "embedding", model).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Int]]("codes").toList))).toMap
+    val mem = MemoryStream[StreamVec]
+    mem.addData(rows.take(25): _*)
+    val q = EventStream.ivfIngested(mem.toDF(), "ts", "vec_id", "embedding", model)
+      .writeStream.format("memory").queryName("ivf_out").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.drop(25): _*) // a second micro-batch — same stateless path
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id, cluster, codes, ts FROM ivf_out").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Int]]("codes").toList))).toMap
+      assert(streamed.size === 40)
+      assert(streamed === batch, "stream ingest must agree with the batch index encoder")
+    } finally q.stop()
+  }
+
+  test("ivfClusterBalance counts ingested vectors per window and cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.IvfPq
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      // clusters 0/1 in the first window, 2/3 in the second
+      StreamVec(i.toLong, t(if (c < 2) "2024-01-01 10:01:00" else "2024-01-01 10:11:00"),
+        Array.tabulate(8)(d => (if (d / 2 == c) 10.0f else 0.0f) +
+          ((i * 7 + d * 3) % 5) * 0.01f).toSeq)
+    }
+    val model = IvfPq.train(rows.toDF(), "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
+    val mem = MemoryStream[StreamVec]
+    mem.addData(rows: _*)
+    val q = EventStream.ivfClusterBalance(mem.toDF(), "ts", "vec_id", "embedding", model)
+      .writeStream.format("memory").queryName("ivfbal_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT window.start, cluster, n_ingested FROM ivfbal_out").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(out.size === 4, s"expected 4 (window, cluster) rows, got $out")
+      assert(out.values.toSeq.sorted === Seq(10L, 10L, 10L, 10L))
+      // the two windows each carry two clusters
+      assert(out.keys.map(_._1).toSet.size === 2)
     } finally q.stop()
   }
 
