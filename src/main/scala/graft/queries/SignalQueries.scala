@@ -954,7 +954,7 @@ object SignalQueries {
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128, q131)
+    q127, q128, q131, q133)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no
@@ -2083,6 +2083,172 @@ object SignalQueries {
              ELSE SQRT(GREATEST(chi2, 0.0) / s00) END AS wrms,
         CASE WHEN chi2 IS NULL OR n <= 3 THEN NULL
              ELSE chi2 / CAST(n - 3 AS DOUBLE) END AS chi2_red
+      FROM cc
+    """),
+  )
+
+  /** B64: the END-TO-END timing chain in one query — what the reference
+    * pipeline hands its users across THREE external tools (psrchive
+    * profiles → `pat` TOAs → tempo2 fit; README §5), composed here from
+    * the operators that replaced them: binned profiles → template CCF
+    * TOA estimation (`Toa.estimate`, q127's chain verbatim) → weighted
+    * quadratic phase-drift fit per period class with the residual
+    * report (`TimingFit.moments(withY2) → diagnostics3`, q131's tail).
+    * The observation covariate is the integer second-of-epoch grid
+    * (`epoch_us div 1e6 mod 1e5` — exact BIGINT division both engines,
+    * the q128 half-boundary discipline); y is the measured sub-bin
+    * phase. Scale shape: the whole pipeline is TWO aggregations (binned
+    * profiles; fit moments) + a 1-row broadcast template — nothing
+    * between them touches more than one row per observation. */
+  private lazy val q133 = Q(
+    "q133_timing_pipeline",
+    (s, dir) => {
+      import graft.operators.{TimingFit, Toa}
+      val nbin = 8
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .select(col("user_id"),
+          pmod(col("event_id"), lit(nbin.toLong)).as("bin"),
+          col("value"), unix_micros(col("ts")).as("tus"))
+      def binSum(j: Int) =
+        coalesce(dsum(when(col("bin") === lit(j.toLong), col("value"))), lit(0.0))
+          .as(s"c$j")
+      val profAggs = (0 until nbin).map(binSum) :+ min(col("tus")).as("epoch_us")
+      val prof = e.groupBy("user_id")
+        .agg(profAggs.head, profAggs.tail: _*)
+        .select(col("user_id"),
+          array((0 until nbin).map(j => col(s"c$j")): _*).as("profile"),
+          col("epoch_us"))
+      val tmplAggs = (0 until nbin).map(binSum)
+      val tmpl = e.groupBy()
+        .agg(tmplAggs.head, tmplAggs.tail: _*)
+        .select(array((0 until nbin).map(j => col(s"c$j")): _*).as("template"))
+      val joined = prof.crossJoin(broadcast(tmpl))
+        .withColumn("period_us",
+          (pmod(col("user_id"), lit(5L)) + lit(1L)).cast("double") * lit(1000000.0))
+      val toas = Toa.estimate(joined, col("profile"), col("template"),
+          col("epoch_us"), col("period_us"))
+        .filter(col("epoch_us").isNotNull)
+        .withColumn("x1",
+          (expr("epoch_us div 1000000") % lit(100000L)).cast("double"))
+        .withColumn("x2", col("x1") * col("x1"))
+      val m = TimingFit.moments(toas, Seq("period_us"), col("phase"), lit(1.0),
+        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true)
+      TimingFit.diagnostics3(m)
+        .select(col("period_us"), col("n"),
+          col("beta0"), col("beta1"), col("beta2"), col("chi2"), col("wrms"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id % 8 AS bin, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events),
+      p AS (
+        SELECT user_id,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c0,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c1,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 2 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c2,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 3 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c3,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 4 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c4,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 5 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c5,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 6 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c6,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 7 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS c7,
+          MIN(tus) AS epoch_us
+        FROM e GROUP BY 1),
+      tt AS (
+        SELECT
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t0,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t1,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 2 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t2,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 3 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t3,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 4 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t4,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 5 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t5,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 6 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t6,
+          COALESCE(CAST(SUM(CAST(CASE WHEN bin = 7 THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS t7
+        FROM e),
+      pr AS (
+        SELECT user_id, [c0, c1, c2, c3, c4, c5, c6, c7] AS p, epoch_us,
+          CAST((user_id % 5) + 1 AS DOUBLE) * 1000000.0 AS period_us
+        FROM p),
+      tl AS (SELECT [t0, t1, t2, t3, t4, t5, t6, t7] AS t FROM tt),
+      ccq AS (
+        SELECT user_id, epoch_us, period_us, k,
+          0.0 + p[(0+k)%8+1]*t[1] + p[(1+k)%8+1]*t[2] + p[(2+k)%8+1]*t[3]
+              + p[(3+k)%8+1]*t[4] + p[(4+k)%8+1]*t[5] + p[(5+k)%8+1]*t[6]
+              + p[(6+k)%8+1]*t[7] + p[(7+k)%8+1]*t[8] AS ccf
+        FROM pr, tl, LATERAL unnest(generate_series(0, 7)) lk(k)),
+      l AS (
+        SELECT user_id, epoch_us, period_us, list(ccf ORDER BY k) AS ccf
+        FROM ccq GROUP BY 1, 2, 3),
+      mx AS (
+        SELECT user_id, epoch_us, period_us, ccf,
+          CAST(list_position(ccf, list_max(ccf)) - 1 AS BIGINT) AS k
+        FROM l),
+      d AS (
+        SELECT user_id, epoch_us, period_us, k,
+          ccf[CAST(((k - 1) % 8 + 8) % 8 AS INT) + 1] AS cm1,
+          ccf[CAST(k AS INT) + 1] AS c0v,
+          ccf[CAST((k + 1) % 8 AS INT) + 1] AS cp1
+        FROM mx),
+      r AS (
+        SELECT user_id, epoch_us, period_us, k,
+          k + (CASE WHEN cm1 - 2.0 * c0v + cp1 = 0.0 THEN 0.0
+                    ELSE 0.5 * (cm1 - cp1) / (cm1 - 2.0 * c0v + cp1) END)
+            AS shift_bins
+        FROM d),
+      f AS (
+        SELECT user_id, epoch_us, period_us,
+          CASE WHEN shift_bins > 4.0 THEN (shift_bins - 8.0) / 8.0
+               ELSE shift_bins / 8.0 END AS phase
+        FROM r),
+      obs AS (
+        SELECT period_us, phase AS y,
+          CAST((epoch_us // 1000000) % 100000 AS DOUBLE) AS x1,
+          1.0 AS w
+        FROM f WHERE epoch_us IS NOT NULL),
+      o2 AS (SELECT period_us, y, x1, x1 * x1 AS x2, w FROM obs),
+      mo AS (
+        SELECT period_us,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(w * y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+          COUNT(*) AS n
+        FROM o2 GROUP BY 1),
+      dd AS (
+        SELECT *,
+          s00 * (s11 * s22 - s12 * s12) -
+          s01 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * s12 - s11 * s02) AS det
+        FROM mo),
+      bb AS (
+        SELECT *,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            b0 * (s11 * s22 - s12 * s12) -
+            s01 * (b1 * s22 - s12 * b2) +
+            s02 * (b1 * s12 - s11 * b2)) / det END AS beta0,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            s00 * (b1 * s22 - s12 * b2) -
+            b0 * (s01 * s22 - s12 * s02) +
+            s02 * (s01 * b2 - b1 * s02)) / det END AS beta1,
+          CASE WHEN det = 0.0 THEN NULL ELSE (
+            s00 * (s11 * b2 - b1 * s12) -
+            s01 * (s01 * b2 - b1 * s02) +
+            b0 * (s01 * s12 - s11 * s02)) / det END AS beta2
+        FROM dd),
+      cc AS (
+        SELECT *,
+          CASE WHEN beta0 IS NULL THEN NULL
+               ELSE syy - (beta0 * b0 + beta1 * b1 + beta2 * b2) END AS chi2
+        FROM bb)
+      SELECT period_us, n, beta0, beta1, beta2, chi2,
+        CASE WHEN chi2 IS NULL THEN NULL
+             ELSE SQRT(GREATEST(chi2, 0.0) / s00) END AS wrms
       FROM cc
     """),
   )

@@ -1315,6 +1315,58 @@ object VectorQueries {
     """),
   )
 
+  /** C73 (C50 under the gate): PCA brought under the SQL oracle for the
+    * closed-form d=2 case — `Pca.fit`'s one-pass moment Aggregator +
+    * population covariance + driver eigensolve, checked against the
+    * quadratic-formula eigenvalues DuckDB computes from the same moments
+    * (λ = (tr ± √((caa−cbb)² + 4·cab²))/2). Cross-engine contract: the
+    * moment buffer sums IEEE doubles (order-dependent partials — the
+    * deliberate exception to the Num policy, disclosed in Pca's
+    * scaladoc), and Jacobi-vs-quadratic are different chains, so parity
+    * here rides check.py's 1e-9 relative float tolerance rather than
+    * bitwise equality — measured agreement is ~1e-13 relative on these
+    * well-conditioned covariances. EigenVECTORS stay spec-pinned (sign
+    * convention + known-matrix recovery in PcaSpec); this query pins the
+    * eigenvalues, means, and explained-variance ratio. */
+  private val q134 = Q(
+    "q134_pca_eigen",
+    (s, dir) => {
+      import graft.operators.Pca
+      val e = emb(s, dir)
+        .select(slice(col("embedding").cast("array<double>"), 1, 2).as("v2"))
+      val model = Pca.fit(e, "v2", d = 2, k = 2)
+      import s.implicits._
+      Seq((model.mean(0), model.mean(1),
+           model.explainedVariance(0), model.explainedVariance(1)))
+        .toDF("mean1", "mean2", "lambda1", "lambda2")
+        .withColumn("explained_ratio",
+          col("lambda1") / (col("lambda1") + col("lambda2")))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS a, CAST(embedding[2] AS DOUBLE) AS b
+        FROM embeddings),
+      mo AS (
+        SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+          SUM(a * a) AS saa, SUM(a * b) AS sab, SUM(b * b) AS sbb
+        FROM v),
+      c AS (
+        SELECT sa / n AS m1, sb / n AS m2,
+          saa / n - (sa / n) * (sa / n) AS caa,
+          sab / n - (sa / n) * (sb / n) AS cab,
+          sbb / n - (sb / n) * (sb / n) AS cbb
+        FROM mo),
+      e AS (
+        SELECT m1, m2,
+          (caa + cbb) / 2.0 + SQRT((caa - cbb) * (caa - cbb) + 4.0 * cab * cab) / 2.0 AS l1,
+          (caa + cbb) / 2.0 - SQRT((caa - cbb) * (caa - cbb) + 4.0 * cab * cab) / 2.0 AS l2
+        FROM c)
+      SELECT m1 AS mean1, m2 AS mean2, l1 AS lambda1, l2 AS lambda2,
+        l1 / (l1 + l2) AS explained_ratio
+      FROM e
+    """),
+  )
+
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
-    q119, q120, q122, q123, q124, q126, q132)
+    q119, q120, q122, q123, q124, q126, q132, q134)
 }
