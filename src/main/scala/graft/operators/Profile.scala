@@ -149,6 +149,57 @@ object Profile {
       .select("category", "n_a", "n_b", "exp_a", "exp_b", "chi2_contrib")
   }
 
+  /** Distribution-drift divergences over a keyed count table — the
+    * quantitative "did the distribution shift" metric next to
+    * [[categoricalDrift]]'s chi-square test: per group, the KL
+    * divergence of snapshot A's item distribution from B's and the
+    * symmetric, bounded Jensen–Shannon divergence (the standard corpus
+    * drift / retrain-the-tokenizer signal — JSD in nats, ≤ ln 2).
+    *
+    * Input: one row per (group, item) with that item's counts in the two
+    * snapshots (`aCol`, `bCol` — 0 when absent, as a full-outer count
+    * join produces). Distributions are add-α smoothed over the UNION
+    * vocabulary (`p = (c + α) / (n + α·V)`), so q = 0 items contribute
+    * finite mass and the divergences are always defined; α = 0.5 is
+    * Jeffreys. Output per group: `n_a`, `n_b`, `vocab`, `kl_ab`, `jsd`.
+    *
+    * Scale shape: one bounded-group-count join of the counts table with
+    * its per-group totals (broadcast), then ONE map-side-combined
+    * aggregation — cost rides the (group, item) table, which the
+    * upstream count already shrank from the corpus. Determinism: the
+    * per-item terms are IEEE double chains summed through DECIMAL(38,18)
+    * — exact and order-independent, with 18 decimals so the ~1e-19
+    * cross-engine `ln` ulp wobble dies below the cast resolution while
+    * 1e-6-scale item terms keep their full weight (the q38 dot-product
+    * scale choice, not the 6-decimal aggregate policy, which would
+    * round away small-item contributions). */
+  def klDrift(counts: DataFrame, groupCol: String, itemCol: String,
+              aCol: String, bCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
+    val totals = counts.groupBy(groupCol).agg(
+      sum(col(aCol)).as("n_a"), sum(col(bCol)).as("n_b"),
+      count(lit(1)).as("vocab"))
+    val al = lit(alpha)
+    val p = (col(aCol).cast("double") + al) /
+      (col("n_a").cast("double") + al * col("vocab").cast("double"))
+    val q = (col(bCol).cast("double") + al) /
+      (col("n_b").cast("double") + al * col("vocab").cast("double"))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = (col("p") + col("q")) / lit(2.0)
+    counts.join(broadcast(totals), Seq(groupCol))
+      .withColumn("p", p)
+      .withColumn("q", q)
+      .withColumn("m", m)
+      .groupBy(groupCol)
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("vocab")).as("vocab"),
+        dsum18(col("p") * log(col("p") / col("q"))).as("kl_ab"),
+        (dsum18(col("p") * log(col("p") / col("m"))) * lit(0.5) +
+         dsum18(col("q") * log(col("q") / col("m"))) * lit(0.5)).as("jsd"))
+  }
+
   /** Mergeable distinct-count sketches as COLUMNS — the incremental /
     * compositional form of a distinct count. `distinctSketches` reduces
     * each group to one Apache DataSketches HLL binary (Spark's built-in

@@ -155,6 +155,52 @@ object TextSearch {
     * Pure map stage (one padded replace per row, codegen'd) + the
     * bounded-heap global top-k — no shuffle of non-matching docs, no
     * sort. Output: (doc_id, n_hits, rank). */
+  /** Proximity (NEAR/w) retrieval — the middle rung between `bm25`'s
+    * bag-of-words OR/AND and `phrase`'s exact adjacency: documents where
+    * ALL `terms` co-occur within a token window, ranked by their MINIMAL
+    * span (smallest token stretch containing every term at least once).
+    * The query "hash NEAR/5 join" finds hash-join discussions that
+    * neither "hash join" (exact phrase) nor an AND query (anywhere in
+    * the doc) delimits correctly.
+    *
+    * Scale shape: the corpus-side explode filters to the query terms
+    * IMMEDIATELY, so only the terms' posting lists (doc, position) ever
+    * leave the scan; the span join is per-doc across those lists —
+    * cost rides Π per-doc term frequencies of the QUERY terms (tiny for
+    * selective terms; a stopword query is the user's antipattern, same
+    * as any positional index). Up to 4 terms keeps the combinatorial
+    * join honest. Final top-k is a global TakeOrderedAndProject
+    * (bounded per-partition heaps), the `phrase` recipe. Spans are
+    * exact integer arithmetic — no float anywhere — so the oracle
+    * matches by construction. */
+  def proximity(docs: DataFrame, textCol: String, idCol: String,
+                terms: Seq[String], window: Int, k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.length <= 4, "proximity takes 1-4 terms")
+    require(terms.distinct.length == terms.length, "terms must be distinct")
+    require(window >= terms.length, s"window $window cannot hold ${terms.length} terms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w").isin(terms: _*))
+    val pers = terms.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("w") === lit(t)).select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val joined = pers.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    val span =
+      if (terms.length == 1) lit(1)
+      else greatest(ps: _*) - least(ps: _*) + lit(1)
+    val spans = joined
+      .withColumn("span", span)
+      .groupBy("doc_id").agg(min(col("span")).as("min_span"))
+      .filter(col("min_span") <= lit(window))
+    val top = spans.orderBy(col("min_span").asc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("min_span").asc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("doc_id", "min_span", "rank")
+  }
+
   def phrase(docs: DataFrame, textCol: String, idCol: String,
              phrase: String, k: Int): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")

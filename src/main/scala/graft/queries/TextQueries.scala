@@ -2031,7 +2031,107 @@ object TextQueries {
     """),
   )
 
+  /** C74: distribution-drift divergences (`Profile.klDrift`) — the
+    * quantitative "did the crawl's word distribution shift" metric next
+    * to q74's chi-square category drift and q78's snapshot diff: per
+    * language, KL(A‖B) and the bounded symmetric Jensen–Shannon
+    * divergence between the even-doc and odd-doc snapshots' word
+    * distributions, add-½ (Jeffreys) smoothed over the union vocab so
+    * absent-in-one-side words contribute finite mass. Determinism: item
+    * terms are p·ln(p/q) double chains summed through DECIMAL(38,18) —
+    * 18 decimals so cross-engine ln ulp wobble (~1e-19) dies below the
+    * cast while 1e-6-scale per-word terms keep full weight (the q38
+    * dot-product scale choice). Scale shape: one corpus-sized word
+    * count, then everything rides the (lang, word) table. */
+  private lazy val q135 = Q(
+    "q135_kl_drift",
+    (s, dir) => {
+      import graft.operators.Profile
+      val docs = Tables
+        .parallelized(Tables.documents(s, dir), "doc_id",
+          minBytes = Tables.TextHeavyMinBytes)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+          regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z]+", " ").as("t"))
+      val words = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("t"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = words.groupBy("lang", "w").agg(
+        sum(when(pmod(col("doc_id"), lit(2L)) === 0, lit(1L)).otherwise(lit(0L))).as("ca"),
+        sum(when(pmod(col("doc_id"), lit(2L)) === 1, lit(1L)).otherwise(lit(0L))).as("cb"))
+      Profile.klDrift(counts, "lang", "w", "ca", "cb")
+        .select(col("lang"), col("n_a"), col("n_b"), col("vocab"),
+          col("kl_ab"), col("jsd"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+          regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS ws
+        FROM documents),
+      w AS (SELECT doc_id, lang, unnest(ws) AS w FROM d),
+      counts AS (
+        SELECT lang, w,
+          SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        FROM w GROUP BY 1, 2),
+      tot AS (
+        SELECT lang, CAST(SUM(ca) AS BIGINT) AS n_a,
+          CAST(SUM(cb) AS BIGINT) AS n_b, COUNT(*) AS vocab
+        FROM counts GROUP BY 1),
+      pq AS (
+        SELECT c.lang,
+          (CAST(ca AS DOUBLE) + 0.5)
+            / (CAST(n_a AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS p,
+          (CAST(cb AS DOUBLE) + 0.5)
+            / (CAST(n_b AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS q
+        FROM counts c JOIN tot USING (lang)),
+      pqm AS (SELECT lang, p, q, (p + q) / 2.0 AS m FROM pq)
+      SELECT pqm.lang, t.n_a, t.n_b, t.vocab,
+        CAST(SUM(CAST(p * LN(p / q) AS DECIMAL(38,18))) AS DOUBLE) AS kl_ab,
+        CAST(SUM(CAST(p * LN(p / m) AS DECIMAL(38,18))) AS DOUBLE) * 0.5 +
+        CAST(SUM(CAST(q * LN(q / m) AS DECIMAL(38,18))) AS DOUBLE) * 0.5 AS jsd
+      FROM pqm JOIN tot t USING (lang)
+      GROUP BY 1, 2, 3, 4
+    """),
+  )
+
+  /** C75: proximity retrieval (`TextSearch.proximity`) — NEAR/w, the
+    * middle rung between BM25 bag-of-words (q52) and exact phrase
+    * (q53): docs where both terms co-occur within a 5-token window,
+    * ranked by minimal span. Posting lists only leave the scan (filter
+    * inside the explode); the span join is per-doc over query-term
+    * positions; exact integer spans → oracle matches by construction;
+    * global top-k is TakeOrderedAndProject. */
+  private lazy val q136 = Q(
+    "q136_proximity_search",
+    (s, dir) => {
+      import graft.operators.TextSearch
+      val docs = Tables.parallelized(Tables.documents(s, dir), "doc_id",
+        minBytes = Tables.TextHeavyMinBytes)
+      TextSearch.proximity(docs, "text", "doc_id",
+        Seq("hash", "join"), window = 5, k = 10)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+             LATERAL unnest(generate_series(1, len(ws))) u(i)
+        WHERE ws[i] IN ('hash', 'join')),
+      p0 AS (SELECT doc_id, pos AS p0 FROM toks WHERE w = 'hash'),
+      p1 AS (SELECT doc_id, pos AS p1 FROM toks WHERE w = 'join'),
+      spans AS (
+        SELECT p0.doc_id,
+          MIN(GREATEST(p0, p1) - LEAST(p0, p1) + 1) AS min_span
+        FROM p0 JOIN p1 USING (doc_id) GROUP BY 1),
+      f AS (SELECT doc_id, min_span FROM spans WHERE min_span <= 5),
+      r AS (
+        SELECT doc_id, min_span,
+          ROW_NUMBER() OVER (ORDER BY min_span, doc_id) AS "rank"
+        FROM f)
+      SELECT doc_id, min_span, "rank" FROM r WHERE "rank" <= 10
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129, q130)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129, q130, q135, q136)
 }

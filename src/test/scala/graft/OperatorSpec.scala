@@ -352,6 +352,37 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(same) < 1e-12)
   }
 
+  test("Profile.klDrift: zero on identical counts, hand-computed on a planted shift, JSD bounded") {
+    import graft.operators.Profile
+    val counts = Seq(
+      ("g", "a", 6L, 2L), ("g", "b", 2L, 6L),       // shifted distribution
+      ("h", "a", 3L, 3L), ("h", "b", 5L, 5L),       // identical
+      ("k", "a", 4L, 0L), ("k", "b", 0L, 4L)        // disjoint supports
+    ).toDF("grp", "item", "ca", "cb")
+    val out = Profile.klDrift(counts, "grp", "item", "ca", "cb")
+      .select("grp", "n_a", "n_b", "vocab", "kl_ab", "jsd")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // identical counts → both divergences 0 (within decimal-cast dust)
+    val h = out("h")
+    assert(h._2 === 8L && h._3 === 8L && h._4 === 2L)
+    assert(math.abs(h._5) < 1e-15 && math.abs(h._6) < 1e-15)
+    // planted shift: Jeffreys-smoothed p = (6.5/9, 2.5/9), q = (2.5/9, 6.5/9)
+    val p0 = 6.5 / 9.0; val p1 = 2.5 / 9.0
+    val klWant = p0 * math.log(p0 / p1) + p1 * math.log(p1 / p0)
+    assert(math.abs(out("g")._5 - klWant) < 1e-12, s"kl ${out("g")._5} want $klWant")
+    // JSD: symmetric under A↔B swap, positive, and bounded by ln 2
+    val swapped = Profile.klDrift(counts, "grp", "item", "cb", "ca")
+      .select("grp", "jsd").as[(String, Double)].collect().toMap
+    Seq("g", "h", "k").foreach { grp =>
+      val j = out(grp)._6
+      assert(j >= -1e-15 && j <= math.log(2.0) + 1e-12, s"$grp jsd $j out of [0, ln2]")
+      assert(math.abs(j - swapped(grp)) < 1e-12, s"$grp jsd asymmetric")
+    }
+    // disjoint supports approach the JSD ceiling
+    assert(out("k")._6 > 0.5 * math.log(2.0))
+  }
+
   test("Dedup.editVerify scores order-sensitively where Jaccard cannot") {
     import graft.operators.Dedup
     val docs = Seq(
@@ -492,6 +523,38 @@ class OperatorSpec extends SparkSpec {
     // → exactly tied scores, tie broken by doc_id
     val tied = qy.filter(r => r._2 == 1L || r._2 == 4L)
     assert(tied.map(_._3).distinct.size == 1 && tied.map(_._2) == Seq(1L, 4L))
+  }
+
+  test("TextSearch.proximity finds minimal spans within the window, across 1-3 terms") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "hash x join y z"),          // span 3 (positions 0,2)
+      (2L, "join hash"),                // span 2 — adjacent either order
+      (3L, "hash a b c d e f join"),    // span 8 — outside window 5
+      (4L, "hash only here"),           // missing 'join' — no result
+      (5L, "x hash hash join x hash"),  // multiple occurrences: min span 2
+    ).toDF("doc_id", "text")
+    val out = TextSearch.proximity(docs, "text", "doc_id",
+        Seq("hash", "join"), window = 5, k = 10)
+      .select("doc_id", "min_span", "rank").as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((2L, 2, 1), (5L, 2, 2), (1L, 3, 3)), s"got $out")
+    // widening the window admits doc 3 at its true span
+    val wide = TextSearch.proximity(docs, "text", "doc_id",
+        Seq("hash", "join"), window = 8, k = 10)
+      .select("doc_id", "min_span").as[(Long, Int)].collect().toMap
+    assert(wide(3L) == 8)
+    // three terms: minimal covering stretch of all three
+    val tri = Seq((1L, "a x b y c"), (2L, "c b a"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val t3 = TextSearch.proximity(tri, "text", "doc_id",
+        Seq("a", "b", "c"), window = 5, k = 10)
+      .select("doc_id", "min_span").as[(Long, Int)].collect().toMap
+    assert(t3 == Map(1L -> 5, 2L -> 3), s"got $t3")
+    // single term degenerates to presence with span 1
+    val t1 = TextSearch.proximity(docs, "text", "doc_id",
+        Seq("join"), window = 1, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(t1 == Set(1L, 2L, 3L, 5L))
   }
 
   test("TextSearch.bm25 requireAll keeps only docs matching every query term; phrase counts whole-word hits") {
