@@ -112,7 +112,15 @@ object IvfPq {
     * disclosed divergence window is ArgMaxPack's: the packed argmin
     * quantizes away the low labelBits mantissa bits, so two distances
     * within ~2^-48 relative collapse to a tie batch-side while the fold
-    * compares full-precision — same bounded window as q44's scaladoc. */
+    * compares full-precision — same bounded window as q44's scaladoc.
+    *
+    * Corrupt input: a vector with a non-finite component makes every
+    * distance NaN, so no fold comparison fires and the row is emitted
+    * with the EXPLICIT invalid sentinel `cluster = -1`, `codes = [-1…]`
+    * (spec-pinned) — routable to a quarantine partition — rather than
+    * whatever bit-pattern cluster the batch path's packed argmax happens
+    * to produce for NaN. Filter or route `cluster = -1` before appending
+    * to the index. */
   def encodeStateless(df: DataFrame, idCol: String, vecCol: String,
                       model: Model, keep: Seq[String] = Nil): DataFrame = {
     val sub = model.dim / model.m

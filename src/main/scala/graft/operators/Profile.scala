@@ -157,8 +157,10 @@ object Profile {
     * drift / retrain-the-tokenizer signal — JSD in nats, ≤ ln 2).
     *
     * Input: one row per (group, item) with that item's counts in the two
-    * snapshots (`aCol`, `bCol` — 0 when absent, as a full-outer count
-    * join produces). Distributions are add-α smoothed over the UNION
+    * snapshots (`aCol`, `bCol`; NULLs — what a full-outer count join
+    * produces for absent items — are normalized to 0 internally, and a
+    * null group key is treated as its own category, joined null-safely
+    * rather than dropped). Distributions are add-α smoothed over the UNION
     * vocabulary (`p = (c + α) / (n + α·V)`), so q = 0 items contribute
     * finite mass and the divergences are always defined; α = 0.5 is
     * Jeffreys. Output per group: `n_a`, `n_b`, `vocab`, `kl_ab`, `jsd`.
@@ -176,18 +178,26 @@ object Profile {
   def klDrift(counts: DataFrame, groupCol: String, itemCol: String,
               aCol: String, bCol: String, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
-    val totals = counts.groupBy(groupCol).agg(
-      sum(col(aCol)).as("n_a"), sum(col(bCol)).as("n_b"),
+    // a full-outer count join produces NULL (not 0) for absent items, and
+    // a null GROUP key is a legitimate category: normalize the former,
+    // join null-safely for the latter — null-count items must weigh as 0
+    // and the null group must surface, not silently vanish
+    val normalized = counts.withColumn("__ca", coalesce(col(aCol), lit(0L)))
+      .withColumn("__cb", coalesce(col(bCol), lit(0L)))
+    val totals = normalized.groupBy(groupCol).agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
       count(lit(1)).as("vocab"))
+      .withColumnRenamed(groupCol, "__tg")
     val al = lit(alpha)
-    val p = (col(aCol).cast("double") + al) /
+    val p = (col("__ca").cast("double") + al) /
       (col("n_a").cast("double") + al * col("vocab").cast("double"))
-    val q = (col(bCol).cast("double") + al) /
+    val q = (col("__cb").cast("double") + al) /
       (col("n_b").cast("double") + al * col("vocab").cast("double"))
     def dsum18(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,18)")).cast("double")
     val m = (col("p") + col("q")) / lit(2.0)
-    counts.join(broadcast(totals), Seq(groupCol))
+    normalized.join(broadcast(totals), col(groupCol) <=> col("__tg"))
+      .drop("__tg")
       .withColumn("p", p)
       .withColumn("q", q)
       .withColumn("m", m)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num
@@ -163,16 +163,18 @@ object TextSearch {
     * neither "hash join" (exact phrase) nor an AND query (anywhere in
     * the doc) delimits correctly.
     *
-    * Scale shape: the corpus-side explode filters to the query terms
-    * IMMEDIATELY, so only the terms' posting lists (doc, position) ever
-    * leave the scan; the span join is per-doc across those lists —
-    * cost rides Π per-doc term frequencies of the QUERY terms (tiny for
-    * selective terms; a stopword query is the user's antipattern, same
-    * as any positional index). Up to 4 terms keeps the combinatorial
-    * join honest. Final top-k is a global TakeOrderedAndProject
-    * (bounded per-partition heaps), the `phrase` recipe. Spans are
-    * exact integer arithmetic — no float anywhere — so the oracle
-    * matches by construction. */
+    * Scale shape: ONE corpus scan — the explode filters to the query
+    * terms immediately, one groupBy collects each doc's per-term
+    * position lists, and the minimal span is nested integer folds over
+    * those lists (cost Π per-doc term frequencies of the QUERY terms —
+    * the same candidate combinations a position join would enumerate,
+    * WITHOUT re-scanning the corpus once per term; tiny for selective
+    * terms, and a stopword query is the user's antipattern, same as any
+    * positional index). Up to 4 terms keeps the combinatorics honest.
+    * Final top-k is a global TakeOrderedAndProject (bounded
+    * per-partition heaps), the `phrase` recipe. Spans are exact integer
+    * arithmetic — no float anywhere — so the oracle matches by
+    * construction. */
   def proximity(docs: DataFrame, textCol: String, idCol: String,
                 terms: Seq[String], window: Int, k: Int): DataFrame = {
     require(terms.nonEmpty && terms.length <= 4, "proximity takes 1-4 terms")
@@ -182,17 +184,20 @@ object TextSearch {
     val toks = docs.select(col(idCol).as("doc_id"),
         posexplode(TextFns.words(col(textCol))).as(Seq("pos", "w")))
       .filter(col("w").isin(terms: _*))
-    val pers = terms.zipWithIndex.map { case (t, i) =>
-      toks.filter(col("w") === lit(t)).select(col("doc_id"), col("pos").as(s"p$i"))
+    val listAggs = terms.zipWithIndex.map { case (t, i) =>
+      sort_array(collect_list(when(col("w") === lit(t), col("pos")))).as(s"l$i")
     }
-    val joined = pers.reduce((a, b) => a.join(b, Seq("doc_id")))
-    val ps = terms.indices.map(i => col(s"p$i"))
-    val span =
-      if (terms.length == 1) lit(1)
-      else greatest(ps: _*) - least(ps: _*) + lit(1)
-    val spans = joined
-      .withColumn("span", span)
-      .groupBy("doc_id").agg(min(col("span")).as("min_span"))
+    val perDoc = toks.groupBy("doc_id").agg(listAggs.head, listAggs.tail: _*)
+      .filter(terms.indices.map(i => size(col(s"l$i")) > 0).reduce(_ && _))
+    def minSpanFold(level: Int, picked: Seq[Column]): Column =
+      if (level == terms.length) {
+        if (terms.length == 1) lit(1)
+        else greatest(picked: _*) - least(picked: _*) + lit(1)
+      } else aggregate(col(s"l$level"), lit(Int.MaxValue),
+        (best, p) => least(best, minSpanFold(level + 1, picked :+ p)))
+    val spans = perDoc
+      .withColumn("min_span", minSpanFold(0, Nil))
+      .select("doc_id", "min_span")
       .filter(col("min_span") <= lit(window))
     val top = spans.orderBy(col("min_span").asc, col("doc_id").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window

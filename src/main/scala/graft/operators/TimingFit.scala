@@ -119,11 +119,17 @@ object TimingFit {
   def residuals3(df: DataFrame, groupCols: Seq[String], y: Column, w: Column,
                  xs: Seq[Column]): DataFrame = {
     require(xs.length == 3, "residuals3 is the p=3 closed-form path")
+    // null-safe group join: groupBy keeps a null-keyed group, so rows of
+    // that group must find their betas too — an equi-join's NULL != NULL
+    // would silently drop them, shrinking downstream residual sums
     val betas = solveCramer3(moments(df, groupCols, y, w, xs))
-      .select((groupCols.map(col) ++ Seq(col("beta0"), col("beta1"), col("beta2"))): _*)
+      .select((groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("beta0"), col("beta1"), col("beta2"))): _*)
+    val cond = groupCols.map(c => df(c) <=> betas(s"__g_$c")).reduce(_ && _)
     val predicted =
       col("beta0") * xs(0) + col("beta1") * xs(1) + col("beta2") * xs(2)
-    df.join(org.apache.spark.sql.functions.broadcast(betas), groupCols)
+    df.join(org.apache.spark.sql.functions.broadcast(betas), cond)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
       .withColumn("resid",
         when(col("beta0").isNull, lit(null).cast("double"))
           .otherwise(y - predicted))

@@ -1960,7 +1960,9 @@ object TextQueries {
         FROM p1 WHERE freq >= 2
         ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
         LIMIT 1),
-      e1 AS (SELECT w, replace(e0.e, b1.pat, b1.merged) AS e, n FROM e0, b1),
+      e1 AS (SELECT w, CASE WHEN b1.pat IS NULL THEN e0.e
+                       ELSE replace(e0.e, b1.pat, b1.merged) END AS e, n
+            FROM e0 LEFT JOIN b1 ON TRUE),
       p2 AS (
         SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
         FROM (SELECT string_split(e, ',') AS toks, n FROM e1) t,
@@ -1972,7 +1974,9 @@ object TextQueries {
         FROM p2 WHERE freq >= 2
         ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
         LIMIT 1),
-      e2 AS (SELECT w, replace(e1.e, b2.pat, b2.merged) AS e, n FROM e1, b2),
+      e2 AS (SELECT w, CASE WHEN b2.pat IS NULL THEN e1.e
+                       ELSE replace(e1.e, b2.pat, b2.merged) END AS e, n
+            FROM e1 LEFT JOIN b2 ON TRUE),
       p3 AS (
         SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
         FROM (SELECT string_split(e, ',') AS toks, n FROM e2) t,
@@ -1984,7 +1988,9 @@ object TextQueries {
         FROM p3 WHERE freq >= 2
         ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
         LIMIT 1),
-      e3 AS (SELECT w, replace(e2.e, b3.pat, b3.merged) AS e, n FROM e2, b3),
+      e3 AS (SELECT w, CASE WHEN b3.pat IS NULL THEN e2.e
+                       ELSE replace(e2.e, b3.pat, b3.merged) END AS e, n
+            FROM e2 LEFT JOIN b3 ON TRUE),
       p4 AS (
         SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
         FROM (SELECT string_split(e, ',') AS toks, n FROM e3) t,
@@ -1996,7 +2002,9 @@ object TextQueries {
         FROM p4 WHERE freq >= 2
         ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
         LIMIT 1),
-      e4 AS (SELECT w, replace(e3.e, b4.pat, b4.merged) AS e, n FROM e3, b4),
+      e4 AS (SELECT w, CASE WHEN b4.pat IS NULL THEN e3.e
+                       ELSE replace(e3.e, b4.pat, b4.merged) END AS e, n
+            FROM e3 LEFT JOIN b4 ON TRUE),
       p5 AS (
         SELECT toks[i] AS a_enc, toks[i+1] AS b_enc, SUM(n) AS freq
         FROM (SELECT string_split(e, ',') AS toks, n FROM e4) t,
@@ -2008,7 +2016,9 @@ object TextQueries {
         FROM p5 WHERE freq >= 2
         ORDER BY freq DESC, replace(a_enc, '|', '') ASC, replace(b_enc, '|', '') ASC
         LIMIT 1),
-      e5 AS (SELECT w, replace(e4.e, b5.pat, b5.merged) AS e FROM e4, b5),
+      e5 AS (SELECT w, CASE WHEN b5.pat IS NULL THEN e4.e
+                       ELSE replace(e4.e, b5.pat, b5.merged) END AS e
+            FROM e4 LEFT JOIN b5 ON TRUE),
       docw AS (
         SELECT doc_id, i AS idx, ws[i] AS w
         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws

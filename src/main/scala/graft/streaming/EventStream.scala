@@ -579,23 +579,34 @@ object EventStream {
     * Moments are IEEE double sums — streaming carries no oracle; the
     * decimal-exact gate lives on the batch twins (q65/q128).
     * `slope_per_sec` is null for degenerate windows (n < 2 or a single
-    * distinct timestamp). */
+    * distinct timestamp) — degeneracy is detected STRUCTURALLY
+    * (min(x) = max(x), exact on the integer micros), not by testing the
+    * float denominator against zero: n·Σx² − (Σx)² of n equal x's is a
+    * rounding-dust value ~1e-10 rather than 0.0, and tiny/tiny would
+    * emit a garbage finite slope precisely on the windows that must
+    * report null. `pmod` (not `%`) keeps x in [0, windowSeconds) for
+    * pre-1970 timestamps too, so `intercept_at_start` stays the
+    * window-START intercept on historical replays. */
   def windowedTrend(events: DataFrame, keyCol: String, valueCol: String,
                     windowSeconds: Long = 600L,
                     watermark: String = "30 minutes"): DataFrame = {
     require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
     val us = windowSeconds * 1000000L
-    val x = (unix_micros(col("ts")) % lit(us)).cast("double") / lit(1e6)
+    val xUs = pmod(unix_micros(col("ts")), lit(us))
+    val x = xUs.cast("double") / lit(1e6)
     val y = col(valueCol).cast("double")
     val agged = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$windowSeconds seconds"), col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"),
+        min(xUs).as("x_min_us"), max(xUs).as("x_max_us"))
     val n = col("n").cast("double")
     val denom = n * col("sxx") - col("sx") * col("sx")
-    val slope = when(denom === lit(0.0), lit(null).cast("double"))
+    val degenerate = col("n") < lit(2L) ||
+      col("x_min_us") === col("x_max_us") || denom === lit(0.0)
+    val slope = when(degenerate, lit(null).cast("double"))
       .otherwise((n * col("sxy") - col("sx") * col("sy")) / denom)
     agged
       .withColumn("slope_per_sec", slope)

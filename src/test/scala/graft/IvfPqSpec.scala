@@ -46,6 +46,12 @@ class IvfPqSpec extends SparkSpec {
         keep = Seq("tag"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tag")).toMap
     assert(kept(7L) === 14L)
+    // corrupt vector → the explicit invalid sentinel, not a garbage cluster
+    val nan = Seq((999L, Array.tabulate(8)(d => if (d == 3) Float.NaN else 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bad = IvfPq.encodeStateless(nan, "vec_id", "embedding", model).head()
+    assert(bad.getAs[Int]("cluster") === -1)
+    assert(bad.getAs[scala.collection.Seq[Int]]("codes").forall(_ === -1))
   }
 
   test("search: probing the home cluster finds the vector itself at rank 1") {

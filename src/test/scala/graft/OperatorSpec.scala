@@ -381,6 +381,21 @@ class OperatorSpec extends SparkSpec {
     }
     // disjoint supports approach the JSD ceiling
     assert(out("k")._6 > 0.5 * math.log(2.0))
+    // full-outer-join shape: NULL counts weigh as 0 and a NULL group key
+    // surfaces as its own row instead of silently vanishing
+    val raw = Seq(
+      (Some("g"), "a", Some(4L), None: Option[Long]),
+      (Some("g"), "b", None, Some(4L)),
+      (None: Option[String], "a", Some(2L), Some(2L))
+    ).toDF("grp", "item", "ca", "cb")
+    val outer = Profile.klDrift(raw, "grp", "item", "ca", "cb")
+      .select("grp", "n_a", "n_b", "jsd")
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(outer.contains(None), "null group must surface")
+    assert(math.abs(outer(None).getDouble(3)) < 1e-15)
+    val g = outer(Some("g"))
+    assert(g.getLong(1) === 4L && g.getLong(2) === 4L)
+    assert(g.getDouble(3) > 0.5 * math.log(2.0), "disjoint supports via NULLs")
   }
 
   test("Dedup.editVerify scores order-sensitively where Jaccard cannot") {

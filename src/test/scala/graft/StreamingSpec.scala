@@ -45,7 +45,14 @@ class StreamingSpec extends SparkSpec {
       val ts = t(f"2024-01-01 10:0$i:00")
       Seq(Event(i * 10L, ts, 1, "a", 100.0 + 2.0 * (60.0 * i)),
           Event(i * 10L + 1, ts, 2, "b", 7.5))
-    } :+ Event(99L, t("2024-01-01 10:02:30"), 3, "c", 1.0)
+    } ++ Seq(
+      Event(99L, t("2024-01-01 10:02:30"), 3, "c", 1.0),
+      // key "d": n = 3 but ONE distinct timestamp — the FP-degenerate
+      // case where n·Σx² − (Σx)² is rounding dust, not exact zero; the
+      // structural min==max guard must null it, not emit tiny/tiny
+      Event(100L, t("2024-01-01 10:03:20"), 4, "d", 1.0),
+      Event(101L, t("2024-01-01 10:03:20"), 4, "d", 2.0),
+      Event(102L, t("2024-01-01 10:03:20"), 4, "d", 4.0))
     mem.addData(events: _*)
     val q = EventStream.windowedTrend(mem.toDF(), "event_type", "value",
         windowSeconds = 600L)
@@ -64,6 +71,8 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(b.getDouble(2)) < 1e-12 && math.abs(b.getDouble(3) - 7.5) < 1e-9)
       assert(rows("c").isNullAt(2) && rows("c").isNullAt(3),
         "single-event window must yield null slope, not 0/0")
+      assert(rows("d").isNullAt(2) && rows("d").isNullAt(3),
+        "single-DISTINCT-timestamp window must yield null slope, not tiny/tiny")
     } finally q.stop()
   }
 
