@@ -210,6 +210,51 @@ object Profile {
          dsum18(col("q") * log(col("q") / col("m"))) * lit(0.5)).as("jsd"))
   }
 
+  /** Exact WEIGHTED quantiles per group — the weighted twin of the q42
+    * order-statistic quantiles, for populations where rows carry
+    * importance/frequency/duration weights (token-weighted doc-length
+    * percentiles, duration-weighted latency percentiles): per group and
+    * requested quantile p/q, the smallest value whose cumulative weight
+    * reaches p/q of the group's total.
+    *
+    * Exactness contract: weights must be NON-NEGATIVE INTEGERS
+    * (LongType-castable) and quantiles are given as RATIONALS (p, q) —
+    * the pick test `q·W_cum ≥ p·W_tot` is then pure integer arithmetic,
+    * so the selected order statistic is exact and engine-independent (no
+    * `τ·W_tot` float threshold to straddle). Fractional weights belong
+    * upstream: scale them to integers at whatever resolution matters.
+    *
+    * Determinism: pass `tieCols` making (value, tieCols…) a total order
+    * — cumulative weights are then identical in any engine (the RANGE
+    * window frame's peer groups are singletons). Nulls in `valueCol` are
+    * excluded (the q42 null-ranking rationale); `n` reports the measured
+    * count, `w_total` the group's total weight.
+    *
+    * Scale shape: one windowed pass (sort within group) + one map-side
+    * aggregation — the same two-exchange shape as q42; all requested
+    * quantiles come from the SAME pass (conditional mins). */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        weightCol: String, quantiles: Seq[(Int, Int)],
+                        tieCols: Seq[String] = Nil): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile")
+    quantiles.foreach { case (p, q) =>
+      require(q > 0 && p >= 0 && p <= q, s"quantile $p/$q not in [0, 1]") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(cw))
+    val aggs = quantiles.map { case (p, q) =>
+      min(when(col("__cw") * lit(q.toLong) >= col("__tw") * lit(p.toLong),
+        col(valueCol))).as(s"wq_${p}_$q")
+    } ++ Seq(count(lit(1)).as("n"), max(col("__tw")).as("w_total"))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Mergeable distinct-count sketches as COLUMNS — the incremental /
     * compositional form of a distinct count. `distinctSketches` reduces
     * each group to one Apache DataSketches HLL binary (Spark's built-in

@@ -592,7 +592,43 @@ object Queries {
     """),
   )
 
-  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79, q81, q85, q86)
+  /** A22: exact WEIGHTED quantiles (`Profile.weightedQuantiles`) — the
+    * weighted twin of q42 for weight-carrying populations: per group,
+    * the weighted median / p90 / p99 as the smallest value whose
+    * cumulative weight reaches p/q of the group total. Quantiles are
+    * RATIONALS and weights integers, so the pick test q·W_cum ≥ p·W_tot
+    * is exact integer arithmetic — no float threshold to straddle
+    * cross-engine. Same two-exchange shape as q42 (one in-group sort
+    * window + one aggregation); every quantile rides the same pass. */
+  private val q137 = Q(
+    "q137_weighted_quantiles",
+    (s, dir) => {
+      import graft.operators.Profile
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .withColumn("w", lit(1L) + pmod(col("event_id"), lit(10L)))
+      Profile.weightedQuantiles(e, Seq("event_type"), "value", "w",
+          quantiles = Seq((1, 2), (9, 10), (99, 100)), tieCols = Seq("event_id"))
+        .select(col("event_type"), col("wq_1_2"), col("wq_9_10"),
+          col("wq_99_100"), col("n"), col("w_total"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value,
+          SUM(1 + event_id % 10) OVER (
+            PARTITION BY event_type ORDER BY value, event_id) AS cw,
+          SUM(1 + event_id % 10) OVER (PARTITION BY event_type) AS tw
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_type,
+        MIN(CASE WHEN cw * 2 >= tw * 1 THEN value END) AS wq_1_2,
+        MIN(CASE WHEN cw * 10 >= tw * 9 THEN value END) AS wq_9_10,
+        MIN(CASE WHEN cw * 100 >= tw * 99 THEN value END) AS wq_99_100,
+        COUNT(*) AS n,
+        CAST(MAX(tw) AS BIGINT) AS w_total
+      FROM r GROUP BY 1
+    """),
+  )
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q41, q42, q58, q62, q64, q67, q68, q79, q81, q85, q86, q137)
 
   /** Full catalog (extended by later sections). */
   def all: Seq[Q] = relational ++ SignalQueries.all ++ TextQueries.all ++ VectorQueries.all

@@ -540,6 +540,33 @@ class OperatorSpec extends SparkSpec {
     assert(tied.map(_._3).distinct.size == 1 && tied.map(_._2) == Seq(1L, 4L))
   }
 
+  test("Profile.weightedQuantiles picks exact weighted order statistics") {
+    import graft.operators.Profile
+    // group g: values 1..4 with weights 1,1,6,2 (total 10):
+    //   cum: 1,2,8,10 → median (5/10) lands on value 3; p90 (9/10) on 4
+    // group h: equal weights → plain median = smallest value reaching half
+    val df = Seq(
+      ("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L), ("g", 3.0, 6L, 3L), ("g", 4.0, 2L, 4L),
+      ("h", 10.0, 5L, 5L), ("h", 20.0, 5L, 6L)
+    ).toDF("grp", "v", "w", "id")
+    val out = Profile.weightedQuantiles(df, Seq("grp"), "v", "w",
+        quantiles = Seq((0, 1), (1, 2), (9, 10), (1, 1)), tieCols = Seq("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getDouble(1) === 1.0, "p0 = min")           // wq_0_1
+    assert(g.getDouble(2) === 3.0, "weighted median")    // wq_1_2
+    assert(g.getDouble(3) === 4.0, "weighted p90")       // wq_9_10
+    assert(g.getDouble(4) === 4.0, "p100 = max")         // wq_1_1
+    assert(g.getLong(5) === 4L && g.getLong(6) === 10L)  // n, w_total
+    val h = out("h")
+    assert(h.getDouble(2) === 10.0 && h.getDouble(3) === 20.0)
+    // zero-weight rows shift nothing but remain pickable at their cum point
+    val z = Seq(("z", 1.0, 0L, 1L), ("z", 2.0, 4L, 2L)).toDF("grp", "v", "w", "id")
+    val zr = Profile.weightedQuantiles(z, Seq("grp"), "v", "w",
+      quantiles = Seq((1, 2)), tieCols = Seq("id")).head()
+    assert(zr.getDouble(1) === 2.0, "zero-weight row must not satisfy the cum test")
+  }
+
   test("TextSearch.proximity finds minimal spans within the window, across 1-3 terms") {
     import graft.operators.TextSearch
     val docs = Seq(
