@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-scan data profiling — the QA pass run before a table is admitted
@@ -217,12 +217,15 @@ object Profile {
     * requested quantile p/q, the smallest value whose cumulative weight
     * reaches p/q of the group's total.
     *
-    * Exactness contract: weights must be NON-NEGATIVE INTEGERS
-    * (LongType-castable) and quantiles are given as RATIONALS (p, q) —
-    * the pick test `q·W_cum ≥ p·W_tot` is then pure integer arithmetic,
-    * so the selected order statistic is exact and engine-independent (no
-    * `τ·W_tot` float threshold to straddle). Fractional weights belong
-    * upstream: scale them to integers at whatever resolution matters.
+    * Exactness contract: weights must be NON-NEGATIVE INTEGERS (an
+    * integral column type — enforced, since cast-flooring doubles would
+    * silently zero them) and quantiles are given as RATIONALS (p, q) —
+    * the pick test `q·W_cum ≥ p·W_tot` runs in DECIMAL(38,0), so it is
+    * exact and engine-independent for any weights whose GROUP TOTAL fits
+    * a long (~9.2e18; the products go far beyond long range and must
+    * not wrap). Fractional weights belong upstream: scale them to
+    * integers at whatever resolution matters. Negative weights raise at
+    * execution — they break cumulative monotonicity.
     *
     * Determinism: pass `tieCols` making (value, tieCols…) a total order
     * — cumulative weights are then identical in any engine (the RANGE
@@ -237,19 +240,42 @@ object Profile {
                         weightCol: String, quantiles: Seq[(Int, Int)],
                         tieCols: Seq[String] = Nil): DataFrame = {
     require(quantiles.nonEmpty, "at least one quantile")
+    require(quantiles.distinct.length == quantiles.length,
+      s"duplicate quantiles would collide on output column names: $quantiles")
     quantiles.foreach { case (p, q) =>
       require(q > 0 && p >= 0 && p <= q, s"quantile $p/$q not in [0, 1]") }
+    // the integer contract is load-bearing (the pick test's exactness):
+    // enforce it instead of letting cast("long") silently floor doubles
+    val wType = df.schema(weightCol).dataType
+    val integral = {
+      import org.apache.spark.sql.types._
+      wType == ByteType || wType == ShortType || wType == IntegerType || wType == LongType
+    }
+    require(integral,
+      s"weights must be integral (got $wType for '$weightCol') — " +
+        "scale fractional weights to integers upstream")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
+    // a negative weight breaks cumulative monotonicity and with it the
+    // "smallest value reaching the threshold" semantics — fail loudly
+    // per row (codegen'd branch), never return an arbitrary quantile
+    val checkedW = col(weightCol).cast("long") +
+      when(col(weightCol) < 0,
+        raise_error(concat(lit(s"weightedQuantiles: negative weight in '$weightCol': "),
+          col(weightCol).cast("string")))).otherwise(lit(0L))
     val base = df.filter(col(valueCol).isNotNull)
-      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__w", checkedW)
       .withColumn("__cw", sum(col("__w")).over(w))
       .withColumn("__tw", sum(col("__w")).over(cw))
+    // pick test in DECIMAL(38,0): q·W_cum and p·W_tot stay exact far past
+    // the Long range (W_tot ~ 1e16 token weights × q = 1000 would wrap a
+    // Long multiply negative and silently pick wrong rows)
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val aggs = quantiles.map { case (p, q) =>
-      min(when(col("__cw") * lit(q.toLong) >= col("__tw") * lit(p.toLong),
+      min(when(dec(col("__cw")) * lit(q.toLong) >= dec(col("__tw")) * lit(p.toLong),
         col(valueCol))).as(s"wq_${p}_$q")
     } ++ Seq(count(lit(1)).as("n"), max(col("__tw")).as("w_total"))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

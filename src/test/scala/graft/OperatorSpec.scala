@@ -565,6 +565,30 @@ class OperatorSpec extends SparkSpec {
     val zr = Profile.weightedQuantiles(z, Seq("grp"), "v", "w",
       quantiles = Seq((1, 2)), tieCols = Seq("id")).head()
     assert(zr.getDouble(1) === 2.0, "zero-weight row must not satisfy the cum test")
+    // contract enforcement: duplicate quantiles and fractional weight
+    // types fail fast; a negative weight fails loudly at execution
+    intercept[IllegalArgumentException] {
+      Profile.weightedQuantiles(df, Seq("grp"), "v", "w",
+        quantiles = Seq((1, 2), (1, 2)), tieCols = Seq("id"))
+    }
+    val frac = Seq(("f", 1.0, 0.7, 1L)).toDF("grp", "v", "w", "id")
+    intercept[IllegalArgumentException] {
+      Profile.weightedQuantiles(frac, Seq("grp"), "v", "w",
+        quantiles = Seq((1, 2)), tieCols = Seq("id"))
+    }
+    val neg = Seq(("n", 1.0, 2L, 1L), ("n", 2.0, -1L, 2L)).toDF("grp", "v", "w", "id")
+    val ex = intercept[Exception] {
+      Profile.weightedQuantiles(neg, Seq("grp"), "v", "w",
+        quantiles = Seq((1, 2)), tieCols = Seq("id")).collect()
+    }
+    assert(ex.getMessage != null)
+    // no silent overflow: huge integral weights still pick correctly
+    // (q·W_cum at decimal precision; a Long multiply would wrap)
+    val big = Seq(("b", 1.0, 4000000000000000000L, 1L),
+                  ("b", 2.0, 5000000000000000000L, 2L)).toDF("grp", "v", "w", "id")
+    val br = Profile.weightedQuantiles(big, Seq("grp"), "v", "w",
+      quantiles = Seq((9, 10)), tieCols = Seq("id")).head()
+    assert(br.getDouble(1) === 2.0, s"p90 over ~9e18 total weight, got ${br.getDouble(1)}")
   }
 
   test("TextSearch.proximity finds minimal spans within the window, across 1-3 terms") {
