@@ -2141,7 +2141,81 @@ object TextQueries {
     """),
   )
 
+  /** C76: the corpus-prep pipeline END TO END in one query — the §C twin
+    * of q133's timing chain: quality gate (q97's Gopher rule bundle) →
+    * exact dedup (q30's min-id survivor per content hash) → deterministic
+    * split assignment (q55's md5 thresholds) → per-(lang, split) corpus
+    * report (docs + tokens). Every stage is individually oracled
+    * elsewhere; this pins their COMPOSITION — filters feeding windows
+    * feeding hash assignment — hash-matching end to end. Scale shape:
+    * one scan through codegen'd rule projections, one hash-partitioned
+    * window for the dedup survivor pick, one aggregation; nothing
+    * materializes more than one row per surviving doc. */
+  private lazy val q138 = Q(
+    "q138_corpus_pipeline",
+    (s, dir) => {
+      import graft.operators.{Corpus, QualityRules}
+      val docs = Tables
+        .parallelized(Tables.documents(s, dir), "doc_id",
+          minBytes = Tables.TextHeavyMinBytes)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"), col("text"))
+      val clean = QualityRules.gopher(docs, "text",
+          QualityRules.Params(minWords = 20L, maxWords = 90L,
+            minMeanWordLen = 3.0, maxMeanWordLen = 4.75,
+            maxSymbolRatio = 0.1, minAlphaWordFraction = 0.8,
+            minStopwords = 2L, stopwords = Seq("a", "the")))
+        .filter(col("keep"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col("doc_id"))
+      val survivors = clean.withColumn("__h", md5(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      Corpus.assignSplits(survivors, "text",
+          Seq("train" -> 0.9), defaultSplit = "val")
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang, text,
+          list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws
+        FROM documents),
+      f2 AS (
+        SELECT doc_id, lang, text, ws, CAST(len(ws) AS BIGINT) AS n_words FROM f),
+      d AS (
+        SELECT doc_id, lang, text, n_words,
+          CASE WHEN n_words > 0 THEN
+            CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / n_words END AS mean_word_len,
+          CASE WHEN n_words > 0 THEN
+            CAST(len(regexp_extract_all(text, '#|…|\.\.\.')) AS DOUBLE) / n_words END AS symbol_ratio,
+          CASE WHEN n_words > 0 THEN
+            CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_words END AS alpha_word_frac,
+          CAST(len(list_filter(ws, w -> w IN ('a', 'the'))) AS BIGINT) AS n_stopwords
+        FROM f2),
+      kept AS (
+        SELECT doc_id, lang, text, n_words FROM d
+        WHERE (n_words >= 20 AND n_words <= 90)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 4.75)
+          AND (symbol_ratio <= 0.1) AND (alpha_word_frac >= 0.8)
+          AND (n_stopwords >= 2)),
+      ded AS (
+        SELECT doc_id, lang, text, n_words,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept),
+      surv AS (SELECT lang, text, n_words FROM ded WHERE rn = 1),
+      sp AS (
+        SELECT lang,
+          CASE WHEN substr(md5(text), 1, 4) < 'e666' THEN 'train'
+               ELSE 'val' END AS split,
+          n_words
+        FROM surv)
+      SELECT lang, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY 1, 2
+    """),
+  )
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q45, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q57, q59, q66, q69, q70, q72, q73, q77, q78, q80,
-    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129, q130, q135, q136)
+    q90, q91, q92, q93, q94, q97, q99, q100, q101, q102, q111, q112, q113, q118, q125, q129, q130, q135, q136, q138)
 }
