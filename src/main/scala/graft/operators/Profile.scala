@@ -225,7 +225,11 @@ object Profile {
     * a long (~9.2e18; the products go far beyond long range and must
     * not wrap). Fractional weights belong upstream: scale them to
     * integers at whatever resolution matters. Negative weights raise at
-    * execution — they break cumulative monotonicity.
+    * execution — they break cumulative monotonicity. (Scope: the guard
+    * covers rows that PARTICIPATE — null-`valueCol` rows are excluded
+    * before any weight is read, so a negative weight sitting on an
+    * excluded row is never seen, by the same rule that excludes its
+    * value.)
     *
     * Determinism: pass `tieCols` making (value, tieCols…) a total order
     * — cumulative weights are then identical in any engine (the RANGE
@@ -247,6 +251,9 @@ object Profile {
     // the integer contract is load-bearing (the pick test's exactness):
     // enforce it instead of letting cast("long") silently floor doubles
     val wType = df.schema(weightCol).dataType
+    // explicit whitelist: Spark's IntegralType abstract class is
+    // private[sql], so isInstanceOf[IntegralType] does not compile from
+    // user code
     val integral = {
       import org.apache.spark.sql.types._
       wType == ByteType || wType == ShortType || wType == IntegerType || wType == LongType

@@ -2154,7 +2154,7 @@ object TextQueries {
   private lazy val q138 = Q(
     "q138_corpus_pipeline",
     (s, dir) => {
-      import graft.operators.{Corpus, QualityRules}
+      import graft.operators.QualityRules
       val docs = Tables
         .parallelized(Tables.documents(s, dir), "doc_id",
           minBytes = Tables.TextHeavyMinBytes)
@@ -2167,11 +2167,19 @@ object TextQueries {
         .filter(col("keep"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__h")).orderBy(col("doc_id"))
-      val survivors = clean.withColumn("__h", md5(col("text")))
+      // the content hash is computed ONCE and serves both stages (dedup
+      // key AND q55's split threshold — Corpus.hexThreshold(0.9) =
+      // 'e666', the same rule assignSplits derives); the dedup window's
+      // exchange carries only (hash, id, lang, n_words) — the text and
+      // the gopher diagnostics stay out of the query's one shuffle
+      val survivors = clean
+        .select(col("doc_id"), col("lang"), col("n_words"), md5(col("text")).as("__h"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-      Corpus.assignSplits(survivors, "text",
-          Seq("train" -> 0.9), defaultSplit = "val")
+      survivors
+        .withColumn("split",
+          when(substring(col("__h"), 1, 4) < lit("e666"), lit("train"))
+            .otherwise(lit("val")))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
     },

@@ -581,7 +581,12 @@ class OperatorSpec extends SparkSpec {
       Profile.weightedQuantiles(neg, Seq("grp"), "v", "w",
         quantiles = Seq((1, 2)), tieCols = Seq("id")).collect()
     }
-    assert(ex.getMessage != null)
+    // the INTENDED guard, not just any failure: a refactor that breaks
+    // the checked projection would throw AnalysisException and slip by
+    // a bare non-null assert
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative weight")), s"got: ${messages(ex)}")
     // no silent overflow: huge integral weights still pick correctly
     // (q·W_cum at decimal precision; a Long multiply would wrap)
     val big = Seq(("b", 1.0, 4000000000000000000L, 1L),
