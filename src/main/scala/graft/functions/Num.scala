@@ -26,6 +26,18 @@ object Num {
   def dsum(c: Column): Column =
     sum(c.cast(DecT)).cast("double")
 
+  /** Order-independent exact sum for INTEGER-VALUED doubles (the
+    * integer-grid moment discipline, q128/q131/q133/q62/q65): cast to
+    * scale-0 decimal, sum exactly, cast back. With scale 0 both engines
+    * perform a SINGLE correctly-rounded integer→double conversion at the
+    * end. The scale-6 path is NOT bitwise-safe above 2^53 unscaled:
+    * DuckDB converts the int128 to double and THEN divides by 10^6 (two
+    * roundings) — a measured 1-ulp divergence on ~25% of values above
+    * 2^53, which χ²-style cancellations amplify. Callers must feed
+    * integer-valued doubles; fractional inputs belong to `dsum`. */
+  def dsumInt(c: Column): Column =
+    sum(c.cast("decimal(38,0)")).cast("double")
+
   /** Exact average via decimal sum / count. */
   def davg(c: Column): Column =
     (sum(c.cast(DecT)).cast("double") / count(c)).cast("double")

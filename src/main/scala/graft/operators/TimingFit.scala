@@ -27,8 +27,12 @@ import graft.functions.Num._
   *
   * Determinism: moments go through DECIMAL(38,6) (order-independent,
   * Num policy); the per-row products `w·xᵢ·xⱼ` and the Cramer expansion
-  * are fixed-order IEEE double chains, so the oracle reproduces them
-  * bitwise.
+  * are fixed-order IEEE double chains. Cross-engine BITWISE parity
+  * additionally requires integer-valued per-row products (integer grids
+  * for x, w and y): a fractional product's double→decimal rounding can
+  * differ between Spark (shortest-repr) and an exact-binary engine at
+  * the 6th decimal place, and downstream cancellations (χ² = syy − βᵀb)
+  * amplify that wobble — see q128/q131/q133 for the grid recipe.
   */
 object TimingFit {
 
@@ -36,14 +40,19 @@ object TimingFit {
     * (upper triangle, i ≤ j), `b{i}` = Σ w·xᵢ·y, `n` = row count. Pass
     * `lit(1.0)` as the first design column for an intercept. */
   def moments(df: DataFrame, groupCols: Seq[String], y: Column, w: Column,
-              xs: Seq[Column], withY2: Boolean = false): DataFrame = {
+              xs: Seq[Column], withY2: Boolean = false,
+              integerGrid: Boolean = false): DataFrame = {
     require(xs.nonEmpty, "at least one design column required")
     val p = xs.length
+    // integerGrid: per-row products are integer-valued doubles → sum in
+    // scale-0 decimal so the final decimal→double conversion is a single
+    // correct rounding in both engines (see Num.dsumInt)
+    val sumF: Column => Column = if (integerGrid) dsumInt else dsum
     val aggs =
       (for { i <- 0 until p; j <- i until p } yield
-        dsum(w * xs(i) * xs(j)).as(s"s$i$j")) ++
-      (0 until p).map(i => dsum(w * xs(i) * y).as(s"b$i")) ++
-      (if (withY2) Seq(dsum(w * y * y).as("syy")) else Seq.empty) :+
+        sumF(w * xs(i) * xs(j)).as(s"s$i$j")) ++
+      (0 until p).map(i => sumF(w * xs(i) * y).as(s"b$i")) ++
+      (if (withY2) Seq(sumF(w * y * y).as("syy")) else Seq.empty) :+
       count(lit(1)).as("n")
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -84,9 +93,15 @@ object TimingFit {
     * user reads off a tempo2 run, WITHOUT a second pass over the rows:
     *
     *   chi2 = Σ w·r² = syy − (β₀b₀ + β₁b₁ + β₂b₂)   (normal-equation
-    *     identity — exact for the exact β; with the float β the
-    *     second-order defect is identical in any engine running the same
-    *     chain, which is the contract that lets q131 carry an oracle),
+    *     identity — exact for the exact β; with the float β the result
+    *     carries a second-order defect that is bitwise cross-engine ONLY
+    *     when the moments themselves are bitwise cross-engine. That
+    *     requires the caller to feed integer-valued per-row products
+    *     (integer grids for x, w AND y — the q128/q131/q133 discipline)
+    *     so every DECIMAL(38,6) cast is lossless; with fractional
+    *     per-row values the two engines' double→decimal roundings can
+    *     disagree at the 6th place and the cancellation amplifies that
+    *     wobble — the measured cause of q131's round-9 hash failure),
     *   wrms = √(max(chi2, 0) / Σw)   (the weighted RMS residual; the
     *     clamp absorbs the ≤ulp-negative chi2 of a perfect fit),
     *   chi2_red = chi2 / (n − 3)      (null when n ≤ 3).

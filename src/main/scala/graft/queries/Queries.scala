@@ -339,10 +339,16 @@ object Queries {
     * (n, Σx, Σy, Σxy, Σx², Σy²) with the closed-form formula written
     * identically in both engines, so even the double result
     * hash-matches. One map-side-combining aggregate; the built-in
-    * `corr()` is the approximate-at-scale drop-in. */
+    * `corr()` is the approximate-at-scale drop-in. Integer grid (the
+    * q128/q131 discipline): quantity is integer-valued, price is taken
+    * in floor cents — Pearson correlation is scale-invariant, so the
+    * statistic is unchanged while every per-row moment product becomes
+    * an exact integer < 2^53 with a lossless DECIMAL(38,6) cast (the
+    * raw-dollars y² cast had ulp ≈ 2e-6 > the 5e-7 half-boundary
+    * distance — cross-engine rounding could legitimately disagree). */
   private val q62 = {
     val x = col("l_quantity")
-    val y = col("l_extendedprice")
+    val y = floor(col("l_extendedprice") * lit(100.0)).cast("double")
     Q(
       "q62_correlation",
       (s, dir) =>
@@ -351,8 +357,8 @@ object Queries {
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
-            dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+            dsumInt(x).as("sx"), dsumInt(y).as("sy"), dsumInt(x * y).as("sxy"),
+            dsumInt(x * x).as("sxx"), dsumInt(y * y).as("syy"),
           )
           .select(col("l_returnflag"), col("n"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -360,14 +366,18 @@ object Queries {
                 (col("n") * col("syy") - col("sy") * col("sy"))))
               .as("corr_qty_price")),
       Some("""
-        WITH m AS (
+        WITH e AS (
+          SELECT l_returnflag, l_quantity AS x,
+            CAST(FLOOR(l_extendedprice * 100) AS DOUBLE) AS y
+          FROM lineitem),
+        m AS (
           SELECT l_returnflag, COUNT(*) AS n,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
-          FROM lineitem GROUP BY 1)
+            CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+          FROM e GROUP BY 1)
         SELECT l_returnflag, n,
           (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
             AS corr_qty_price

@@ -723,16 +723,29 @@ object SignalQueries {
   private val q65 = Q(
     "q65_trend",
     (s, dir) => {
-      val x = (unix_micros(col("ts")) - lit(1704067200000000L)) / lit(86400000000.0)
-      val y = col("value")
+      // integer-grid covariate (q128/q131 discipline): whole days since
+      // the epoch origin. (tus − origin) is an exact ≤2^53 BIGINT→double,
+      // the divide is one deterministic double op, floor is exact — so x
+      // is an integer-valued double both engines agree on bitwise, and
+      // every per-row moment product (x·y with 2-place y, x²) has a
+      // lossless DECIMAL(38,6) cast. The fractional-days form put
+      // arbitrary-precision products through the cast — the same
+      // half-boundary class that failed q131's round-9 hash.
+      val x = floor((unix_micros(col("ts")) - lit(1704067200000000L)) /
+        lit(86400000000.0)).cast("double")
+      // response in floor cents (value carries 2 decimal places):
+      // slope/intercept come out in cents — scale-equivariant, and every
+      // moment sum is an exact integer with a single-rounding
+      // decimal(38,0)→double conversion in both engines
+      val y = floor(col("value") * lit(100.0)).cast("double")
       // the four decimal partial sums are the hot path; a single-file
       // local scan would run them on one core (no-op on a cluster scan)
       Tables.parallelized(Tables.events(s, dir), "event_id")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          dsum(x).as("sx"), dsum(y).as("sy"),
-          dsum(x * y).as("sxy"), dsum(x * x).as("sxx"),
+          dsumInt(x).as("sx"), dsumInt(y).as("sy"),
+          dsumInt(x * y).as("sxy"), dsumInt(x * x).as("sxx"),
         )
         // degenerate groups (all x equal → zero denominator) get NULL in
         // BOTH engines: unguarded, Spark's ANSI divide and DuckDB's IEEE
@@ -746,13 +759,18 @@ object SignalQueries {
         .select("event_type", "n", "slope_per_day", "intercept")
     },
     Some("""
-      WITH m AS (
+      WITH e0 AS (
+        SELECT event_type,
+          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          CAST(FLOOR((epoch_us(ts) - 1704067200000000) / 86400000000.0) AS DOUBLE) AS x
+        FROM events),
+      m AS (
         SELECT event_type, COUNT(*) AS n,
-          CAST(SUM(CAST((epoch_us(ts) - 1704067200000000) / 86400000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-          CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-          CAST(SUM(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * ((epoch_us(ts) - 1704067200000000) / 86400000000.0) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
-        FROM events GROUP BY 1),
+          CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        FROM e0 GROUP BY 1),
       s AS (
         SELECT event_type, n, sx, sy,
           CASE WHEN n * sxx - sx * sx <> 0.0
@@ -1942,17 +1960,20 @@ object SignalQueries {
       val e = Tables.parallelized(Tables.events(s, dir), "event_id")
         .filter(col("value").isNotNull)
         .select(col("event_type"),
-          // integer-valued covariate grid: products w·xᵢ·xⱼ(·y) then have
-          // ≤5-place decimal expansions, so the DECIMAL(38,6) per-row cast
-          // never sits on a half-boundary where Spark's shortest-repr
-          // rounding and DuckDB's exact-binary rounding disagree (a
-          // measured 1e-9-level Cramer divergence with fractional grids)
+          // FULLY integer grid (covariate, weight, response): every per-row
+          // product w·xᵢ·xⱼ(·y) is an exact integer < 2^53, so the
+          // DECIMAL(38,6) cast is lossless in both engines — never near a
+          // half-boundary where Spark's shortest-repr rounding and DuckDB's
+          // exact-binary rounding disagree (a measured 1e-9-level Cramer
+          // divergence with fractional grids; q131's round-9 hash failure).
+          // value carries exactly 2 decimal places, so floor(value·100) is
+          // the deterministic integer response both engines agree on.
           pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
-          col("value").as("y"),
-          (lit(1.0) / (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double"))).as("w"))
+          floor(col("value") * lit(100.0)).cast("double").as("y"),
+          (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double")).as("w"))
         .withColumn("x2", col("x1") * col("x1"))
       val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
-        Seq(lit(1.0), col("x1"), col("x2")))
+        Seq(lit(1.0), col("x1"), col("x2")), integerGrid = true)
       TimingFit.solveCramer3(m)
         .select(col("event_type"), col("n"),
           col("beta0"), col("beta1"), col("beta2"))
@@ -1961,21 +1982,21 @@ object SignalQueries {
       WITH e AS (
         SELECT event_type,
           CAST(event_id % 13 AS DOUBLE) AS x1,
-          value AS y,
-          1.0 / (1.0 + CAST(event_id % 10 AS DOUBLE)) AS w
+          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          1.0 + CAST(event_id % 10 AS DOUBLE) AS w
         FROM events WHERE value IS NOT NULL),
       e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),
       mo AS (
         SELECT event_type,
-          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
-          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
-          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
-          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
-          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
-          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
-          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
-          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
-          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,0))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,0))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS b2,
           COUNT(*) AS n
         FROM e2 GROUP BY 1),
       dd AS (
@@ -2011,8 +2032,14 @@ object SignalQueries {
     * passes over the corpus: one map-side-combined aggregation total,
     * O(groups) everything after. The per-row residual path
     * (`TimingFit.residuals3`) is spec-pinned on a planted-coefficient
-    * recovery. Same integer covariate grid as q128 (decimal half-boundary
-    * discipline). */
+    * recovery. FULLY integer grid — covariate (q128), weight (integer
+    * 1+id%10, not its reciprocal) AND response (floor(value·100), exact:
+    * value carries 2 decimal places): every per-row product w·xᵢ·xⱼ(·y)
+    * is an integer < 2^53, so the DECIMAL(38,6) cast is lossless in both
+    * engines and the χ² = syy − βᵀb cancellation is bitwise
+    * reproducible. The round-9 fractional form (w = 1/(1+id%10), raw y)
+    * failed the driver hash: the cancellation amplifies the cross-engine
+    * per-row decimal-rounding wobble (~1e-9 on betas) past the gate. */
   private lazy val q131 = Q(
     "q131_fit_residuals",
     (s, dir) => {
@@ -2021,11 +2048,11 @@ object SignalQueries {
         .filter(col("value").isNotNull)
         .select(col("event_type"),
           pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
-          col("value").as("y"),
-          (lit(1.0) / (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double"))).as("w"))
+          floor(col("value") * lit(100.0)).cast("double").as("y"),
+          (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double")).as("w"))
         .withColumn("x2", col("x1") * col("x1"))
       val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
-        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true)
+        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true, integerGrid = true)
       TimingFit.diagnostics3(m)
         .select(col("event_type"), col("n"),
           col("chi2"), col("wrms"), col("chi2_red"))
@@ -2034,22 +2061,22 @@ object SignalQueries {
       WITH e AS (
         SELECT event_type,
           CAST(event_id % 13 AS DOUBLE) AS x1,
-          value AS y,
-          1.0 / (1.0 + CAST(event_id % 10 AS DOUBLE)) AS w
+          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          1.0 + CAST(event_id % 10 AS DOUBLE) AS w
         FROM events WHERE value IS NOT NULL),
       e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),
       mo AS (
         SELECT event_type,
-          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
-          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
-          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
-          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
-          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
-          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
-          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
-          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
-          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
-          CAST(SUM(CAST(w * y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,0))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,0))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(w * y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
           COUNT(*) AS n
         FROM e2 GROUP BY 1),
       dd AS (
@@ -2097,7 +2124,10 @@ object SignalQueries {
     * The observation covariate is the integer second-of-epoch grid
     * (`epoch_us div 1e6 mod 1e5` — exact BIGINT division both engines,
     * the q128 half-boundary discipline); y is the measured sub-bin
-    * phase. Scale shape: the whole pipeline is TWO aggregations (binned
+    * phase snapped to the 2^-20 grid (micro-phase units — power-of-two
+    * scale + floor are both exact on doubles, so the moments are exact
+    * integers and the χ²/wRMS tail is bitwise cross-engine by
+    * construction). Scale shape: the whole pipeline is TWO aggregations (binned
     * profiles; fit moments) + a 1-row broadcast template — nothing
     * between them touches more than one row per observation. */
   private lazy val q133 = Q(
@@ -2131,8 +2161,15 @@ object SignalQueries {
         .withColumn("x1",
           (expr("epoch_us div 1000000") % lit(100000L)).cast("double"))
         .withColumn("x2", col("x1") * col("x1"))
-      val m = TimingFit.moments(toas, Seq("period_us"), col("phase"), lit(1.0),
-        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true)
+        // integer-grid response (q128 discipline, applied to the fit's y
+        // as well): phase·2^20 is an EXACT double product (power-of-two
+        // scale), floor is exact, so y is an integer-valued double both
+        // engines agree on bitwise and every moment product w·xᵢ·y /
+        // w·y² is an exact integer — the χ² tail matches by
+        // construction, not by margin
+        .withColumn("y", floor(col("phase") * lit(1048576.0)).cast("double"))
+      val m = TimingFit.moments(toas, Seq("period_us"), col("y"), lit(1.0),
+        Seq(lit(1.0), col("x1"), col("x2")), withY2 = true, integerGrid = true)
       TimingFit.diagnostics3(m)
         .select(col("period_us"), col("n"),
           col("beta0"), col("beta1"), col("beta2"), col("chi2"), col("wrms"))
@@ -2201,23 +2238,23 @@ object SignalQueries {
                ELSE shift_bins / 8.0 END AS phase
         FROM r),
       obs AS (
-        SELECT period_us, phase AS y,
+        SELECT period_us, CAST(FLOOR(phase * 1048576) AS DOUBLE) AS y,
           CAST((epoch_us // 1000000) % 100000 AS DOUBLE) AS x1,
           1.0 AS w
         FROM f WHERE epoch_us IS NOT NULL),
       o2 AS (SELECT period_us, y, x1, x1 * x1 AS x2, w FROM obs),
       mo AS (
         SELECT period_us,
-          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS s00,
-          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s01,
-          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s02,
-          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
-          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
-          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
-          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,6))) AS DOUBLE) AS b0,
-          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,6))) AS DOUBLE) AS b1,
-          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,6))) AS DOUBLE) AS b2,
-          CAST(SUM(CAST(w * y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(w * 1.0 * 1.0 AS DECIMAL(38,0))) AS DOUBLE) AS s00,
+          CAST(SUM(CAST(w * 1.0 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s01,
+          CAST(SUM(CAST(w * 1.0 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s02,
+          CAST(SUM(CAST(w * x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+          CAST(SUM(CAST(w * x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+          CAST(SUM(CAST(w * x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+          CAST(SUM(CAST(w * 1.0 * y AS DECIMAL(38,0))) AS DOUBLE) AS b0,
+          CAST(SUM(CAST(w * x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS b1,
+          CAST(SUM(CAST(w * x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS b2,
+          CAST(SUM(CAST(w * y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
           COUNT(*) AS n
         FROM o2 GROUP BY 1),
       dd AS (
