@@ -47,16 +47,21 @@ object VideoHash {
       while (off + 8 <= end) {
         val id = fcc(bytes, off)
         val size = le32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > end) return
+        // bounds in Long: a corrupt declared size near Int.MaxValue wraps
+        // `off + 8 + size` negative in Int, sneaking past the guard and
+        // crashing the walk — violating the zero-rows-never-a-failed-stage
+        // contract of frameHashes/dedupClips
+        val next = off.toLong + 8L + size
+        if (size < 0 || next > end) return
         if (id == "LIST" && size >= 4) {
           val typ = fcc(bytes, off + 8)
           if (typ == "movi" || typ == "rec ")
-            scan(off + 12, off + 8 + size, inMovi = true)
+            scan(off + 12, next.toInt, inMovi = true)
         } else if (inMovi && size > 0 && id(2) == 'd' &&
             (id(3) == 'c' || id(3) == 'b')) {
-          out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+          out += java.util.Arrays.copyOfRange(bytes, off + 8, next.toInt)
         }
-        off += 8 + size + (size & 1)
+        off = (next + (size & 1)).toInt
       }
     }
     val riffEnd = math.min(bytes.length.toLong, 8L + (le32(bytes, 4) & 0xffffffffL)).toInt

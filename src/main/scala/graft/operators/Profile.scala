@@ -267,12 +267,20 @@ object Profile {
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
     // a negative weight breaks cumulative monotonicity and with it the
-    // "smallest value reaching the threshold" semantics — fail loudly
-    // per row (codegen'd branch), never return an arbitrary quantile
-    val checkedW = col(weightCol).cast("long") +
-      when(col(weightCol) < 0,
-        raise_error(concat(lit(s"weightedQuantiles: negative weight in '$weightCol': "),
-          col(weightCol).cast("string")))).otherwise(lit(0L))
+    // "smallest value reaching the threshold" semantics; a NULL weight
+    // would slip past a plain `< 0` check (three-valued logic), turn the
+    // row's cumulative weight null, be silently skipped by the window
+    // sums, yet still count in `n` — so both fail loudly per row
+    // (codegen'd branch), never return an arbitrary quantile
+    // single CASE, not `w + when(bad, raise_error)`: binary arithmetic
+    // short-circuits on a null left operand (BinaryExpression eval and
+    // nullSafeCodeGen both skip the right side), so an Add-shaped guard
+    // never fires for exactly the null weights it must catch
+    val checkedW =
+      when(col(weightCol).isNull || col(weightCol) < 0,
+        raise_error(concat(lit(s"weightedQuantiles: null or negative weight in '$weightCol': "),
+          coalesce(col(weightCol).cast("string"), lit("NULL")))).cast("long"))
+        .otherwise(col(weightCol).cast("long"))
     val base = df.filter(col(valueCol).isNotNull)
       .withColumn("__w", checkedW)
       .withColumn("__cw", sum(col("__w")).over(w))

@@ -587,6 +587,17 @@ class OperatorSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("negative weight")), s"got: ${messages(ex)}")
+    // a NULL weight must fail the same way: `null < 0` is null under
+    // three-valued logic, so an unguarded projection would let the row
+    // count in `n` while its weight silently vanishes from the window sums
+    val nul = Seq(("n", 1.0, Some(2L), 1L), ("n", 2.0, None, 2L))
+      .toDF("grp", "v", "w", "id")
+    val exN = intercept[Exception] {
+      Profile.weightedQuantiles(nul, Seq("grp"), "v", "w",
+        quantiles = Seq((1, 2)), tieCols = Seq("id")).collect()
+    }
+    assert(messages(exN).exists(_.contains("null or negative weight")),
+      s"got: ${messages(exN)}")
     // no silent overflow: huge integral weights still pick correctly
     // (q·W_cum at decimal precision; a Long multiply would wrap)
     val big = Seq(("b", 1.0, 4000000000000000000L, 1L),

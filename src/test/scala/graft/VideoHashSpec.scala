@@ -53,6 +53,14 @@ class VideoHashSpec extends SparkSpec {
     val truncated = clip(0 until 3).take(40)
     assert(VideoHash.fingerprint(truncated) === Nil)
     assert(VideoHash.fingerprint(null) === Nil)
+    // adversarial declared chunk size near Int.MaxValue: `off + 8 + size`
+    // wraps negative in Int arithmetic — the walk must stop, not throw
+    val wrap = clip(0 until 2)
+    val bomb = wrap.clone()
+    // first chunk header sits at offset 12; poison its size field
+    bomb(16) = -1; bomb(17) = -1; bomb(18) = -1; bomb(19) = 0x7f
+    assert(VideoHash.mjpegFrames(bomb) === Nil)
+    assert(VideoHash.fingerprint(bomb) === Nil)
   }
 
   test("sub-grid frames are skipped, not fatal") {
