@@ -79,7 +79,18 @@ object RangeJoin {
     * the join stage and stays linear in the INPUT row counts (the
     * q88_interval_agg form). Reach for `pointInInterval` only when the
     * pairs themselves are the product.
-    */
+    *
+    * `pairBudget` (opt-in) bounds that output: the per-(bin, keys)
+    * candidate-pair count `n_points × n_intervals` is pre-counted on
+    * both sides and the job raise_errors NAMING the worst bin and its
+    * two counts when any bin exceeds the budget — BEFORE the pair join
+    * streams (the guard is a 1-row broadcast built ahead of the
+    * stream side), so a densified axis at 100× scale fails loudly
+    * instead of materializing a quadratic output. The guard is pure
+    * plan composition on the 1-row side — the per-pair hot path gains
+    * no filter (PlanGuardSpec pins this); `None` leaves the plan
+    * byte-identical to the unguarded form. Products are compared in
+    * DECIMAL(38,0): two 1e10-row sides would wrap a Long multiply. */
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -88,8 +99,10 @@ object RangeJoin {
       endCol: String,
       binWidth: Long,
       extraKeys: Seq[(String, String)] = Nil,
+      pairBudget: Option[Long] = None,
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    pairBudget.foreach(b => require(b > 0, s"pairBudget must be positive, got $b"))
     val p = axis(points, pointCol)
     val s = axis(intervals, startCol)
     val e = axis(intervals, endCol)
@@ -104,10 +117,42 @@ object RangeJoin {
     val keyCond = extraKeys
       .map { case (pk, ik) => pts(pk) === ivs(ik) }
       .foldLeft(pts("__bin") === ivs("__bin"))(_ && _)
-    pts
+    val joined = pts
       .join(ivs, keyCond)
       .filter(axis(points, pointCol).between(axis(intervals, startCol), axis(intervals, endCol)))
       .drop("__bin")
+    pairBudget match {
+      case None => joined
+      case Some(budget) =>
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val np = pts.groupBy((col("__bin") +: extraKeys.map(k => col(k._1))): _*)
+          .agg(count(lit(1)).as("__np"))
+        val ni = ivs.groupBy((col("__bin") +: extraKeys.map(k => col(k._2))): _*)
+          .agg(count(lit(1)).as("__ni"))
+        val cond = extraKeys
+          .map { case (pk, ik) => np(pk) === ni(ik) }
+          .foldLeft(np("__bin") === ni("__bin"))(_ && _)
+        // worst bin only: a global aggregate, so the guard side is ONE row
+        // whose evaluation (during broadcast build) fires the raise_error
+        // before the pair join streams anything
+        val worst = np.join(ni, cond)
+          .select(np("__bin").as("__b"), (dec(col("__np")) * dec(col("__ni"))).as("__pairs"),
+            col("__np"), col("__ni"))
+          .agg(max(col("__pairs")).as("__max_pairs"),
+            max_by(struct(col("__b"), col("__np"), col("__ni")), col("__pairs")).as("__w"))
+          .filter(
+            when(col("__max_pairs") > dec(lit(budget)),
+              raise_error(concat(
+                lit("RangeJoin.pointInInterval: bin "), col("__w.__b").cast("string"),
+                lit(" would materialize "), col("__max_pairs").cast("string"),
+                lit(" candidate pairs ("), col("__w.__np").cast("string"),
+                lit(" points x "), col("__w.__ni").cast("string"),
+                lit(s" intervals) > pairBudget=$budget — aggregate with " +
+                  "aggregatePointsInIntervals, widen binWidth, or raise the budget"))).cast("boolean"))
+              .otherwise(lit(true)))
+          .select(lit(1).as("__guard_ok"))
+        joined.crossJoin(broadcast(worst)).drop("__guard_ok")
+    }
   }
 
   /** Decomposable aggregates (COUNT(*) + SUMs of point columns) over all

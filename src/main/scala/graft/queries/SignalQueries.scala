@@ -554,9 +554,15 @@ object SignalQueries {
         col("o_orderdate").cast("timestamp").as("valid_from"),
         expr("timestamp_micros(unix_micros(cast(o_orderdate as timestamp)) + 172800000000)").as("valid_to"),
       )
+      // pair-materializing form, so it carries the loud output bound: a
+      // densified axis (100× both sides on the same time range = 10,000×
+      // pairs) raise_errors naming the worst bin instead of materializing
+      // a quadratic output; 1e9 pairs/bin is ~3 orders above the worst
+      // sf1 bin. The guard is a 1-row broadcast off the pair hot path
+      // (PlanGuardSpec pins it).
       graft.operators.RangeJoin
         .pointInInterval(ev, iv, "mts", "valid_from", "valid_to",
-          binWidth = 2L * 86400L * 1000000L)
+          binWidth = 2L * 86400L * 1000000L, pairBudget = Some(1000000000L))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_pairs"), sum("user_id").as("sum_user"))
     },

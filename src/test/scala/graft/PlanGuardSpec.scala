@@ -64,6 +64,22 @@ class PlanGuardSpec extends SparkSpec {
       "q04's dimension joins must plan BroadcastHashJoin")
   }
 
+  test("q56 range join: pairBudget guard rides a 1-row side, off the per-pair hot path") {
+    import org.apache.spark.sql.execution.FilterExec
+    val sp = sparkPlan("q56_range_join")
+    val guards = sp.collect {
+      case f: FilterExec if f.condition.toString.contains("raise_error") => f }
+    assert(guards.size == 1, "q56 must carry exactly one pairBudget guard filter")
+    // the guard's subtree must be the count-aggregate side: if a rewrite
+    // ever slid the raise_error onto the pair stream, the filter's child
+    // would be the bin join, not an aggregate (the q121 scan-fusion lesson)
+    val agg = guards.head.child
+    assert(agg.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]
+      || agg.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]
+      || agg.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec],
+      s"guard child must be the 1-row aggregate, got ${agg.getClass.getSimpleName}")
+  }
+
   test("q99/q102 sequence packing: every window is group-partitioned, no global sort") {
     for (q <- Seq("q99_pack_sequences", "q102_pack_rows")) {
       val sp = sparkPlan(q)

@@ -122,6 +122,49 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("pairBudget: planted dense axis fails loudly naming the bin; under-budget is a no-op") {
+    // 60 points × 50 intervals all landing in bin 0 → 3000 candidate pairs
+    val densePts = (0 until 60).map(i => (i.toLong, i.toLong % 10)).toDF("p_id", "p")
+    val denseIvs = (0 until 50).map(i => (i.toLong, 0L, 9L)).toDF("i_id", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(densePts, denseIvs, "p", "s", "e",
+        binWidth = 100, pairBudget = Some(2999L)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("pairBudget=2999") && m.contains("bin 0")
+      && m.contains("60 points x 50 intervals")), s"got: ${messages(ex)}")
+    // at the budget exactly: passes, and the output is identical to unguarded
+    val guarded = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+        binWidth = 100, pairBudget = Some(1000000L))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(guarded == naivePairs(extraKey = false))
+    // extra keys partition the budget: per-(bin, key) products, not per-bin
+    val keyed = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+        binWidth = 50, extraKeys = Seq("pk" -> "ik"), pairBudget = Some(1000000L))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(keyed == naivePairs(extraKey = true))
+  }
+
+  test("pairBudget guard stays off the per-pair hot path (1-row broadcast side)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+      binWidth = 100, pairBudget = Some(1000000L))
+    val plan = df.queryExecution.sparkPlan
+    val guards = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("raise_error") => f }
+    assert(guards.size == 1, s"exactly one guard filter, got ${guards.size}")
+    // the guard filters the ONE-row global aggregate, never the pair stream
+    val child = guards.head.child
+    assert(child.isInstanceOf[HashAggregateExec] || child.isInstanceOf[ObjectHashAggregateExec]
+      || child.isInstanceOf[SortAggregateExec],
+      s"guard must sit on the 1-row aggregate, found child ${child.getClass.getSimpleName}")
+    // and disabling the budget leaves the plan free of any guard machinery
+    val off = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = 100)
+    assert(!off.queryExecution.sparkPlan.toString.contains("raise_error"))
+  }
+
   test("range join plans an equi-join, not BroadcastNestedLoopJoin") {
     val df = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = 100)
     val bnl = df.queryExecution.sparkPlan.collect { case b: BroadcastNestedLoopJoinExec => b }
