@@ -85,8 +85,21 @@ object IvfPq {
   }
 
   /** Encode the corpus: (id, cluster, codes array<int>) — the complete
-    * compressed index entry (4 + m bytes of information per vector). */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    * compressed index entry (4 + m bytes of information per vector).
+    *
+    * Routes through [[encodeStateless]]: with a trained model in hand
+    * the codebooks are bounded literals, so encoding is ONE stateless
+    * projection — zero shuffles (spec-pinned) — where the aggregate form
+    * ([[encodeViaAggregate]]) materializes the n×nlist candidate set
+    * through a broadcast join and pays two aggregate rounds. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    encodeStateless(df, idCol, vecCol, model)
+
+  /** The broadcast-join + argmin-aggregate encode — kept as the parity
+    * reference for [[encodeStateless]] (spec pins cluster-for-cluster /
+    * code-for-code agreement on trained models) and for callers whose
+    * codebooks are too large to embed as plan literals. */
+  def encodeViaAggregate(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val resid = residuals(df, idCol, vecCol, model.coarse, model.clusterBits)
     val codes = Quantize.encode(resid, "id", "resid", model.pq, model.m, model.dim)
     resid.select("id", "cluster").join(codes, Seq("id"))

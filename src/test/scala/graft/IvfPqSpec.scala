@@ -36,10 +36,24 @@ class IvfPqSpec extends SparkSpec {
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("id") ->
         ((r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Int]]("codes").toList))).toMap
-    val batch = asMap(IvfPq.encode(corpus, "vec_id", "embedding", model))
+    val batch = asMap(IvfPq.encodeViaAggregate(corpus, "vec_id", "embedding", model))
     val stateless = asMap(IvfPq.encodeStateless(corpus, "vec_id", "embedding", model))
     assert(stateless.size === 40)
     assert(stateless === batch)
+    // batch `encode` routes through the stateless fold: the plan is one
+    // shuffle-free projection, not the n×nlist broadcast join + two
+    // aggregate rounds of encodeViaAggregate
+    // executedPlan string, not sparkPlan collect: exchanges are inserted
+    // by EnsureRequirements during preparation, and AQE wrapping makes a
+    // node collect over executedPlan pass vacuously
+    val encPlan = IvfPq.encode(corpus, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      "encode on a trained model must plan zero shuffles")
+    val aggPlan = IvfPq.encodeViaAggregate(corpus, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.contains("Exchange"),
+      "sanity: the aggregate form is the one that shuffles")
     // keep-columns ride through the stateless projection
     val kept = IvfPq.encodeStateless(
         corpus.withColumn("tag", $"vec_id" * 2), "vec_id", "embedding", model,
