@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** General distributed k-means (Lloyd) over an embedding column — the
@@ -181,14 +181,19 @@ object KMeans {
     * candidate set, then the candidates (weighted by how many points
     * they'd own) reduce to k centers driver-side.
     *
-    * "Randomness" is fixed-seed hashing so runs are bit-reproducible:
-    * the first candidate is the row with the smallest xxhash64(id); a
-    * round-r draw keeps a point when pmod(xxhash64(id, r), 10⁹)/10⁹ <
+    * "Randomness" is fixed-seed hashing so runs are bit-reproducible —
+    * and ENGINE-PORTABLE (md5 over the id string, the q100/q122 draw
+    * family, which is what lets q140 put a seeding round under the SQL
+    * oracle; xxhash64 exists only in Spark): the first candidate is the
+    * row with the smallest md5(id); a round-r draw keeps a point when
+    * u = (first-13-hex-digits of md5(id:r) + 0.5)/2⁵² <
     * min(1, l·d²/φ) with φ the decimal-exact d² total (a double-sum φ
     * would be partition-order-dependent and could flip borderline
-    * draws). The driver-side reduction is greedy weighted
-    * farthest-point (argmax w·d², ties to the lowest candidate index) —
-    * the deterministic stand-in for weighted k-means++ sampling.
+    * draws; u's 52-bit mantissa and power-of-two divisor make the draw
+    * itself bitwise in any engine). The driver-side reduction is greedy
+    * weighted farthest-point (argmax w·d², ties to the lowest candidate
+    * index) — the deterministic stand-in for weighted k-means++
+    * sampling.
     *
     * Cost: `rounds` × (one broadcast-join min-d² aggregate + one tiny
     * candidate collect) + one weighting pass — ~4 extra jobs, candidate
@@ -196,9 +201,55 @@ object KMeans {
     * centers when the data has fewer distinct useful seeds (duplicate
     * or zero-weight candidates), matching the capped first-k-ids
     * behavior it replaces. */
+  /** md5 seed-ordering hash over the id's string form — identical text in
+    * any engine for integral/string ids. */
+  private def seedHash(id: Column): Column = md5(id.cast("string"))
+
+  /** Round-`r` unit draw in [0, 1): first 13 hex digits of md5("id:r")
+    * (52 bits, exactly a double) + 0.5, over 2⁵². Bitwise in any engine
+    * with md5 — integer-valued numerator, power-of-two divisor. */
+  private def unitDraw(id: Column, r: Int): Column =
+    (conv(substring(md5(concat(id.cast("string"), lit(s":$r"))), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+
+  /** The first k-means|| seeding round as DATA — the oracle window into
+    * [[initParallel]] (q140): row `round = 0` is the first candidate
+    * (smallest md5(id)); rows `round = 1` are the points the round-1
+    * draw selects, each with its squared distance `d2` to the first
+    * candidate and its unit draw `u` (selected ⟺ u < min(1, 2k·d²/φ),
+    * φ = decimal-exact Σd²). Same expressions as the production
+    * seeding — md5 draws are bitwise cross-engine; d2 rides the q89b
+    * decimal-sum-vs-sequential margin argument. The driver-side greedy
+    * reduction that follows the rounds stays spec-pinned (KMeansSpec) —
+    * an argmax LOOP over candidate state is not SQL-expressible. */
+  def seedRound1(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+    val first = rows.select(col("id"), col("vec"), seedHash(col("id")).as("__h"))
+      .orderBy(col("__h"), col("vec")).limit(1).collect()
+    require(first.nonEmpty, "KMeans.seedRound1: input has no rows")
+    val seedId = first(0).get(0)
+    val s0: Seq[Double] = first(0).getSeq[Double](1)
+    val d2s = localAssign(rows, Array((0, s0))).select(col("id"), col("d2"))
+    val phi = d2s
+      .agg(coalesce(sum(col("d2").cast("decimal(38,6)")).cast("double"), lit(0.0)))
+      .head().getDouble(0)
+    val seedRow = rows.filter(col("id") === lit(seedId))
+      .select(col("id"), lit(0).as("round"),
+        lit(null).cast("double").as("u"), lit(null).cast("double").as("d2"))
+    if (phi <= 0.0) return seedRow // saturated: round 1 selects nothing
+    val sel = d2s
+      .withColumn("u", unitDraw(col("id"), 1))
+      .filter(col("u") < least(lit(1.0), lit(2.0 * k) * col("d2") / lit(phi)))
+      .select(col("id"), lit(1).as("round"), col("u"), col("d2"))
+    seedRow.unionByName(sel)
+  }
+
   private def initParallel(rows: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
     val first = rows
-      .select(col("vec"), xxhash64(col("id")).as("__h"))
+      .select(col("vec"), seedHash(col("id")).as("__h"))
       .orderBy(col("__h"), col("vec")).limit(1)
       .select("vec").collect()
     if (first.isEmpty) return Array.empty
@@ -215,8 +266,7 @@ object KMeans {
         .head().getDouble(0)
       if (phi <= 0.0) saturated = true // every point sits ON a candidate
       else {
-        val u = pmod(xxhash64(col("id"), lit(r)), lit(1000000000L))
-          .cast("double") / lit(1e9)
+        val u = unitDraw(col("id"), r)
         // sort the draw so candidate indices don't depend on collect()
         // partition order — keeps the whole init bit-reproducible
         cands ++= d2s

@@ -1367,6 +1367,123 @@ object VectorQueries {
     """),
   )
 
+  /** C77 (closing q134's spec-only tail): PCA eigenVECTORS under the SQL
+    * oracle for the closed-form d=2 case. The 2×2 symmetric covariance's
+    * principal axis is the rotation angle θ = ½·atan2(2·cab, caa−cbb) —
+    * v1 = (cos θ, sin θ) belongs to the LARGER eigenvalue (checked at
+    * the four degenerate compass points), v2 = (−sin θ, cos θ) — and the
+    * oracle mirrors `jacobiEigen`'s deterministic sign convention
+    * (largest-|entry| positive, ties toward the earlier index). Same
+    * disclosed float tier as q134: IEEE moment sums + libm trig vs
+    * driver Jacobi differ in chain, so parity rides the gate's 1e-9
+    * relative float tolerance (measured ~1e-12: moment wobble ~1e-13
+    * divided by the 5–11% eigen gap on this data). The sign-pick index
+    * is data-stable here (|v1x| vs |v1y| separated ≥3% at every SF —
+    * checked before authoring; a |x|≈|y| boundary with opposite signs
+    * would be un-oracle-able and belongs in the spec tier). Scale shape
+    * is q134's: ONE d²-bounded aggregator pass, driver eigensolve on a
+    * 2×2. */
+  private val q139 = Q(
+    "q139_pca_components",
+    (s, dir) => {
+      import graft.operators.Pca
+      val e = emb(s, dir)
+        .select(slice(col("embedding").cast("array<double>"), 1, 2).as("v2"))
+      val model = Pca.fit(e, "v2", d = 2, k = 2)
+      import s.implicits._
+      Seq((model.components(0)(0), model.components(0)(1),
+           model.components(1)(0), model.components(1)(1),
+           model.explainedVariance(0), model.explainedVariance(1)))
+        .toDF("c11", "c12", "c21", "c22", "lambda1", "lambda2")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS a, CAST(embedding[2] AS DOUBLE) AS b
+        FROM embeddings),
+      mo AS (
+        SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+          SUM(a * a) AS saa, SUM(a * b) AS sab, SUM(b * b) AS sbb
+        FROM v),
+      c AS (
+        SELECT saa / n - (sa / n) * (sa / n) AS caa,
+          sab / n - (sa / n) * (sb / n) AS cab,
+          sbb / n - (sb / n) * (sb / n) AS cbb
+        FROM mo),
+      e AS (
+        SELECT caa, cab, cbb,
+          0.5 * ATAN2(2.0 * cab, caa - cbb) AS th,
+          (caa + cbb) / 2.0 + SQRT((caa - cbb) * (caa - cbb) + 4.0 * cab * cab) / 2.0 AS l1,
+          (caa + cbb) / 2.0 - SQRT((caa - cbb) * (caa - cbb) + 4.0 * cab * cab) / 2.0 AS l2
+        FROM c),
+      w AS (
+        SELECT l1, l2, COS(th) AS v1x, SIN(th) AS v1y,
+          -SIN(th) AS v2x, COS(th) AS v2y
+        FROM e),
+      f AS (
+        SELECT l1, l2, v1x, v1y, v2x, v2y,
+          CASE WHEN (CASE WHEN ABS(v1y) > ABS(v1x) THEN v1y ELSE v1x END) < 0
+            THEN -1.0 ELSE 1.0 END AS f1,
+          CASE WHEN (CASE WHEN ABS(v2y) > ABS(v2x) THEN v2y ELSE v2x END) < 0
+            THEN -1.0 ELSE 1.0 END AS f2
+        FROM w)
+      SELECT f1 * v1x AS c11, f1 * v1y AS c12,
+        f2 * v2x AS c21, f2 * v2y AS c22,
+        l1 AS lambda1, l2 AS lambda2
+      FROM f
+    """),
+  )
+
+  /** C78 (closing C47's production-seeding tail): the k-means‖ seeding
+    * round users actually run (`KMeans.fit`'s default init) under the
+    * SQL oracle — q89b/q119/q123 oracle the FirstIds training path, but
+    * the Bahmani oversampling draw was spec-only. `KMeans.seedRound1`
+    * exposes round 1 as data: the first candidate (smallest md5(id) —
+    * bitwise cross-engine) plus every point the round-1 draw selects
+    * (u < min(1, 2k·d²/φ)), with its md5-unit draw u (integer numerator
+    * / 2⁵² divisor — bitwise cross-engine) and its d² to the seed.
+    * Cross-engine contract: d² is the q89b decimal-sum-vs-sequential
+    * tier (~1e-15 relative agreement, 1e-9 gate); the selection
+    * threshold is margin-safe on this data (min |u − thr| ≥ 1.4e-4 at
+    * every SF, measured — u is uniform, so min gaps ride the draw count,
+    * not the float chain). The driver-side greedy weighted farthest-point reduction
+    * stays spec-pinned (KMeansSpec): an argmax loop over mutating
+    * candidate state has no SQL form. */
+  private val q140 = Q(
+    "q140_kmeans_seed_round",
+    (s, dir) => {
+      val e = emb(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      graft.operators.KMeans.seedRound1(e, "vec_id", "embedding", k = 8)
+        .select(col("id").as("vec_id"), col("round"), col("u"), col("d2"))
+    },
+    Some("""
+      WITH s0 AS (
+        SELECT vec_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
+      d AS (
+        SELECT e.vec_id,
+          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
+                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM embeddings e CROSS JOIN s0,
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY 1),
+      p AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d),
+      dr AS (
+        SELECT d.vec_id, d.d2,
+          (CAST(('0x' || substr(md5(CAST(d.vec_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
+            + 0.5) / 4503599627370496.0 AS u
+        FROM d)
+      SELECT vec_id, 0 AS round, CAST(NULL AS DOUBLE) AS u, CAST(NULL AS DOUBLE) AS d2
+      FROM s0
+      UNION ALL
+      SELECT dr.vec_id, 1 AS round, dr.u, dr.d2
+      FROM dr, p
+      WHERE dr.u < LEAST(1.0, 16.0 * dr.d2 / p.phi)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
-    q119, q120, q122, q123, q124, q126, q132, q134)
+    q119, q120, q122, q123, q124, q126, q132, q134, q139, q140)
 }

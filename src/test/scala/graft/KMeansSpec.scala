@@ -75,6 +75,29 @@ class KMeansSpec extends SparkSpec {
     assert(m.inertia <= optimal + 1e-9, s"inertia ${m.inertia} worse than optimal $optimal")
   }
 
+  test("seedRound1: seed row + draw-selected rows; saturated input selects nothing") {
+    val blobs = Seq(
+      (1L, Array(0.0, 0.2)), (2L, Array(0.2, 0.0)), (3L, Array(0.1, 0.1)),
+      (4L, Array(100.0, 0.1)), (5L, Array(100.2, 0.3)),
+    ).toDF("id", "vec")
+    val out = KMeans.seedRound1(blobs, "id", "vec", k = 2)
+      .select("id", "round", "u", "d2").collect()
+    val seeds = out.filter(_.getInt(1) == 0)
+    assert(seeds.length === 1 && seeds(0).isNullAt(2) && seeds(0).isNullAt(3))
+    // selected rows carry the draw and the distance, and obey the rule
+    val selected = out.filter(_.getInt(1) == 1)
+    selected.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    }
+    // the seed has d2 = 0 → threshold 0 → can never select itself
+    assert(!selected.map(_.getLong(0)).contains(seeds(0).getLong(0)))
+    // saturated: every point ON the single candidate → only the seed row
+    val sat = Seq((1L, Array(1.0, 1.0)), (2L, Array(1.0, 1.0))).toDF("id", "vec")
+    val so = KMeans.seedRound1(sat, "id", "vec", k = 2).collect()
+    assert(so.length === 1 && so(0).getInt(1) === 0)
+  }
+
   test("k larger than distinct points keeps empty clusters at their init") {
     val tiny = Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("id", "vec")
     val m = KMeans.fit(tiny, "id", "vec", k = 3, maxIters = 5)
