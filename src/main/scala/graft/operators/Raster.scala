@@ -84,15 +84,39 @@ object Raster {
   /** Line plot of (x, y) points: white background, dark axes box with
     * tick marks, blue polyline — the geometry of the reference's
     * `plt.plot` S/N products without a font dependency. */
-  def linePng(points: Seq[(Double, Double)], width: Int = 640, height: Int = 480): Array[Byte] =
-    encodePng(lineImage(points, width, height, None, None))
+  def linePng(points: Seq[(Double, Double)], width: Int = 640, height: Int = 480,
+              title: String = "", xLabel: String = "", yLabel: String = ""): Array[Byte] =
+    encodePng(lineImage(points, width, height, None, None,
+      Labels(title, xLabel, yLabel)))
+
+  /** Plot text: title (top center), x-axis label (bottom center),
+    * y-axis label (left, rotated 90°) — the glyphs the reference's
+    * matplotlib products carry (generate_images_results.py:100-139
+    * `plt.title/xlabel/ylabel`). Rendered with the JDK's built-in
+    * logical SansSerif font, which works headless with no font files
+    * installed. Empty strings draw nothing (and suppress the numeric
+    * tick labels), keeping unlabeled renders byte-stable. */
+  final case class Labels(title: String = "", xLabel: String = "", yLabel: String = "") {
+    def isEmpty: Boolean = title.isEmpty && xLabel.isEmpty && yLabel.isEmpty
+  }
+
+  /** Compact tick-value text: matplotlib-ish general format. */
+  private def tickText(v: Double): String = {
+    val a = math.abs(v)
+    if (v == 0.0) "0"
+    else if (a >= 0.01 && a < 100000) {
+      val s = f"$v%.2f"
+      if (s.endsWith(".00")) s.dropRight(3) else s
+    } else f"$v%.2e"
+  }
 
   /** [[linePng]]'s renderer with optionally FIXED axis ranges — what the
     * animation frames need (per-frame autoscaling would make motion
     * indistinguishable from rescaling). */
   private def lineImage(points: Seq[(Double, Double)], width: Int, height: Int,
                         xRange: Option[(Double, Double)],
-                        yRange: Option[(Double, Double)]): BufferedImage = {
+                        yRange: Option[(Double, Double)],
+                        labels: Labels = Labels()): BufferedImage = {
     require(points.nonEmpty, "linePng: no points")
     require(width >= 64 && height >= 64, "image too small")
     val sorted = points.sortBy(_._1)
@@ -124,6 +148,42 @@ object Raster {
         case _                       => () // single point: dot below
       }
       if (sorted.size == 1) g.fillOval(px(sorted.head._1) - 2, py(sorted.head._2) - 2, 5, 5)
+      if (!labels.isEmpty) {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+          java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+        g.setColor(new java.awt.Color(0x22, 0x22, 0x22))
+        val axisFont = new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 12)
+        val tickFont = new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, 9)
+        def centered(s: String, cx: Int, baseline: Int): Unit = {
+          val w = g.getFontMetrics.stringWidth(s)
+          g.drawString(s, cx - w / 2, baseline)
+        }
+        if (labels.title.nonEmpty) {
+          g.setFont(axisFont.deriveFont(java.awt.Font.BOLD))
+          centered(labels.title, mL + (width - mL - mR) / 2, mT - 4)
+        }
+        if (labels.xLabel.nonEmpty) {
+          g.setFont(axisFont)
+          centered(labels.xLabel, mL + (width - mL - mR) / 2, height - 6)
+        }
+        if (labels.yLabel.nonEmpty) {
+          g.setFont(axisFont)
+          val old = g.getTransform
+          g.rotate(-math.Pi / 2, 12, mT + (height - mT - mB) / 2)
+          centered(labels.yLabel, 12, mT + (height - mT - mB) / 2 + 4)
+          g.setTransform(old)
+        }
+        // numeric tick labels at the 5 ticks of each axis
+        g.setFont(tickFont)
+        val fm = g.getFontMetrics
+        (0 to 4).foreach { i =>
+          val tx = mL + i * (width - mL - mR - 1) / 4
+          val ty = mT + i * (height - mT - mB - 1) / 4
+          centered(tickText(xLo + xSpan * i / 4.0), tx, height - mB + 15)
+          val ys = tickText(yHi - ySpan * i / 4.0)
+          g.drawString(ys, mL - 7 - fm.stringWidth(ys), ty + 3)
+        }
+      }
     } finally g.dispose()
     img
   }
@@ -157,9 +217,16 @@ object Raster {
     * height). A key whose EVERY point is null still emits a row — with
     * a null `png` and `n_points = 0` — so callers reconciling expected
     * keys against rendered outputs see an explicit signal, not a
-    * silently missing file. */
+    * silently missing file.
+    *
+    * Labels mirror the reference's per-key products: `title` may carry
+    * the `{0}` placeholder, substituted with the key (matplotlib's
+    * `title.format(label)`, generate_images_results.py:131); `xLabel` /
+    * `yLabel` are drawn verbatim ("Time (seconds)" / "SNR" in the SNR
+    * products). Empty strings render the unlabeled form unchanged. */
   def renderCurves(df: DataFrame, keyCol: String, xCol: String, yCol: String,
-                   width: Int = 640, height: Int = 480): DataFrame = {
+                   width: Int = 640, height: Int = 480,
+                   title: String = "", xLabel: String = "", yLabel: String = ""): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts0 = df.select(col(keyCol).cast("string").as("k"),
@@ -176,7 +243,10 @@ object Raster {
       .map { case (k, pts0) =>
         val pts = Option(pts0).getOrElse(Seq.empty)
         if (pts.isEmpty) (k, null: Array[Byte], 0, width, height)
-        else (k, linePng(pts, width, height), pts.size, width, height)
+        else {
+          val t = title.replace("{0}", String.valueOf(k))
+          (k, linePng(pts, width, height, t, xLabel, yLabel), pts.size, width, height)
+        }
       }
       .toDF(keyCol, "png", "n_points", "width", "height")
   }

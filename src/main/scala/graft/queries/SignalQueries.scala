@@ -978,7 +978,7 @@ object SignalQueries {
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128, q131, q133)
+    q127, q128, q131, q133, q141)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no
@@ -1218,6 +1218,80 @@ object SignalQueries {
       SELECT user_id, raj, decj, ra_deg, dec_deg,
         FMOD(FMOD(l_raw, 360.0) + 360.0, 360.0) AS gl_deg, gb_deg
       FROM g
+    """),
+  )
+
+  /** B65: psrcat name→position resolution (`get_radec`,
+    * scripts/fluxcal_meerkat.py:74-88 — the reference's `psrcat -c
+    * "rajd decjd"` subprocess per pulsar) as a broadcast dimension on
+    * the `Catalogs` pattern, with the .par-file coordinate route
+    * (`get_radec_new`, fluxcal_meerkat.py:91-130 — the route meerpipe
+    * itself prefers) as the fallback for uncatalogued names:
+    * `coalesce(catalog, par)` plus a `pos_source` provenance column.
+    * The catalogue text is a fabricated 6-row psrcat dump (names
+    * PSR_0..PSR_5); fact names fan over PSR_0..PSR_7, so two names
+    * MISS and exercise the par fallback (q106's deterministic hms/dms
+    * parse). Literal-decimal catalogue values parse to identical
+    * doubles in both engines; the fallback chain is q106's mirrored
+    * arithmetic. One broadcast left join — the fact scan stays one
+    * pass at any scale. */
+  private lazy val q141 = Q(
+    "q141_radec_by_name",
+    (s, dir) => {
+      import graft.functions.Coords
+      import graft.sources.Catalogs
+      val catText = """# psrcat dump: NAME RAJD DECJD (deg)
+        |PSR_0 69.3161 -47.2525
+        |PSR_1 114.4635 -40.0692
+        |PSR_2 194.9293 -5.4597
+        |PSR_3 263.1998 -37.9150
+        |PSR_4 329.2562 -29.5735
+        |PSR_5 16.5042 68.4419""".stripMargin
+      val cat = Catalogs.positionsFromText(s, catText)
+      val ev = Tables.events(s, dir)
+        .withColumn("uid", pmod(col("user_id"), lit(8)))
+        .groupBy("uid").agg(count(lit(1)).as("n"))
+        .withColumn("name", concat(lit("PSR_"), col("uid")))
+        // the .par route: q106's deterministic hms/dms strings parsed by
+        // the same Coords chain the par-file path uses
+        .withColumn("raj", concat(
+          pmod(col("uid"), lit(24)), lit(":"),
+          pmod(col("uid") * 7, lit(60)), lit(":"),
+          pmod(col("uid") * 13, lit(60)).cast("double") + lit(0.5)))
+        .withColumn("decj", concat(
+          when(pmod(col("uid"), lit(2)) === 0, "+").otherwise("-"),
+          pmod(col("uid") * 3, lit(89)), lit(":"),
+          pmod(col("uid") * 11, lit(60)), lit(":"),
+          pmod(col("uid") * 17, lit(60)).cast("double") + lit(0.25)))
+      Catalogs.withRaDec(ev, "name", cat,
+          Coords.raFromHms(col("raj")), Coords.decFromDms(col("decj")))
+        .select(col("name"), col("n"), col("ra_deg"), col("dec_deg"),
+          col("pos_source"))
+    },
+    Some("""
+      WITH cat(name, rajd, decjd) AS (
+        VALUES ('PSR_0', 69.3161, -47.2525),
+               ('PSR_1', 114.4635, -40.0692),
+               ('PSR_2', 194.9293, -5.4597),
+               ('PSR_3', 263.1998, -37.9150),
+               ('PSR_4', 329.2562, -29.5735),
+               ('PSR_5', 16.5042, 68.4419)),
+      u AS (SELECT user_id % 8 AS uid, COUNT(*) AS n FROM events GROUP BY 1),
+      f AS (
+        SELECT 'PSR_' || CAST(uid AS VARCHAR) AS name, n,
+          (CAST(uid % 24 AS DOUBLE)
+            + CAST((uid * 7) % 60 AS DOUBLE) / 60.0
+            + (CAST((uid * 13) % 60 AS DOUBLE) + 0.5) / 3600.0) * 15.0 AS ra_par,
+          (CASE WHEN uid % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+            (CAST((uid * 3) % 89 AS DOUBLE)
+              + CAST((uid * 11) % 60 AS DOUBLE) / 60.0
+              + (CAST((uid * 17) % 60 AS DOUBLE) + 0.25) / 3600.0) AS dec_par
+        FROM u)
+      SELECT f.name, f.n,
+        COALESCE(cat.rajd, f.ra_par) AS ra_deg,
+        COALESCE(cat.decjd, f.dec_par) AS dec_deg,
+        CASE WHEN cat.rajd IS NOT NULL THEN 'catalog' ELSE 'par' END AS pos_source
+      FROM f LEFT JOIN cat ON cat.name = f.name
     """),
   )
 

@@ -47,6 +47,46 @@ object Catalogs {
       .drop("__tsky")
   }
 
+  /** Parse `NAME RAJD DECJD` position-catalogue text (degrees, `#`
+    * comments, blank lines skipped) into (name, rajd, decjd) — the
+    * engine-level form of the reference's `psrcat -c "rajd decjd"`
+    * shell-out (`get_radec`, scripts/fluxcal_meerkat.py:74-88): the
+    * pulsar catalogue as a broadcastable dimension table instead of a
+    * subprocess per pulsar. */
+  def positionsFromText(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    text.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\s+")
+        require(parts.length == 3, s"position catalogue line needs NAME RAJD DECJD: '$l'")
+        (parts(0), parts(1).toDouble, parts(2).toDouble)
+      }
+      .toSeq.toDF("name", "rajd", "decjd")
+  }
+
+  /** Attach `ra_deg`/`dec_deg` resolved by NAME from a position
+    * catalogue, falling back to caller-supplied coordinate columns (the
+    * .par-file route, `get_radec_new`, fluxcal_meerkat.py:91-130 — the
+    * route meerpipe itself prefers when a par file exists) for
+    * uncatalogued names; `pos_source` records which route won
+    * ("catalog" / "par", null when neither resolves). Catalogue is
+    * broadcast — the fact scan stays one pass. */
+  def withRaDec(obs: DataFrame, nameCol: String, catalog: DataFrame,
+                raFallback: org.apache.spark.sql.Column,
+                decFallback: org.apache.spark.sql.Column): DataFrame = {
+    val dim = broadcast(catalog.select(col("name").as("__cat_name"),
+      col("rajd").as("__rajd"), col("decjd").as("__decjd")))
+    obs.join(dim, obs(nameCol) === dim("__cat_name"), "left")
+      .withColumn("ra_deg", coalesce(col("__rajd"), raFallback))
+      .withColumn("dec_deg", coalesce(col("__decjd"), decFallback))
+      .withColumn("pos_source",
+        when(col("__rajd").isNotNull, "catalog")
+          .when(raFallback.isNotNull && decFallback.isNotNull, "par")
+          .otherwise(lit(null).cast("string")))
+      .drop("__cat_name", "__rajd", "__decjd")
+  }
+
   /** Attach `rm` from the rotation-measure catalogue, `default` (0.0: no
     * correction) when the pulsar is uncatalogued. Catalogue is broadcast. */
   def withRm(obs: DataFrame, psrCol: String, catalog: DataFrame,

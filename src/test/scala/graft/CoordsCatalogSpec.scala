@@ -73,6 +73,32 @@ class CoordsCatalogSpec extends SparkSpec {
     assert(out.select("name").as[String].head() == "obsA")
   }
 
+  test("position catalogue: name resolution, par fallback, provenance (get_radec analog)") {
+    val cat = Catalogs.positionsFromText(spark,
+      """# psrcat dump
+        |J0835-4510 128.8360 -45.1764
+        |J0437-4715 69.3161 -47.2525""".stripMargin)
+    assert(cat.count() === 2)
+    val obs = Seq(
+      ("J0835-4510", Some(1.0), Some(2.0)),  // catalogued: catalog wins
+      ("J9999+0000", Some(33.25), Some(-7.5)), // uncatalogued: par route
+      ("J0000-0000", Option.empty[Double], Option.empty[Double]), // neither
+    ).toDF("psr", "ra_par", "dec_par")
+    val out = Catalogs.withRaDec(obs, "psr", cat, col("ra_par"), col("dec_par"))
+      .select("psr", "ra_deg", "dec_deg", "pos_source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("J0835-4510").getDouble(1) === 128.8360 &&
+      out("J0835-4510").getString(3) === "catalog")
+    assert(out("J9999+0000").getDouble(1) === 33.25 &&
+      out("J9999+0000").getDouble(2) === -7.5 &&
+      out("J9999+0000").getString(3) === "par")
+    assert(out("J0000-0000").isNullAt(1) && out("J0000-0000").isNullAt(3))
+    // malformed catalogue lines fail loudly, not as silent drops
+    intercept[IllegalArgumentException] {
+      Catalogs.positionsFromText(spark, "J0835-4510 128.8")
+    }
+  }
+
   test("RM catalogue joins as a broadcast dim with zero default") {
     val cat = Catalogs.fromText(spark, "J0001+0001 18.4888\n")
     val obs = Seq("J0001+0001", "J9999-9999").toDF("psr")

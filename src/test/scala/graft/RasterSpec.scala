@@ -131,6 +131,46 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("plot text: title/xlabel/ylabel/tick labels draw glyph pixels; unlabeled stays byte-stable") {
+    val pts = (0 until 50).map(i => (i.toDouble, math.sin(i / 5.0)))
+    def darkIn(img: java.awt.image.BufferedImage,
+               x0: Int, x1: Int, y0: Int, y1: Int): Boolean =
+      (x0 until x1).exists(x => (y0 until y1).exists { y =>
+        val rgb = img.getRGB(x, y)
+        // glyphs are near-black (0x222222) with antialiased greys — any
+        // clearly non-white, non-axis-grey pixel counts
+        ((rgb >> 16) & 0xff) < 0x80 && ((rgb >> 8) & 0xff) < 0x80 && (rgb & 0xff) < 0x80
+      })
+    val labeled = decode(Raster.linePng(pts, width = 320, height = 240,
+      title = "Cumulative SNR (J0437)", xLabel = "Time (seconds)", yLabel = "SNR"))
+    // title band (above the plot box), xlabel band (below the tick labels),
+    // ylabel band (left edge, rotated) each carry glyph pixels
+    assert(darkIn(labeled, 48, 320 - 16, 0, 16), "no title glyphs")
+    assert(darkIn(labeled, 48, 320 - 16, 240 - 12, 240), "no xlabel glyphs")
+    assert(darkIn(labeled, 0, 16, 16, 240 - 36), "no ylabel glyphs")
+    // numeric tick labels sit between the plot box and the xlabel
+    assert(darkIn(labeled, 32, 320, 240 - 36 + 6, 240 - 16), "no x tick labels")
+    // empty labels keep the original unlabeled bytes (frame stability:
+    // animation paths reuse this renderer with fixed axes)
+    val a = Raster.linePng(pts, width = 320, height = 240)
+    val b = Raster.linePng(pts, width = 320, height = 240, title = "", xLabel = "", yLabel = "")
+    assert(java.util.Arrays.equals(a, b))
+    // renderCurves substitutes {0} with the key and labels every plot
+    val rows = for (k <- Seq(1L, 2L); i <- 0 until 30)
+      yield (k, i * 8.0, math.sqrt(i + 1.0) * k)
+    val out = Raster.renderCurves(rows.toDF("obs", "t_sec", "snr"), "obs", "t_sec", "snr",
+        width = 320, height = 240,
+        title = "Cumulative SNR ({0})", xLabel = "Time (seconds)", yLabel = "SNR")
+      .as[(String, Array[Byte], Int, Int, Int)].collect()
+    assert(out.length === 2)
+    out.foreach { case (_, png, _, _, _) => assert(darkIn(decode(png), 48, 304, 0, 16)) }
+    // different keys → different titles → different title-band pixels
+    val imgs = out.sortBy(_._1).map(o => decode(o._2))
+    val titleDiffers = (48 until 304).exists(x => (0 until 16).exists(y =>
+      imgs(0).getRGB(x, y) != imgs(1).getRGB(x, y)))
+    assert(titleDiffers, "per-key {0} titles must differ")
+  }
+
   test("all-null keys emit explicit null-image rows, never vanish") {
     import org.apache.spark.sql.functions._
     val df = Seq(
