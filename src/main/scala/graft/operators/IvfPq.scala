@@ -136,41 +136,51 @@ object IvfPq {
     * to the index. */
   def encodeStateless(df: DataFrame, idCol: String, vecCol: String,
                       model: Model, keep: Seq[String] = Nil): DataFrame = {
+    import graft.expressions.NearestCentroid
     val sub = model.dim / model.m
     val vec = col(vecCol).cast("array<double>")
 
-    // fold target over (id, centroid) candidates in ascending id order;
-    // result: struct(d2, id, c) of the argmin
-    def argminFold(cands: Seq[(Int, Seq[Double])], target: Column): Column = {
-      require(cands.nonEmpty, "empty codebook")
-      val arr = array(cands.map { case (cid, c) =>
-        struct(lit(cid).as("id"), typedLit(c).as("c"))
-      }: _*)
-      val zero = struct(lit(Double.PositiveInfinity).as("d2"),
-        lit(-1).as("id"), typedLit(Seq.empty[Double]).as("c"))
-      aggregate(arr, zero, (acc, e) => {
-        val d2 = Quantize.sqDist(target, e.getField("c"))
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), e.getField("id").as("id"), e.getField("c").as("c")))
-          .otherwise(acc)
-      })
-    }
-
+    // argmins via the NATIVE NearestCentroid expression — a tight
+    // primitive k×d loop per row over plan-literal codebooks. The first
+    // cut of this method folded `aggregate()` HOFs over literal struct
+    // arrays: semantically identical, but every candidate comparison paid
+    // interpreted-lambda + Catalyst boxing costs (~ms per row — a
+    // measured 4× q123 regression when batch encode routed here).
+    // NearestCentroid ties to the SMALLER code, same direction as the
+    // fold's strict < and the batch ArgMaxPack path.
     val coarseRows = model.coarse.select("cluster", "c_centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(coarseRows.nonEmpty, "empty coarse codebook")
     val pqBySub = model.pq.select("subspace", "code", "centroid").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
-    require((0 until model.m).forall(pqBySub.contains), "PQ codebook missing a subspace")
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    require((0 until model.m).forall(s => pqBySub.get(s).exists(_.nonEmpty)),
+      "PQ codebook missing a subspace")
 
+    val best = NearestCentroid.l2(vec, coarseRows.map(_._2), coarseRows.map(_._1))
+    // NaN-component vectors make every distance NaN (the expression then
+    // reports the first candidate with a NaN metric); null vectors yield
+    // a null struct — both collapse to the explicit invalid sentinel
+    val cluster = when(vec.isNull || isnan(col("__best").getField("metric")), lit(-1))
+      .otherwise(col("__best").getField("cluster"))
+    // chosen centroid by cluster id from a literal map (ids need not be
+    // contiguous for loaded models); sentinel → null → null residual
+    val centMap = map_from_arrays(
+      typedLit(coarseRows.map(_._1).toSeq),
+      typedLit(coarseRows.map(_._2.toSeq).toSeq))
     val withCluster = df
-      .withColumn("__best", argminFold(coarseRows, vec))
-      .withColumn("__resid", zip_with(vec, col("__best").getField("c"), (a, b) => a - b))
+      .withColumn("__best", best)
+      .withColumn("__cl", cluster)
+      .withColumn("__resid",
+        // try_: ANSI element_at raises on the missing sentinel key (-1)
+        zip_with(vec, try_element_at(centMap, col("__cl")), (a, b) => a - b))
     val codeCols = (0 until model.m).map { s =>
-      argminFold(pqBySub(s), slice(col("__resid"), s * sub + 1, sub)).getField("id")
+      val b = NearestCentroid.l2(slice(col("__resid"), s * sub + 1, sub),
+        pqBySub(s).map(_._2), pqBySub(s).map(_._1))
+      when(col("__cl") === -1, lit(-1)).otherwise(b.getField("cluster"))
     }
     withCluster.select(Seq(col(idCol).as("id"),
-      col("__best").getField("id").as("cluster"),
+      col("__cl").as("cluster"),
       array(codeCols: _*).as("codes")) ++ keep.map(col): _*)
   }
 
