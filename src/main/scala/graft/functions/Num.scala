@@ -38,6 +38,19 @@ object Num {
   def dsumInt(c: Column): Column =
     sum(c.cast("decimal(38,0)")).cast("double")
 
+  /** Integer-grid response in floor cents — the q128/q131 discipline's
+    * standard transform for 2-decimal-place columns: `floor(c·100)` is
+    * an integer-valued double both engines agree on bitwise, so moment
+    * products stay exact integers and [[dsumInt]]'s contract holds.
+    * Keep [[centsSql]] in lockstep — they are the two halves of one
+    * recipe. */
+  def cents(c: Column): Column = floor(c * lit(100.0)).cast("double")
+
+  /** The oracle-SQL mirror of [[cents]], for embedding in DuckDB oracle
+    * text: identical IEEE chain (int→double promotion of the literal
+    * 100 gives the same product). */
+  def centsSql(column: String): String = s"CAST(FLOOR($column * 100) AS DOUBLE)"
+
   /** Exact average via decimal sum / count. */
   def davg(c: Column): Column =
     (sum(c.cast(DecT)).cast("double") / count(c)).cast("double")

@@ -127,13 +127,14 @@ object IvfPq {
     * within ~2^-48 relative collapse to a tie batch-side while the fold
     * compares full-precision — same bounded window as q44's scaladoc.
     *
-    * Corrupt input: a vector with a non-finite component makes every
-    * distance NaN, so no fold comparison fires and the row is emitted
+    * Corrupt input: any vector whose best distance is not a finite
+    * double — NaN or ±Infinity components, magnitudes whose square
+    * overflows, null / wrong-length / null-element arrays — is emitted
     * with the EXPLICIT invalid sentinel `cluster = -1`, `codes = [-1…]`
-    * (spec-pinned) — routable to a quarantine partition — rather than
-    * whatever bit-pattern cluster the batch path's packed argmax happens
-    * to produce for NaN. Filter or route `cluster = -1` before appending
-    * to the index. */
+    * (spec-pinned for the NaN, Infinity, and null classes) — routable
+    * to a quarantine partition — rather than whatever bit-pattern
+    * cluster the batch path's packed argmax happens to produce. Filter
+    * or route `cluster = -1` before appending to the index. */
   def encodeStateless(df: DataFrame, idCol: String, vecCol: String,
                       model: Model, keep: Seq[String] = Nil): DataFrame = {
     import graft.expressions.NearestCentroid
@@ -158,11 +159,16 @@ object IvfPq {
       "PQ codebook missing a subspace")
 
     val best = NearestCentroid.l2(vec, coarseRows.map(_._2), coarseRows.map(_._1))
-    // NaN-component vectors make every distance NaN (the expression then
-    // reports the first candidate with a NaN metric); null vectors yield
-    // a null struct — both collapse to the explicit invalid sentinel
-    val cluster = when(vec.isNull || isnan(col("__best").getField("metric")), lit(-1))
-      .otherwise(col("__best").getField("cluster"))
+    // one FINITENESS test covers every invalid-input class: NaN metrics
+    // (NaN components), +Inf metrics (Infinity components / |v|² overflow
+    // — `metric < +Inf` is false for both), and null structs (null /
+    // wrong-length / null-element vectors — comparison null, coalesced to
+    // false). All collapse to the explicit -1 sentinel; a plain isnan
+    // check let +Inf and null-struct rows into the index with real-looking
+    // cluster ids (found in review)
+    val cluster = when(
+      coalesce(col("__best").getField("metric") < lit(Double.PositiveInfinity), lit(false)),
+      col("__best").getField("cluster")).otherwise(lit(-1))
     // chosen centroid by cluster id from a literal map (ids need not be
     // contiguous for loaded models); sentinel → null → null residual
     val centMap = map_from_arrays(
@@ -177,7 +183,11 @@ object IvfPq {
     val codeCols = (0 until model.m).map { s =>
       val b = NearestCentroid.l2(slice(col("__resid"), s * sub + 1, sub),
         pqBySub(s).map(_._2), pqBySub(s).map(_._1))
-      when(col("__cl") === -1, lit(-1)).otherwise(b.getField("cluster"))
+      // same finiteness guard per subspace, so codes can never carry a
+      // null element where the sentinel contract promises -1
+      when(col("__cl") === -1, lit(-1)).otherwise(
+        coalesce(when(b.getField("metric") < lit(Double.PositiveInfinity),
+          b.getField("cluster")), lit(-1)))
     }
     withCluster.select(Seq(col(idCol).as("id"),
       col("__cl").as("cluster"),

@@ -236,9 +236,20 @@ object KMeans {
     val phi = d2s
       .agg(coalesce(sum(col("d2").cast("decimal(38,6)")).cast("double"), lit(0.0)))
       .head().getDouble(0)
-    val seedRow = rows.filter(col("id") === lit(seedId))
-      .select(col("id"), lit(0).as("round"),
-        lit(null).cast("double").as("u"), lit(null).cast("double").as("d2"))
+    // seed row built driver-side from the already-collected id: a
+    // rows.filter(id === seedId) here would re-scan the whole fact table
+    // just to re-materialize one known row (and fan out on duplicate ids)
+    val seedRow = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        df.schema(idCol).copy(name = "id"),
+        StructField("round", IntegerType, nullable = false),
+        StructField("u", DoubleType, nullable = true),
+        StructField("d2", DoubleType, nullable = true)))
+      df.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(seedId, 0, null, null)), schema)
+    }
     if (phi <= 0.0) return seedRow // saturated: round 1 selects nothing
     val sel = d2s
       .withColumn("u", unitDraw(col("id"), 1))
@@ -247,7 +258,11 @@ object KMeans {
     seedRow.unionByName(sel)
   }
 
-  private def initParallel(rows: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
+  private def initParallel(rows0: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
+    // null vectors carry no seeding information and would NPE the seed
+    // collect if one won the md5 order (FirstIds and seedRound1 already
+    // filter them; this path must match)
+    val rows = rows0.filter(col("vec").isNotNull)
     val first = rows
       .select(col("vec"), seedHash(col("id")).as("__h"))
       .orderBy(col("__h"), col("vec")).limit(1)

@@ -348,7 +348,7 @@ object Queries {
     * distance — cross-engine rounding could legitimately disagree). */
   private val q62 = {
     val x = col("l_quantity")
-    val y = floor(col("l_extendedprice") * lit(100.0)).cast("double")
+    val y = cents(col("l_extendedprice"))
     Q(
       "q62_correlation",
       (s, dir) =>
@@ -365,10 +365,10 @@ object Queries {
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
                 (col("n") * col("syy") - col("sy") * col("sy"))))
               .as("corr_qty_price")),
-      Some("""
+      Some(s"""
         WITH e AS (
           SELECT l_returnflag, l_quantity AS x,
-            CAST(FLOOR(l_extendedprice * 100) AS DOUBLE) AS y
+            ${centsSql("l_extendedprice")} AS y
           FROM lineitem),
         m AS (
           SELECT l_returnflag, COUNT(*) AS n,

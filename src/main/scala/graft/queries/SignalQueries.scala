@@ -743,7 +743,7 @@ object SignalQueries {
       // slope/intercept come out in cents — scale-equivariant, and every
       // moment sum is an exact integer with a single-rounding
       // decimal(38,0)→double conversion in both engines
-      val y = floor(col("value") * lit(100.0)).cast("double")
+      val y = cents(col("value"))
       // the four decimal partial sums are the hot path; a single-file
       // local scan would run them on one core (no-op on a cluster scan)
       Tables.parallelized(Tables.events(s, dir), "event_id")
@@ -764,10 +764,10 @@ object SignalQueries {
           (col("sy") - col("slope_per_day") * col("sx")) / col("n"))
         .select("event_type", "n", "slope_per_day", "intercept")
     },
-    Some("""
+    Some(s"""
       WITH e0 AS (
         SELECT event_type,
-          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          ${centsSql("value")} AS y,
           CAST(FLOOR((epoch_us(ts) - 1704067200000000) / 86400000000.0) AS DOUBLE) AS x
         FROM events),
       m AS (
@@ -2049,7 +2049,7 @@ object SignalQueries {
           // value carries exactly 2 decimal places, so floor(value·100) is
           // the deterministic integer response both engines agree on.
           pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
-          floor(col("value") * lit(100.0)).cast("double").as("y"),
+          cents(col("value")).as("y"),
           (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double")).as("w"))
         .withColumn("x2", col("x1") * col("x1"))
       val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
@@ -2058,11 +2058,11 @@ object SignalQueries {
         .select(col("event_type"), col("n"),
           col("beta0"), col("beta1"), col("beta2"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT event_type,
           CAST(event_id % 13 AS DOUBLE) AS x1,
-          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          ${centsSql("value")} AS y,
           1.0 + CAST(event_id % 10 AS DOUBLE) AS w
         FROM events WHERE value IS NOT NULL),
       e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),
@@ -2128,7 +2128,7 @@ object SignalQueries {
         .filter(col("value").isNotNull)
         .select(col("event_type"),
           pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
-          floor(col("value") * lit(100.0)).cast("double").as("y"),
+          cents(col("value")).as("y"),
           (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double")).as("w"))
         .withColumn("x2", col("x1") * col("x1"))
       val m = TimingFit.moments(e, Seq("event_type"), col("y"), col("w"),
@@ -2137,11 +2137,11 @@ object SignalQueries {
         .select(col("event_type"), col("n"),
           col("chi2"), col("wrms"), col("chi2_red"))
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT event_type,
           CAST(event_id % 13 AS DOUBLE) AS x1,
-          CAST(FLOOR(value * 100) AS DOUBLE) AS y,
+          ${centsSql("value")} AS y,
           1.0 + CAST(event_id % 10 AS DOUBLE) AS w
         FROM events WHERE value IS NOT NULL),
       e2 AS (SELECT event_type, x1, x1 * x1 AS x2, y, w FROM e),

@@ -1480,7 +1480,10 @@ object VectorQueries {
       UNION ALL
       SELECT dr.vec_id, 1 AS round, dr.u, dr.d2
       FROM dr, p
-      WHERE dr.u < LEAST(1.0, 16.0 * dr.d2 / p.phi)
+      -- phi > 0 mirrors seedRound1's saturated early-return: with phi = 0
+      -- the quotient is 0/0 -> NaN/NULL, LEAST ignores both and would
+      -- select every row where the Scala side selects none
+      WHERE p.phi > 0 AND dr.u < LEAST(1.0, 16.0 * dr.d2 / p.phi)
     """),
   )
 

@@ -93,6 +93,14 @@ class CoordsCatalogSpec extends SparkSpec {
       out("J9999+0000").getDouble(2) === -7.5 &&
       out("J9999+0000").getString(3) === "par")
     assert(out("J0000-0000").isNullAt(1) && out("J0000-0000").isNullAt(3))
+    // HALF-parsed par fallback (ra without dec): the pair resolves
+    // together or not at all — no single real coordinate may leak under
+    // a null pos_source (found in review)
+    val half = Seq(("J1111+1111", Some(12.5), Option.empty[Double]))
+      .toDF("psr", "ra_par", "dec_par")
+    val h = Catalogs.withRaDec(half, "psr", cat, col("ra_par"), col("dec_par")).head()
+    assert(h.isNullAt(h.fieldIndex("ra_deg")) && h.isNullAt(h.fieldIndex("dec_deg"))
+      && h.isNullAt(h.fieldIndex("pos_source")))
     // malformed catalogue lines fail loudly, not as silent drops
     intercept[IllegalArgumentException] {
       Catalogs.positionsFromText(spark, "J0835-4510 128.8")

@@ -60,12 +60,19 @@ class IvfPqSpec extends SparkSpec {
         keep = Seq("tag"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tag")).toMap
     assert(kept(7L) === 14L)
-    // corrupt vector → the explicit invalid sentinel, not a garbage cluster
-    val nan = Seq((999L, Array.tabulate(8)(d => if (d == 3) Float.NaN else 1.0f)))
-      .toDF("vec_id", "embedding")
-    val bad = IvfPq.encodeStateless(nan, "vec_id", "embedding", model).head()
-    assert(bad.getAs[Int]("cluster") === -1)
-    assert(bad.getAs[scala.collection.Seq[Int]]("codes").forall(_ === -1))
+    // corrupt vectors → the explicit invalid sentinel, not a garbage
+    // cluster: NaN components, Infinity components (metric +Inf — an
+    // isnan-only guard let these through, found in review), and null
+    // vectors (null NearestCentroid struct)
+    val bads = Seq(
+      (997L, Array.tabulate(8)(d => if (d == 3) Float.NaN else 1.0f)),
+      (998L, Array.tabulate(8)(d => if (d == 5) Float.PositiveInfinity else 1.0f)),
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    IvfPq.encodeStateless(bads, "vec_id", "embedding", model).collect().foreach { bad =>
+      assert(bad.getAs[Int]("cluster") === -1, s"row ${bad.get(0)}")
+      assert(bad.getAs[scala.collection.Seq[Int]]("codes").forall(_ === -1), s"row ${bad.get(0)}")
+    }
   }
 
   test("search: probing the home cluster finds the vector itself at rank 1") {

@@ -96,6 +96,15 @@ class KMeansSpec extends SparkSpec {
     val sat = Seq((1L, Array(1.0, 1.0)), (2L, Array(1.0, 1.0))).toDF("id", "vec")
     val so = KMeans.seedRound1(sat, "id", "vec", k = 2).collect()
     assert(so.length === 1 && so(0).getInt(1) === 0)
+    // null vectors don't NPE the production seeding (they carry no
+    // seeding information; FirstIds/seedRound1 filter them — the
+    // k-means|| path must match, found in review)
+    val withNull = Seq((1L, Some(Array(0.0, 0.0))), (2L, Some(Array(9.0, 9.0))),
+      (3L, Option.empty[Array[Double]])).toDF("id", "vec")
+    val m = KMeans.fit(withNull.filter($"vec".isNotNull), "id", "vec", k = 2, maxIters = 3)
+    assert(m.centroids.count() === 2)
+    val m2 = KMeans.fit(withNull, "id", "vec", k = 2, maxIters = 3)
+    assert(m2.centroids.count() === 2)
   }
 
   test("k larger than distinct points keeps empty clusters at their init") {
