@@ -101,7 +101,7 @@ object IvfPq {
     * codebooks are too large to embed as plan literals. */
   def encodeViaAggregate(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val resid = residuals(df, idCol, vecCol, model.coarse, model.clusterBits)
-    val codes = Quantize.encode(resid, "id", "resid", model.pq, model.m, model.dim)
+    val codes = Quantize.encodeViaJoin(resid, "id", "resid", model.pq, model.m, model.dim)
     resid.select("id", "cluster").join(codes, Seq("id"))
   }
 

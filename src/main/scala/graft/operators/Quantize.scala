@@ -105,9 +105,38 @@ object Quantize {
   private[operators] def sqDist(a: Column, b: Column): Column =
     DotProduct.of(a, a) - lit(2.0) * DotProduct.of(a, b) + DotProduct.of(b, b)
 
-  /** Encode every vector as its `m` codes: (id, codes array<int>). */
+  /** Encode every vector as its `m` codes: (id, codes array<int>).
+    *
+    * With a trained codebook in hand (m·k bounded rows — the PQ
+    * contract) encoding is ONE stateless projection of native
+    * NearestCentroid argmins over plan-literal centroids — zero
+    * shuffles, vs the join path's explode→broadcast-join→argmin-agg→
+    * regroup (three aggregate/exchange rounds per encode call). Tie
+    * direction (smaller code) and the distance chain (|v|²−2v·c+|c|²,
+    * ascending-index folds) are bit-identical to [[encodeViaJoin]];
+    * QuantizeSpec pins code-for-code parity. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val bySub = codebook.select("subspace", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    require((0 until m).forall(s => bySub.get(s).exists(_.nonEmpty)),
+      s"codebook missing a subspace (need 0 until $m)")
+    val vec = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { s =>
+      graft.expressions.NearestCentroid.l2(slice(vec, s * sub + 1, sub),
+        bySub(s).map(_._2), bySub(s).map(_._1)).getField("cluster")
+    }
+    df.select(col(idCol).as("id"), array(codes: _*).as("codes"))
+  }
+
+  /** The explode→join→aggregate encode — the parity reference for
+    * [[encode]] and the form for codebooks too large to collect (not
+    * the PQ regime; IVF coarse books route through IvfPq). */
+  private[graft] def encodeViaJoin(df: DataFrame, idCol: String, vecCol: String,
+                                   codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     val assigned = assignCodes(subvectors(df, idCol, vecCol, m, dim), codebook, "subvec")
     assigned
       .groupBy("id")

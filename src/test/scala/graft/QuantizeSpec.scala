@@ -54,6 +54,19 @@ class QuantizeSpec extends SparkSpec {
     assert(codes(1L) != codes(2L))     // opposite clusters
   }
 
+  test("encode matches encodeViaJoin code-for-code and plans zero shuffles") {
+    val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val fast = Quantize.encode(data, "vec_id", "embedding", cb, m, dim)
+    val join = Quantize.encodeViaJoin(data, "vec_id", "embedding", cb, m, dim)
+    assert(asMap(fast) === asMap(join))
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stateless encode must plan zero shuffles")
+    assert(join.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sanity: the join form is the one that shuffles")
+  }
+
   test("adcTopK ranks by the exact asymmetric distance (re-derived scalar-side)") {
     val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
     val encoded = Quantize.encode(data, "vec_id", "embedding", cb, m, dim)
