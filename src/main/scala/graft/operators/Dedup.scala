@@ -421,9 +421,13 @@ object Dedup {
     *
     * Shapes: one token-frequency count (broadcastable dim), one per-doc
     * sort of its own tokens (map-side, doc-length-bounded), a prefix
-    * explode (≈ (1−τ)·tokens per doc) self-joined on token, then the
-    * candidate-local [[jaccardVerify]]. Output: (a_id, b_id, jaccard)
-    * for pairs ≥ τ. */
+    * explode (≈ (1−τ)·tokens per doc) self-joined on token, then a
+    * candidate-local verify that REUSES the per-doc token arrays the
+    * prefix stage already built (two id-keyed joins + a per-pair
+    * array_intersect, O(|x|+|y|) per candidate) — re-tokenizing the
+    * corpus through [[jaccardVerify]] cost two extra corpus explodes
+    * and four shuffles for data this stage already holds. Output:
+    * (a_id, b_id, jaccard) for pairs ≥ τ. */
   def similarityJoin(df: DataFrame, textCol: String, idCol: String,
                      tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
@@ -446,8 +450,18 @@ object Dedup {
       .join(prefixes.select(col("doc").as("b_id"), col("pw")), Seq("pw"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    jaccardVerify(candidates, df, textCol, idCol)
+    val tokenSets = ordered.select(col("doc"),
+      transform(col("__ord"), s => s.getField("w")).as("__ws"), col("__sz"))
+    candidates
+      .join(tokenSets.select(col("doc").as("a_id"), col("__ws").as("__wa"),
+        col("__sz").as("__sza")), Seq("a_id"))
+      .join(tokenSets.select(col("doc").as("b_id"), col("__ws").as("__wb"),
+        col("__sz").as("__szb")), Seq("b_id"))
+      .withColumn("__inter", size(array_intersect(col("__wa"), col("__wb"))))
+      .withColumn("jaccard",
+        col("__inter") / (col("__sza") + col("__szb") - col("__inter")))
       .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** [[survivors]] with a CONFIGURABLE survivor policy: each cluster
