@@ -241,8 +241,10 @@ object KMeans {
     // just to re-materialize one known row (and fan out on duplicate ids)
     val seedRow = {
       import org.apache.spark.sql.types._
+      // rows.schema, not df.schema(idCol): rows resolved idCol through
+      // the analyzer (case-insensitive), a direct schema lookup is not
       val schema = StructType(Seq(
-        df.schema(idCol).copy(name = "id"),
+        rows.schema("id"),
         StructField("round", IntegerType, nullable = false),
         StructField("u", DoubleType, nullable = true),
         StructField("d2", DoubleType, nullable = true)))

@@ -113,8 +113,17 @@ object Quantize {
     * shuffles, vs the join path's explode→broadcast-join→argmin-agg→
     * regroup (three aggregate/exchange rounds per encode call). Tie
     * direction (smaller code) and the distance chain (|v|²−2v·c+|c|²,
-    * ascending-index folds) are bit-identical to [[encodeViaJoin]];
-    * QuantizeSpec pins code-for-code parity. */
+    * ascending-index folds) are bit-identical to [[encodeViaJoin]] on
+    * FINITE inputs; QuantizeSpec pins code-for-code parity.
+    *
+    * Corrupt input gets the IvfPq sentinel, not garbage: any subspace
+    * whose best distance is not a finite double (NaN/Infinity
+    * components, null/ragged vectors) emits code -1 — where the join
+    * path's NaN bit-pattern packing produced an arbitrary real-looking
+    * code. Filter or route codes containing -1 before indexing.
+    *
+    * Codebooks too large to collect (trainCodebook allows k up to 2^24
+    * as the IvfPq coarse reuse) belong on [[encodeViaJoin]]. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -126,17 +135,22 @@ object Quantize {
       s"codebook missing a subspace (need 0 until $m)")
     val vec = col(vecCol).cast("array<double>")
     val codes = (0 until m).map { s =>
-      graft.expressions.NearestCentroid.l2(slice(vec, s * sub + 1, sub),
-        bySub(s).map(_._2), bySub(s).map(_._1)).getField("cluster")
+      val b = graft.expressions.NearestCentroid.l2(slice(vec, s * sub + 1, sub),
+        bySub(s).map(_._2), bySub(s).map(_._1))
+      // finiteness sentinel (the IvfPq.encodeStateless guard): NaN/Inf
+      // metrics and null structs all coalesce to -1, never a garbage code
+      coalesce(when(b.getField("metric") < lit(Double.PositiveInfinity),
+        b.getField("cluster")), lit(-1))
     }
     df.select(col(idCol).as("id"), array(codes: _*).as("codes"))
   }
 
   /** The explode→join→aggregate encode — the parity reference for
-    * [[encode]] and the form for codebooks too large to collect (not
-    * the PQ regime; IVF coarse books route through IvfPq). */
-  private[graft] def encodeViaJoin(df: DataFrame, idCol: String, vecCol: String,
-                                   codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    * [[encode]] and the PUBLIC form for codebooks too large to collect
+    * as plan literals (the k→2^24 coarse regime trainCodebook permits;
+    * the stateless form would pull them all to the driver). */
+  def encodeViaJoin(df: DataFrame, idCol: String, vecCol: String,
+                    codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     val assigned = assignCodes(subvectors(df, idCol, vecCol, m, dim), codebook, "subvec")
     assigned
       .groupBy("id")

@@ -65,6 +65,19 @@ class QuantizeSpec extends SparkSpec {
       "stateless encode must plan zero shuffles")
     assert(join.queryExecution.executedPlan.toString.contains("Exchange"),
       "sanity: the join form is the one that shuffles")
+    // corrupt vectors get the -1 sentinel per affected subspace, never a
+    // real-looking code (the join form's NaN bit-pattern packing did)
+    val bads = Seq(
+      (901L, Array.tabulate(dim)(d => if (d == 0) Float.NaN else 1.0f)),
+      (902L, Array.tabulate(dim)(d => if (d == dim - 1) Float.PositiveInfinity else 1.0f)),
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((903L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val badCodes = asMap(Quantize.encode(bads, "vec_id", "embedding", cb, m, dim))
+    assert(badCodes(901L).head === -1, s"NaN subspace must be -1: ${badCodes(901L)}")
+    assert(badCodes(902L).last === -1, s"Inf subspace must be -1: ${badCodes(902L)}")
+    assert(badCodes(903L).forall(_ === -1), s"null vec all -1: ${badCodes(903L)}")
+    // the unaffected subspaces of a partially-corrupt vector still encode
+    assert(badCodes(901L).tail.forall(_ >= 0))
   }
 
   test("adcTopK ranks by the exact asymmetric distance (re-derived scalar-side)") {
