@@ -220,8 +220,8 @@ object KMeans {
     * φ = decimal-exact Σd²). Same expressions as the production
     * seeding — md5 draws are bitwise cross-engine; d2 rides the q89b
     * decimal-sum-vs-sequential margin argument. The driver-side greedy
-    * reduction that follows the rounds stays spec-pinned (KMeansSpec) —
-    * an argmax LOOP over candidate state is not SQL-expressible. */
+    * reduction that follows the rounds is oracled separately —
+    * [[chosenSeeds]]/q142 unrolls it for small k. */
   def seedRound1(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val rows = df
@@ -261,22 +261,37 @@ object KMeans {
   }
 
   private def initParallel(rows0: DataFrame, k: Int, rounds: Int = 3): Array[Seq[Double]] = {
+    val (cands, chosen) = initParallelDetail(rows0, k, rounds)
+    chosen.map(i => cands(i)._3).toArray
+  }
+
+  /** The k-means|| pool-and-reduce with full provenance: returns the
+    * ordered candidate pool (md5-of-id sort key, id, vec) — seed first,
+    * then each round's draw in ascending-hash order — plus the indices
+    * the greedy weighted farthest-point reduction chose, in choice
+    * order. Split from [[initParallel]] so [[chosenSeeds]] can put the
+    * ACTUAL chosen seeds under the SQL oracle (q142). Candidate order
+    * is the engine-portable md5(id) hash — a vector-string sort would
+    * mirror Scala's Double.toString, which no SQL engine reproduces. */
+  private def initParallelDetail(rows0: DataFrame, k: Int, rounds: Int)
+      : (Vector[(String, Any, Seq[Double])], Seq[Int]) = {
     // null vectors carry no seeding information and would NPE the seed
     // collect if one won the md5 order (FirstIds and seedRound1 already
     // filter them; this path must match)
     val rows = rows0.filter(col("vec").isNotNull)
     val first = rows
-      .select(col("vec"), seedHash(col("id")).as("__h"))
-      .orderBy(col("__h"), col("vec")).limit(1)
-      .select("vec").collect()
-    if (first.isEmpty) return Array.empty
-    var cands: Vector[Seq[Double]] = Vector(first(0).getSeq[Double](0).toVector)
+      .select(col("id"), col("vec"), seedHash(col("id")).as("__h"))
+      .orderBy(col("__h"), col("vec")).limit(1).collect()
+    if (first.isEmpty) return (Vector.empty, Nil)
+    var cands: Vector[(String, Any, Seq[Double])] =
+      Vector((first(0).getString(2), first(0).get(0), first(0).getSeq[Double](1).toVector))
 
     val l = 2.0 * k
     var r = 1
     var saturated = false
     while (r <= rounds && !saturated) {
-      val d2s = localAssign(rows, cands.zipWithIndex.map { case (v, i) => (i, v) }.toArray)
+      val d2s = localAssign(rows,
+          cands.map(_._3).zipWithIndex.map { case (v, i) => (i, v) }.toArray)
         .select(col("id"), col("vec"), col("d2"))
       val phi = d2s
         .agg(coalesce(sum(col("d2").cast("decimal(38,6)")).cast("double"), lit(0.0)))
@@ -288,18 +303,20 @@ object KMeans {
         // partition order — keeps the whole init bit-reproducible
         cands ++= d2s
           .filter(u < least(lit(1.0), lit(l) * col("d2") / lit(phi)))
-          .select("vec").collect().map(_.getSeq[Double](0).toVector)
-          .sortBy(_.mkString(","))
+          .select(col("id"), col("vec"), seedHash(col("id")).as("__h")).collect()
+          .map(row => (row.getString(2), row.get(0), row.getSeq[Double](1).toVector))
+          .sortBy(_._1)
       }
       r += 1
     }
 
     // weight candidates by the points they'd own, then greedy weighted
     // farthest-point down to k
-    val weights = localAssign(rows, cands.zipWithIndex.map { case (v, i) => (i, v) }.toArray)
+    val weights = localAssign(rows,
+        cands.map(_._3).zipWithIndex.map { case (v, i) => (i, v) }.toArray)
       .groupBy("code").agg(count(lit(1)).as("w"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-    val cArr = cands.toArray
+    val cArr = cands.map(_._3).toArray
     val wArr = cArr.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray
 
     def sq(a: Seq[Double], b: Seq[Double]): Double = {
@@ -322,7 +339,33 @@ object KMeans {
         }
       }
     }
-    chosen.map(cArr).toArray
+    (cands, chosen.toSeq)
+  }
+
+  /** The CHOSEN k-means|| seeds as data — the greedy weighted
+    * farthest-point reduction's actual output, by id, in choice order
+    * (q142 puts this under the SQL oracle for small k: the pool CTEs
+    * are [[seedRound1]]'s, the weights are a per-point argmin count,
+    * and each greedy pick is one ORDER-BY-LIMIT-1 CTE with the
+    * `w·d² > 0` stop rule — an argmax LOOP is not SQL-expressible, but
+    * k picks unroll like q26's Newton rounds). Output: (rank 1..≤k,
+    * seed_id). Fewer than k rows when only duplicate/deadweight
+    * candidates remain (the production cap). */
+  def chosenSeeds(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val rows = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val (cands, chosen) = initParallelDetail(rows, k, rounds)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      rows.schema("id").copy(name = "seed_id")))
+    val out = chosen.zipWithIndex.map { case (ci, r) =>
+      org.apache.spark.sql.Row(r + 1, cands(ci)._2) }
+    df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
   }
 
   /** Nearest-centroid assignment of (possibly new) vectors against a

@@ -1487,6 +1487,95 @@ object VectorQueries {
     """),
   )
 
+  /** C79 (the q140 tail closed): the k-means‖ seeds users actually GET —
+    * `KMeans.chosenSeeds` exposes the greedy weighted farthest-point
+    * reduction's output by id, and for small k the whole reduction
+    * unrolls in SQL (each pick = one ORDER-BY-LIMIT-1 CTE with the
+    * `w·d² > 0` stop rule, like q26 unrolled Newton): pool = q140's
+    * seed + round-1 draw CTEs (candidate order = ascending md5(id),
+    * which is why initParallel sorts draws by hash, not by Scala's
+    * Double.toString), weights = per-point L2 argmin counts (ties to
+    * the smaller index — the q89b margin tier), picks maximize w then
+    * w·bestD² with ties to the smaller index. Margins measured at every
+    * SF: each pick's top-two gap ≥ 1.1% relative and every weight
+    * assignment's argmin gap ≥ 1.4e-5 relative — both dwarf the ~1e-15
+    * cross-engine d² wobble. k = 3, rounds = 1 keeps the unroll three
+    * CTE blocks; the production default (rounds = 3) runs the same code
+    * path, pinned by KMeansSpec's blob-spread/determinism tests. */
+  private val q142 = Q(
+    "q142_kmeans_chosen_seeds",
+    (s, dir) => {
+      val e = emb(s, dir)
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      graft.operators.KMeans.chosenSeeds(e, "vec_id", "embedding", k = 3, rounds = 1)
+    },
+    Some("""
+      WITH s0 AS (
+        SELECT vec_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
+      d AS (
+        SELECT e.vec_id,
+          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
+                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM embeddings e CROSS JOIN s0,
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY 1),
+      p AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d),
+      sel AS (
+        SELECT d.vec_id
+        FROM d, p
+        WHERE p.phi > 0
+          AND (CAST(('0x' || substr(md5(CAST(d.vec_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
+            + 0.5) / 4503599627370496.0 < LEAST(1.0, 6.0 * d.d2 / p.phi)),
+      cand AS (
+        SELECT 0 AS i, vec_id FROM s0
+        UNION ALL
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) AS i,
+          vec_id
+        FROM sel),
+      cv AS (SELECT c.i, c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+      pd AS (
+        SELECT e.vec_id AS pid, c.i,
+          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(c.embedding[u.i] AS DOUBLE))
+                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(c.embedding[u.i] AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM embeddings e CROSS JOIN cv c,
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      asn AS (
+        SELECT pid, i FROM (
+          SELECT pid, i, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2 ASC, i ASC) AS rn
+          FROM pd) WHERE rn = 1),
+      w AS (
+        SELECT c.i, c.vec_id, COALESCE(a.w, CAST(0 AS BIGINT)) AS w
+        FROM cand c LEFT JOIN (SELECT i, COUNT(*) AS w FROM asn GROUP BY 1) a USING (i)),
+      cc AS (
+        SELECT a.i AS ai, b.i AS bi,
+          CAST(SUM(CAST((CAST(a.embedding[u.i] AS DOUBLE) - CAST(b.embedding[u.i] AS DOUBLE))
+                 * (CAST(a.embedding[u.i] AS DOUBLE) - CAST(b.embedding[u.i] AS DOUBLE))
+                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        FROM cv a CROSS JOIN cv b,
+          LATERAL unnest(generate_series(1, len(a.embedding))) AS u(i)
+        GROUP BY 1, 2),
+      p1 AS (SELECT i FROM w ORDER BY w DESC, i ASC LIMIT 1),
+      b1 AS (
+        SELECT w.i, w.vec_id, w.w, cc.d2 AS bd
+        FROM w CROSS JOIN p1 JOIN cc ON cc.ai = w.i AND cc.bi = p1.i),
+      p2 AS (SELECT i FROM b1 WHERE w * bd > 0 ORDER BY w * bd DESC, i ASC LIMIT 1),
+      b2 AS (
+        SELECT b1.i, b1.vec_id, b1.w, LEAST(b1.bd, cc.d2) AS bd
+        FROM b1 CROSS JOIN p2 JOIN cc ON cc.ai = b1.i AND cc.bi = p2.i),
+      p3 AS (SELECT i FROM b2 WHERE w * bd > 0 ORDER BY w * bd DESC, i ASC LIMIT 1)
+      SELECT 1 AS rank, c.vec_id AS seed_id FROM cand c JOIN p1 USING (i)
+      UNION ALL
+      SELECT 2 AS rank, c.vec_id AS seed_id FROM cand c JOIN p2 USING (i)
+      UNION ALL
+      SELECT 3 AS rank, c.vec_id AS seed_id FROM cand c JOIN p3 USING (i)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q38, q39, q40, q43, q44, q46, q89, q89b, q109, q116,
-    q119, q120, q122, q123, q124, q126, q132, q134, q139, q140)
+    q119, q120, q122, q123, q124, q126, q132, q134, q139, q140, q142)
 }

@@ -107,6 +107,26 @@ class KMeansSpec extends SparkSpec {
     assert(m2.centroids.count() === 2)
   }
 
+  test("chosenSeeds returns ranked distinct seed ids that spread across blobs") {
+    val blobs = Seq(
+      (1L, Array(0.0, 0.2)), (2L, Array(0.2, 0.0)), (3L, Array(0.1, 0.1)),
+      (4L, Array(100.0, 0.1)), (5L, Array(100.2, 0.3)),
+      (6L, Array(0.1, 100.0)), (7L, Array(0.3, 100.2)),
+    ).toDF("id", "vec")
+    val seeds = KMeans.chosenSeeds(blobs, "id", "vec", k = 3, rounds = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(seeds.map(_._1).toSeq === (1 to seeds.length))
+    assert(seeds.map(_._2).distinct.length === seeds.length)
+    // with 3 well-separated blobs the greedy reduction lands one seed in
+    // each (weight pulls the first, farthest-point the others)
+    def blob(id: Long): Int = if (id <= 3) 0 else if (id <= 5) 1 else 2
+    assert(seeds.length === 3 && seeds.map(s => blob(s._2)).distinct.length === 3,
+      s"seeds must spread across blobs, got $seeds")
+    // saturated input (all duplicate vectors): one seed, never k
+    val sat = Seq((1L, Array(1.0)), (2L, Array(1.0)), (3L, Array(1.0))).toDF("id", "vec")
+    assert(KMeans.chosenSeeds(sat, "id", "vec", k = 3).count() === 1)
+  }
+
   test("k larger than distinct points keeps empty clusters at their init") {
     val tiny = Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("id", "vec")
     val m = KMeans.fit(tiny, "id", "vec", k = 3, maxIters = 5)
