@@ -205,6 +205,20 @@ object KMeans {
     * any engine for integral/string ids. */
   private def seedHash(id: Column): Column = md5(id.cast("string"))
 
+  /** Element-wise lexicographic vector order, shorter-prefix first —
+    * Spark's array ordering, so driver-side sorts agree with
+    * `orderBy(col("vec"))`. */
+  private def vecLt(a: Seq[Double], b: Seq[Double]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) < b(i)) return true
+      if (a(i) > b(i)) return false
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Round-`r` unit draw in [0, 1): first 13 hex digits of md5("id:r")
     * (52 bits, exactly a double) + 0.5, over 2⁵². Bitwise in any engine
     * with md5 — integer-valued numerator, power-of-two divisor. */
@@ -300,12 +314,16 @@ object KMeans {
       else {
         val u = unitDraw(col("id"), r)
         // sort the draw so candidate indices don't depend on collect()
-        // partition order — keeps the whole init bit-reproducible
+        // partition order — keeps the whole init bit-reproducible. Vec
+        // tiebreak (element-wise, then length — Spark's array ordering,
+        // the same key the seed pick's orderBy(__h, vec) uses): duplicate
+        // ids share an md5 key, and a stable sort on the hash alone
+        // would leave their order to partitioning
         cands ++= d2s
           .filter(u < least(lit(1.0), lit(l) * col("d2") / lit(phi)))
           .select(col("id"), col("vec"), seedHash(col("id")).as("__h")).collect()
           .map(row => (row.getString(2), row.get(0), row.getSeq[Double](1).toVector))
-          .sortBy(_._1)
+          .sortWith((a, b) => a._1 < b._1 || (a._1 == b._1 && vecLt(a._3, b._3)))
       }
       r += 1
     }
@@ -355,17 +373,22 @@ object KMeans {
                   rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // cache for the seeding loop like fit does: the seed collect, each
+    // round's phi + draw, and the weights pass would otherwise each
+    // re-scan the source (~2 jobs per round + 2)
     val rows = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
-    val (cands, chosen) = initParallelDetail(rows, k, rounds)
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("rank", IntegerType, nullable = false),
-      rows.schema("id").copy(name = "seed_id")))
-    val out = chosen.zipWithIndex.map { case (ci, r) =>
-      org.apache.spark.sql.Row(r + 1, cands(ci)._2) }
-    df.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    try {
+      val (cands, chosen) = initParallelDetail(rows, k, rounds)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        rows.schema("id").copy(name = "seed_id")))
+      val out = chosen.zipWithIndex.map { case (ci, r) =>
+        org.apache.spark.sql.Row(r + 1, cands(ci)._2) }
+      df.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, schema)
+    } finally rows.unpersist()
   }
 
   /** Nearest-centroid assignment of (possibly new) vectors against a

@@ -33,6 +33,30 @@ object VectorQueries {
         FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
         GROUP BY 1)"""
 
+  /** DECIMAL(38,18)-exact squared-L2 SUM template (q89b tier) — shared by
+    * the seeding oracles so the distance chain cannot fork per query. */
+  private def sqSumSql(a: String, b: String): String =
+    s"CAST(SUM(CAST((CAST($a AS DOUBLE) - CAST($b AS DOUBLE))" +
+      s" * (CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)"
+
+  /** Shared k-means‖ seed-round CTE prefix (q140/q142): null-filtered
+    * base (mirroring the Spark side's vec_id/embedding filters — the
+    * null gate may someday inject embedding nulls), md5-minimal seed,
+    * per-point d² to the seed, decimal φ. */
+  private val seedPoolCtes =
+    s"""eb AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      s0 AS (
+        SELECT vec_id, embedding FROM eb
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
+      d AS (
+        SELECT e.vec_id, ${sqSumSql("e.embedding[u.i]", "s0.embedding[u.i]")} AS d2
+        FROM eb e CROSS JOIN s0,
+          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY 1),
+      p AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d)"""
+
   /** C9: brute-force cosine top-k (exact ANN baseline). Queries broadcast;
     * rank-filter rewritten to bounded-heap TopKPerKey. Engine path is the
     * native double DotProduct; the decimal oracle differs by ≤ a few ulps
@@ -1456,20 +1480,8 @@ object VectorQueries {
       graft.operators.KMeans.seedRound1(e, "vec_id", "embedding", k = 8)
         .select(col("id").as("vec_id"), col("round"), col("u"), col("d2"))
     },
-    Some("""
-      WITH s0 AS (
-        SELECT vec_id, embedding
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
-      d AS (
-        SELECT e.vec_id,
-          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
-                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
-                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM embeddings e CROSS JOIN s0,
-          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
-        GROUP BY 1),
-      p AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d),
+    Some(s"""
+      WITH $seedPoolCtes,
       dr AS (
         SELECT d.vec_id, d.d2,
           (CAST(('0x' || substr(md5(CAST(d.vec_id AS VARCHAR) || ':1'), 1, 13)) AS BIGINT)
@@ -1509,20 +1521,8 @@ object VectorQueries {
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       graft.operators.KMeans.chosenSeeds(e, "vec_id", "embedding", k = 3, rounds = 1)
     },
-    Some("""
-      WITH s0 AS (
-        SELECT vec_id, embedding
-        FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
-      d AS (
-        SELECT e.vec_id,
-          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
-                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(s0.embedding[u.i] AS DOUBLE))
-                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM embeddings e CROSS JOIN s0,
-          LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
-        GROUP BY 1),
-      p AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d),
+    Some(s"""
+      WITH $seedPoolCtes,
       sel AS (
         SELECT d.vec_id
         FROM d, p
@@ -1535,13 +1535,11 @@ object VectorQueries {
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) AS i,
           vec_id
         FROM sel),
-      cv AS (SELECT c.i, c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+      cv AS (SELECT c.i, c.vec_id, e.embedding FROM cand c JOIN eb e USING (vec_id)),
       pd AS (
         SELECT e.vec_id AS pid, c.i,
-          CAST(SUM(CAST((CAST(e.embedding[u.i] AS DOUBLE) - CAST(c.embedding[u.i] AS DOUBLE))
-                 * (CAST(e.embedding[u.i] AS DOUBLE) - CAST(c.embedding[u.i] AS DOUBLE))
-                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
-        FROM embeddings e CROSS JOIN cv c,
+          ${sqSumSql("e.embedding[u.i]", "c.embedding[u.i]")} AS d2
+        FROM eb e CROSS JOIN cv c,
           LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)
         GROUP BY 1, 2),
       asn AS (
@@ -1553,9 +1551,7 @@ object VectorQueries {
         FROM cand c LEFT JOIN (SELECT i, COUNT(*) AS w FROM asn GROUP BY 1) a USING (i)),
       cc AS (
         SELECT a.i AS ai, b.i AS bi,
-          CAST(SUM(CAST((CAST(a.embedding[u.i] AS DOUBLE) - CAST(b.embedding[u.i] AS DOUBLE))
-                 * (CAST(a.embedding[u.i] AS DOUBLE) - CAST(b.embedding[u.i] AS DOUBLE))
-                 AS DECIMAL(38,18))) AS DOUBLE) AS d2
+          ${sqSumSql("a.embedding[u.i]", "b.embedding[u.i]")} AS d2
         FROM cv a CROSS JOIN cv b,
           LATERAL unnest(generate_series(1, len(a.embedding))) AS u(i)
         GROUP BY 1, 2),
