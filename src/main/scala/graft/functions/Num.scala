@@ -42,6 +42,13 @@ object Num {
     * standard transform for 2-decimal-place columns: `floor(c·100)` is
     * an integer-valued double both engines agree on bitwise, so moment
     * products stay exact integers and [[dsumInt]]'s contract holds.
+    * NOTE: this is a deterministic quantization, NOT exact cents
+    * recovery — for a 2-dp value stored as double, c·100.0 often lands
+    * an ulp below the true integer (8.29·100.0 = 828.999…), so floor is
+    * one low for roughly half of inputs. round() would recover the
+    * exact cents but round-half semantics differ across engines
+    * (HALF_UP vs half-away on the binary value); determinism on the
+    * identical chain is the property the gate needs, so floor stays.
     * Keep [[centsSql]] in lockstep — they are the two halves of one
     * recipe. */
   def cents(c: Column): Column = floor(c * lit(100.0)).cast("double")

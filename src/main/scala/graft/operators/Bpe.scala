@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   *    footprint fits `driverByteBudget` and runs the merge loop there
   *    with INCREMENTAL pair-delta updates (only the words containing the
   *    merged pair are touched per round — the standard fast-BPE shape);
-  *  - when the vocabulary genuinely doesn't fit, it falls back LOUDLY to
-  *    the distributed loop (one pair-count job + argmax + rewrite per
+  *  - when the vocabulary doesn't fit, the DEFAULT route caps it: train
+  *    on the top-frequency head (deterministic freq-desc/md5-tiebreak
+  *    truncation shrunk to the budget, loud disclosure of dropped word
+  *    count and corpus mass) — the standard capped-vocab practice, since
+  *    pair frequencies are Zipf-dominated by the head and top-ranked
+  *    merges are unaffected by the tail (BpeSpec pins head-merge
+  *    agreement);
+  *  - `capVocab = false` (or budget 0) instead falls back LOUDLY to the
+  *    exact distributed loop (one pair-count job + argmax + rewrite per
   *    round, state localCheckpoint'd so round k doesn't re-execute all
   *    prior rounds — the lineage trap documented on
-  *    Dedup.resolveClusters).
+  *    Dedup.resolveClusters) — correct but one Spark job per merge.
   *
   * Both paths produce identical merges: the argmax tiebreak is
   * (freq desc, pair asc) with pair order compared BY CODE POINT — the
@@ -95,10 +102,25 @@ object Bpe {
     * `driverByteBudget`: the word-frequency table (the post-count state,
     * NOT the corpus) is collected to the driver and merged there when its
     * estimated heap footprint fits; set 0 to force the distributed loop.
+    *
+    * `capVocab` (default true): when the table exceeds the budget, train
+    * on the top-frequency HEAD of the vocabulary instead — deterministic
+    * truncation ordered by (freq desc, md5(word) asc), shrunk until the
+    * head's estimated footprint fits the budget, with a loud disclosure
+    * of how many words and what corpus mass were dropped. This is the
+    * standard capped-vocab practice: pair frequencies are dominated by
+    * the head (Zipf), so top-ranked merges are unaffected by dropping
+    * the long tail — BpeSpec pins head-merge agreement against the
+    * full-vocab model. A 100 TB web corpus WILL exceed any driver
+    * budget, and the exact alternative (`capVocab = false` → the
+    * distributed per-merge loop) costs one Spark job per merge — hours
+    * of scheduler overhead at real vocab sizes — so the capped head is
+    * the route that actually runs at target scale.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minFreq: Long = 2L,
-            driverByteBudget: Long = 512L << 20): Model = {
+            driverByteBudget: Long = 512L << 20,
+            capVocab: Boolean = true): Model = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val spark = df.sparkSession
@@ -117,17 +139,58 @@ object Bpe {
     // driver-side state is per-SYMBOL boxed strings, so estimate ~48 B
     // per character (String + char[] + Vector slot) + ~200 B per word
     // (entry + pair-index membership) — deliberately pessimistic.
-    val (nWords, nChars) = wordFreq
-      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
-      .as[(Long, Long)].head()
+    val (nWords, nChars, totMass) = wordFreq
+      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)),
+        coalesce(sum(col("n")), lit(0L)))
+      .as[(Long, Long, Long)].head()
     val estBytes = nChars * 48L + nWords * 200L
 
     if (estBytes <= driverByteBudget) {
       trainDriver(wordFreq.collect(), numMerges, minFreq)
+    } else if (capVocab && driverByteBudget > 0L) {
+      // Deterministic head truncation: keep the k top-frequency words
+      // (md5 tiebreak so equal-frequency words cut identically on any
+      // engine/partitioning), k sized from the measured average word
+      // cost and re-shrunk if the head's ACTUAL estimate still
+      // overshoots (head words can be longer than average). orderBy +
+      // limit is a distributed top-k — no global single-partition sort —
+      // and the collect that follows is the point: we are choosing the
+      // head that FITS the driver.
+      val avgCost = 48.0 * nChars / math.max(nWords, 1L) + 200.0
+      def head(k: Long): Dataset[(String, Long)] = wordFreq
+        .orderBy(col("n").desc, md5(col("w").cast("binary")).asc)
+        .limit(math.min(k, Int.MaxValue.toLong).toInt)
+        .as[(String, Long)]
+      var k = math.max(1L, (driverByteBudget / avgCost).toLong).min(nWords)
+      var h = head(k)
+      var (hWords, hChars) = h
+        .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+        .as[(Long, Long)].head()
+      var tries = 0
+      while (hChars * 48L + hWords * 200L > driverByteBudget && k > 1L && tries < 4) {
+        k = math.max(1L, k * driverByteBudget / math.max(hChars * 48L + hWords * 200L, 1L))
+        h = head(k)
+        val hh = h.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+          .as[(Long, Long)].head()
+        hWords = hh._1; hChars = hh._2
+        tries += 1
+      }
+      val kept = h.collect()
+      val keptMass = kept.iterator.map(_._2).sum
+      val pct = if (totMass > 0L) 100.0 * keptMass / totMass else 100.0
+      System.err.println(
+        f"[graft.Bpe] word-frequency table est. $estBytes B exceeds driver " +
+        f"budget $driverByteBudget B; training on the CAPPED vocabulary head " +
+        f"— top ${kept.length} of $nWords words (freq-desc/md5-tiebreak " +
+        f"truncation) covering $pct%.2f%% of corpus word mass. Tail-only " +
+        f"merges are excluded by construction; pass capVocab = false for " +
+        f"the exact distributed loop (one Spark job per merge).")
+      trainDriver(kept, numMerges, minFreq)
     } else {
       // Loud fallback: per-round Spark jobs are hours of scheduler
-      // overhead at real vocab sizes — only correct when the word table
-      // genuinely can't be collected.
+      // overhead at real vocab sizes — the exact route for when the
+      // head approximation is explicitly declined (or budget 0 forces
+      // the distributed loop).
       System.err.println(
         s"[graft.Bpe] word-frequency table est. $estBytes B exceeds driver " +
         s"budget $driverByteBudget B ($nWords words); falling back to the " +

@@ -80,13 +80,14 @@ object RangeJoin {
     * q88_interval_agg form). Reach for `pointInInterval` only when the
     * pairs themselves are the product.
     *
-    * `pairBudget` (opt-in) bounds that output: the per-(bin, keys)
-    * candidate-pair count `n_points × n_intervals` is pre-counted on
-    * both sides and the job raise_errors NAMING the worst bin and its
-    * two counts when any bin exceeds the budget — BEFORE the pair join
-    * streams (the guard is a 1-row broadcast built ahead of the
-    * stream side), so a densified axis at 100× scale fails loudly
-    * instead of materializing a quadratic output. The guard is pure
+    * `pairBudget` (opt-in) bounds that output — the TOTAL candidate-pair
+    * count: per-(bin, keys) products `n_points × n_intervals` are
+    * pre-counted on both sides and the job raise_errors when their SUM
+    * over all bins exceeds the budget (naming the single worst bin and
+    * its two counts when that bin alone blows it — the skew diagnosis)
+    * — BEFORE the pair join streams (the guard is a 1-row broadcast
+    * built ahead of the stream side), so a densified axis at 100× scale
+    * fails loudly instead of materializing a quadratic output. The guard is pure
     * plan composition on the 1-row side — the per-pair hot path gains
     * no filter (PlanGuardSpec pins this); `None` leaves the plan
     * byte-identical to the unguarded form. Products are compared in
@@ -132,15 +133,23 @@ object RangeJoin {
         val cond = extraKeys
           .map { case (pk, ik) => np(pk) === ni(ik) }
           .foldLeft(np("__bin") === ni("__bin"))(_ && _)
-        // worst bin only: a global aggregate, so the guard side is ONE row
-        // whose evaluation (during broadcast build) fires the raise_error
-        // before the pair join streams anything
+        // one global aggregate over the per-bin candidate counts, so the
+        // guard side is ONE row whose evaluation (during broadcast build)
+        // fires the raise_error before the pair join streams anything.
+        // The budget bounds the TOTAL candidate-pair output (sum of
+        // per-bin products); the single worst bin is named when it alone
+        // exceeds the budget (the skewed-bin diagnosis), otherwise the
+        // total-sum message reports how many bins share the blame.
         val worst = np.join(ni, cond)
           .select(np("__bin").as("__b"), (dec(col("__np")) * dec(col("__ni"))).as("__pairs"),
             col("__np"), col("__ni"))
           .agg(max(col("__pairs")).as("__max_pairs"),
+            sum(col("__pairs")).as("__tot_pairs"),
+            count(lit(1)).as("__n_bins"),
             max_by(struct(col("__b"), col("__np"), col("__ni")), col("__pairs")).as("__w"))
           .filter(
+            // single CASE chain: binary ops short-circuit null left
+            // operands, so the raise_errors must live in ONE when-chain
             when(col("__max_pairs") > dec(lit(budget)),
               raise_error(concat(
                 lit("RangeJoin.pointInInterval: bin "), col("__w.__b").cast("string"),
@@ -149,6 +158,14 @@ object RangeJoin {
                 lit(" points x "), col("__w.__ni").cast("string"),
                 lit(s" intervals) > pairBudget=$budget — aggregate with " +
                   "aggregatePointsInIntervals, widen binWidth, or raise the budget"))).cast("boolean"))
+              .when(col("__tot_pairs") > dec(lit(budget)),
+                raise_error(concat(
+                  lit("RangeJoin.pointInInterval: "), col("__tot_pairs").cast("string"),
+                  lit(" total candidate pairs across "), col("__n_bins").cast("string"),
+                  lit(s" bins > pairBudget=$budget (worst bin "), col("__w.__b").cast("string"),
+                  lit(" holds "), col("__max_pairs").cast("string"),
+                  lit(") — aggregate with aggregatePointsInIntervals, widen " +
+                    "binWidth, or raise the budget"))).cast("boolean"))
               .otherwise(lit(true)))
           .select(lit(1).as("__guard_ok"))
         joined.crossJoin(broadcast(worst)).drop("__guard_ok")

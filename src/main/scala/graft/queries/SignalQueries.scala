@@ -975,10 +975,367 @@ object SignalQueries {
     """),
   )
 
+  /** B20→oracle: .par ephemeris typed coercion (`ParFile.parseColumn`,
+    * the engine form of `read_par` — binary_tools.py:26). The corpus has
+    * no .par files, so the query fabricates one line per part row — 12
+    * deterministic shapes built from integer-derived digit strings (never
+    * float formatting, so both engines see identical text): fixed floats
+    * with fit flags + 4-token uncertainties, plain strings, ignored
+    * params, uppercase-D scientific exponents (D→E fix), the E→ECC
+    * rename, comments, integers, sexagesimal strings carrying errors,
+    * the lowercase-d trap (the numeric probe's D→E replace is
+    * case-sensitive so '1.5d-16' classifies as string, while the
+    * e-vs-f test uppercases FIRST), fit-flag '0'/'1' suppression in
+    * 3-token lines, and '+'-signed integers. The oracle replays the
+    * split/filter/classification generically — note the int probe must
+    * be a regex, not TRY_CAST (DuckDB casts '5.0' to BIGINT 5; Scala
+    * `toLong` throws). */
+  private lazy val q143 = Q(
+    "q143_par_typing",
+    (s, dir) => {
+      val p = graft.sources.Tables.part(s, dir)
+      val pk = col("p_partkey")
+      val sz = col("p_size").cast("string")
+      val m = pmod(pk, lit(12))
+      val line = when(m === 0, concat(lit("F0 "), sz, lit("."), pmod(pk, lit(1000)), lit(" 1 0.0000"), sz))
+        .when(m === 1, concat(lit("PSRJ "), col("p_brand")))
+        .when(m === 2, concat(lit("NTOA "), sz))
+        .when(m === 3, concat(lit("PB "), sz, lit("."), pmod(pk, lit(100)), lit("D-0"),
+          pmod(pk, lit(4)) + 1, lit(" "), pmod(pk, lit(7)), lit(".5D-05")))
+        .when(m === 4, concat(lit("E 0."), pmod(pk, lit(1000))))
+        .when(m === 5, lit("MODE 1"))
+        .when(m === 6, concat(lit("# comment "), pk))
+        .when(m === 7, concat(lit("DMEPOCH "), pmod(pk, lit(10000)) + 50000))
+        .when(m === 8, concat(lit("RAJ "), pmod(pk, lit(24)), lit(":37:15.89 1 0.0000001")))
+        .when(m === 9, concat(lit("F1 -"), sz, lit("."), pmod(pk, lit(100)), lit("d-16 1")))
+        .when(m === 10, concat(lit("START "), pmod(pk, lit(1000)) + 50000, lit(" 0")))
+        .otherwise(concat(lit("TAU +"), sz))
+      graft.sources.ParFile.parseColumn(
+        p.select(pk.as("line_id"), line.as("par_line")), "line_id", "par_line")
+    },
+    Some("""
+      WITH lines AS (
+        SELECT p_partkey AS line_id,
+          CASE p_partkey % 12
+            WHEN 0 THEN 'F0 ' || CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 1000 AS VARCHAR) || ' 1 0.0000' || CAST(p_size AS VARCHAR)
+            WHEN 1 THEN 'PSRJ ' || p_brand
+            WHEN 2 THEN 'NTOA ' || CAST(p_size AS VARCHAR)
+            WHEN 3 THEN 'PB ' || CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 100 AS VARCHAR) || 'D-0' || CAST(p_partkey % 4 + 1 AS VARCHAR) || ' ' || CAST(p_partkey % 7 AS VARCHAR) || '.5D-05'
+            WHEN 4 THEN 'E 0.' || CAST(p_partkey % 1000 AS VARCHAR)
+            WHEN 5 THEN 'MODE 1'
+            WHEN 6 THEN '# comment ' || CAST(p_partkey AS VARCHAR)
+            WHEN 7 THEN 'DMEPOCH ' || CAST(p_partkey % 10000 + 50000 AS VARCHAR)
+            WHEN 8 THEN 'RAJ ' || CAST(p_partkey % 24 AS VARCHAR) || ':37:15.89 1 0.0000001'
+            WHEN 9 THEN 'F1 -' || CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 100 AS VARCHAR) || 'd-16 1'
+            WHEN 10 THEN 'START ' || CAST(p_partkey % 1000 + 50000 AS VARCHAR) || ' 0'
+            ELSE 'TAU +' || CAST(p_size AS VARCHAR)
+          END AS l
+        FROM part
+        WHERE p_partkey IS NOT NULL),
+      tok AS (
+        SELECT line_id, l, regexp_split_to_array(trim(l), '\s+') AS t
+        FROM lines WHERE l IS NOT NULL),
+      ent AS (
+        SELECT line_id,
+          CASE WHEN t[1] = 'E' THEN 'ECC' ELSE t[1] END AS param,
+          t[2] AS raw, t, len(t) AS n
+        FROM tok
+        WHERE NOT starts_with(l, '#') AND NOT starts_with(l, 'C ')
+          AND t[1] <> ''
+          AND t[1] NOT IN ('DMMODEL','DMOFF','DM_','CM_','CONSTRAIN','JUMP',
+                           'NITS','NTOA','CORRECT_TROPOSPHERE','PLANET_SHAPIRO',
+                           'DILATEFREQ','TIMEEPH','MODE','TZRMJD','TZRSITE',
+                           'TZRFRQ','EPHVER','T2CMETHOD')
+          AND len(t) >= 2),
+      typed AS (
+        SELECT line_id, param, raw, t, n,
+          CASE
+            WHEN regexp_matches(raw, '^[+-]?[0-9]+$') THEN 'd'
+            WHEN TRY_CAST(replace(raw, 'D', 'E') AS DOUBLE) IS NOT NULL THEN
+              CASE WHEN contains(replace(upper(raw), 'D', 'E'), 'E') THEN 'e' ELSE 'f' END
+            ELSE 's'
+          END AS value_type
+        FROM ent)
+      SELECT line_id, param, raw, value_type,
+        CASE
+          WHEN value_type = 'd' THEN CAST(CAST(raw AS BIGINT) AS DOUBLE)
+          WHEN value_type IN ('e','f') THEN CAST(replace(raw, 'D', 'E') AS DOUBLE)
+        END AS num_value,
+        CASE
+          WHEN n = 3 AND t[3] NOT IN ('0','1') THEN TRY_CAST(replace(t[3], 'D', 'E') AS DOUBLE)
+          WHEN n >= 4 THEN TRY_CAST(replace(t[4], 'D', 'E') AS DOUBLE)
+        END AS err
+      FROM typed
+    """),
+  )
+
+  /** B66→oracle: npy-loaded channel reference driving a frequency chop
+    * (`NpyFile` + the `ref_freq_list` config route — the reference's
+    * 928ch_frequency_reference.npy consumed by dm_offset_pta.config:37
+    * before chopping/decimating). The shipped grid is BITWISE equal to
+    * 896.125 + i·(107/128) (verified against the file; every term is an
+    * exact binary double), so the query serializes that grid with the
+    * real npy writer, re-parses it with the real npy parser — the
+    * FORMAT round-trip sits inside the oracled path — and broadcasts
+    * the 928-row channel dim into the event fact scan: channel =
+    * event_id mod 928, keep the calibrated band [960, 1600] MHz (edge
+    * chop), aggregate kept stats per event_type. The oracle rebuilds
+    * the identical grid arithmetically. Scale: dim broadcast, one fact
+    * pass, map-side-combined aggregate. */
+  private lazy val q144 = Q(
+    "q144_npy_chop",
+    (s, dir) => {
+      import s.implicits._
+      val grid = graft.sources.NpyFile.doubles(graft.sources.NpyFile.bytes(
+        Array.tabulate(928)(i => 896.125 + i * 0.8359375)))
+      val chans = grid.toSeq.zipWithIndex
+        .map { case (f, i) => (i.toLong, f) }.toDF("chan", "freq")
+      val kept = col("freq") >= 960.0 && col("freq") <= 1600.0
+      Tables.parallelized(Tables.events(s, dir), "event_id")
+        .withColumn("chan", pmod(col("event_id"), lit(928L)))
+        .join(broadcast(chans), "chan")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(kept, lit(1))).as("n_kept"),
+          min(when(kept, col("freq"))).as("f_lo"),
+          max(when(kept, col("freq"))).as("f_hi"),
+          dsum(when(kept, col("value"))).as("sum_kept_value"),
+        )
+    },
+    Some("""
+      WITH chans AS (
+        SELECT CAST(i AS BIGINT) AS chan, 896.125 + i * 0.8359375 AS freq
+        FROM (SELECT unnest(range(928)) AS i)),
+      e AS (
+        SELECT event_type, event_id % 928 AS chan, value FROM events)
+      SELECT event_type,
+        COUNT(*) AS n,
+        COUNT(CASE WHEN freq >= 960 AND freq <= 1600 THEN 1 END) AS n_kept,
+        MIN(CASE WHEN freq >= 960 AND freq <= 1600 THEN freq END) AS f_lo,
+        MAX(CASE WHEN freq >= 960 AND freq <= 1600 THEN freq END) AS f_hi,
+        CAST(SUM(CAST(CASE WHEN freq >= 960 AND freq <= 1600 THEN value END
+          AS DECIMAL(38,6))) AS DOUBLE) AS sum_kept_value
+      FROM e JOIN chans USING (chan)
+      GROUP BY 1
+    """),
+  )
+
+  /** B67→oracle: project-config typed loader end to end
+    * (`ProjectConfig.parseColumn` + override rule +
+    * `ProjectConfig.decimationPlans` — the launcher-input surface:
+    * the configuration_files/project_specific .config files, key = value with
+    * '#' comments and later-assignment-wins). One fabricated config TEXT
+    * per supplier row (same 10 lines both sides: a comment, typed keys,
+    * a first output_path later OVERRIDDEN, a keyless junk line, an
+    * indented comment), parsed by the real loader, pivoted wide, then
+    * expanded through the real parseFlags grammar into decimation-plan
+    * rows — the launcher-shaped project → flags → plan chain. The
+    * oracle replays the key-value parse GENERICALLY (trim, '#' filter,
+    * first-'=' split, arg_max(i) override) over the identical line
+    * list; the plan expansion is mirrored by construction per planted
+    * flags shape (compact/spaced axis tokens, tscrunch/fscrunch,
+    * subband + sorted globals). Scale: a per-project dim — everything
+    * here broadcasts. */
+  private lazy val q145 = Q(
+    "q145_project_config",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val sk = col("s_suppkey")
+      val flags = when(pmod(sk, lit(4)) === 0, lit("saveall"))
+        .when(pmod(sk, lit(4)) === 1, lit("pscrunch,t 32 f 8,tscrunch"))
+        .when(pmod(sk, lit(4)) === 2, concat(lit("t "), pmod(sk, lit(50)) + 2,
+          lit(" f"), pmod(sk, lit(9)) + 1, lit(",fscrunch,nozap")))
+        .otherwise(concat(lit("subband "), pmod(sk, lit(4)) + 1, lit(",saveall,t 8 f 8")))
+      val txt = concat_ws("\n",
+        lit("#Configuration file"),
+        concat(lit("user = u"), pmod(sk, lit(7))),
+        lit("type = meertime"),
+        concat(lit("pipe = "), when(pmod(sk, lit(2)) === 0, "old").otherwise("new")),
+        lit("output_path = /data/first"),
+        concat(lit("flags = "), flags),
+        concat(lit("rfi_alg = "),
+          when(pmod(sk, lit(3)) === 0, "MG").when(pmod(sk, lit(3)) === 1, "CG").otherwise("CHIVE")),
+        concat(lit("output_path = /data/p"), pmod(sk, lit(5))),
+        lit("no equals here"),
+        lit("  #indented comment"))
+      val kv = graft.sources.ProjectConfig.parseColumn(
+        sup.select(sk.as("cfg_id"), txt.as("cfg_text")), "cfg_id", "cfg_text")
+      val wide = kv.groupBy("cfg_id").agg(
+        max(when(col("key") === "user", col("value"))).as("cfg_user"),
+        max(when(col("key") === "pipe", col("value"))).as("pipe"),
+        max(when(col("key") === "rfi_alg", col("value"))).as("rfi_alg"),
+        max(when(col("key") === "output_path", col("value"))).as("output_path"),
+        max(when(col("key") === "flags", col("value"))).as("flags"))
+      val plans = graft.sources.ProjectConfig.decimationPlans(wide, "cfg_id", "flags")
+      wide.join(plans, "cfg_id")
+        .select(col("cfg_id"), col("cfg_user"), col("pipe"), col("rfi_alg"),
+          col("output_path"), col("plan"), col("t_factor"), col("f_factor"),
+          col("global_flags"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT s_suppkey AS cfg_id FROM supplier WHERE s_suppkey IS NOT NULL),
+      cfgs AS (
+        SELECT cfg_id, [
+          '#Configuration file',
+          'user = u' || CAST(cfg_id % 7 AS VARCHAR),
+          'type = meertime',
+          'pipe = ' || CASE WHEN cfg_id % 2 = 0 THEN 'old' ELSE 'new' END,
+          'output_path = /data/first',
+          'flags = ' || CASE cfg_id % 4
+            WHEN 0 THEN 'saveall'
+            WHEN 1 THEN 'pscrunch,t 32 f 8,tscrunch'
+            WHEN 2 THEN 't ' || CAST(2 + cfg_id % 50 AS VARCHAR) || ' f' ||
+                        CAST(1 + cfg_id % 9 AS VARCHAR) || ',fscrunch,nozap'
+            ELSE 'subband ' || CAST(1 + cfg_id % 4 AS VARCHAR) || ',saveall,t 8 f 8'
+          END,
+          'rfi_alg = ' || CASE cfg_id % 3 WHEN 0 THEN 'MG' WHEN 1 THEN 'CG' ELSE 'CHIVE' END,
+          'output_path = /data/p' || CAST(cfg_id % 5 AS VARCHAR),
+          'no equals here',
+          '  #indented comment'
+        ] AS ls FROM s),
+      lines AS (
+        SELECT cfg_id, i, trim(ls[i]) AS l
+        FROM cfgs, UNNEST(generate_series(1, len(ls))) AS u(i)),
+      kv AS (
+        SELECT cfg_id, i,
+          trim(substr(l, 1, instr(l, '=') - 1)) AS key,
+          trim(substr(l, instr(l, '=') + 1)) AS val
+        FROM lines
+        WHERE l <> '' AND NOT starts_with(l, '#') AND instr(l, '=') >= 2),
+      last AS (
+        SELECT cfg_id, key, arg_max(val, i) AS val FROM kv GROUP BY 1, 2),
+      wide AS (
+        SELECT cfg_id,
+          MAX(CASE WHEN key = 'user' THEN val END) AS cfg_user,
+          MAX(CASE WHEN key = 'pipe' THEN val END) AS pipe,
+          MAX(CASE WHEN key = 'rfi_alg' THEN val END) AS rfi_alg,
+          MAX(CASE WHEN key = 'output_path' THEN val END) AS output_path
+        FROM last GROUP BY 1),
+      plans AS (
+        SELECT cfg_id, CAST(NULL AS VARCHAR) AS plan, CAST(NULL AS BIGINT) AS t_factor,
+               CAST(NULL AS BIGINT) AS f_factor, 'saveall' AS global_flags
+          FROM s WHERE cfg_id % 4 = 0
+        UNION ALL SELECT cfg_id, 't32f8', 32, 8, 'pscrunch' FROM s WHERE cfg_id % 4 = 1
+        UNION ALL SELECT cfg_id, 'tscrunch', 0, 1, 'pscrunch' FROM s WHERE cfg_id % 4 = 1
+        UNION ALL SELECT cfg_id,
+            't' || CAST(2 + cfg_id % 50 AS VARCHAR) || 'f' || CAST(1 + cfg_id % 9 AS VARCHAR),
+            CAST(2 + cfg_id % 50 AS BIGINT), CAST(1 + cfg_id % 9 AS BIGINT), 'nozap'
+          FROM s WHERE cfg_id % 4 = 2
+        UNION ALL SELECT cfg_id, 'fscrunch', 1, 0, 'nozap' FROM s WHERE cfg_id % 4 = 2
+        UNION ALL SELECT cfg_id, 't8f8', 8, 8,
+            'saveall,subband ' || CAST(1 + cfg_id % 4 AS VARCHAR)
+          FROM s WHERE cfg_id % 4 = 3)
+      SELECT w.cfg_id, w.cfg_user, w.pipe, w.rfi_alg, w.output_path,
+             p.plan, p.t_factor, p.f_factor, p.global_flags
+      FROM wide w JOIN plans p USING (cfg_id)
+    """),
+  )
+
+  /** B68→oracle: tempo2 `general2` residual interchange
+    * (`ResidualFile.parseColumn` — the `{bat} {post} {err} {freq}
+    * {post_phase} {flags}` text tempo2_wrapper.sh:37 emits per archive).
+    * One fabricated residual line per non-null event (every numeric
+    * field built from integer-derived digit strings — post as
+    * `<cents>e-9` seconds, err as `<k>.5` ns, flags carrying the group
+    * as a `-B <band>` TOA flag), ingested by the real parser, grouped by
+    * the band EXTRACTED FROM THE PARSED FLAGS, and reduced to the
+    * χ²/wRMS diagnostics a timing user reads. The same aggregates are
+    * computed DIRECTLY from the source columns (no text round-trip) and
+    * `chi2_diff` witnesses the interchange path is faithful: exactly
+    * 0.0, because floor(post·1e9 + 0.5) recovers the planted integer
+    * cents and both engines run identical IEEE chains. Integer-grid
+    * discipline throughout (products ≤ ~5e10 < 2^53, scale-0 decimal
+    * sums). Scale: one fact pass per side, map-side-combined. */
+  private lazy val q146 = Q(
+    "q146_residual_ingest",
+    (s, dir) => {
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val line = concat_ws(" ",
+        (lit(50000L) + pmod(col("event_id"), lit(1000L))),
+        concat(cents(col("value")).cast("long"), lit("e-9")),
+        concat(pmod(col("event_id"), lit(10L)) + 1, lit(".5")),
+        (lit(800L) + pmod(col("event_id"), lit(900L))),
+        concat(lit("0."), lpad(pmod(col("event_id"), lit(1000L)).cast("string"), 3, "0")),
+        lit("-B"), col("event_type"), lit("-snr"), pmod(col("event_id"), lit(50L)))
+      val parsed = graft.sources.ResidualFile.parseColumn(
+        e.select(col("event_id").as("toa_id"), line.as("res_line")), "toa_id", "res_line")
+      val ing = parsed
+        .withColumn("grp", regexp_extract(col("flags"), "-B (\\S+)", 1))
+        .withColumn("r", floor(col("post") * lit(1e9) + lit(0.5)))
+        .withColumn("w", col("err") * lit(2.0))
+        .groupBy("grp")
+        .agg(
+          count(lit(1)).as("n"),
+          dsumInt(col("w")).as("sum_w"),
+          dsumInt(col("w") * col("r") * col("r")).as("chi2"),
+          min(col("bat")).as("bat_lo"),
+          max(col("bat")).as("bat_hi"))
+        .withColumn("wrms", sqrt(col("chi2") / col("sum_w")))
+      val direct = e.groupBy(col("event_type").as("grp"))
+        .agg(dsumInt((pmod(col("event_id"), lit(10L)) * 2 + 3)
+          * cents(col("value")) * cents(col("value"))).as("chi2_direct"))
+      ing.join(direct, "grp")
+        .select(col("grp"), col("n"), col("sum_w"), col("chi2"), col("wrms"),
+          col("bat_lo"), col("bat_hi"), col("chi2_direct"),
+          (col("chi2") - col("chi2_direct")).as("chi2_diff"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      lines AS (
+        SELECT event_id AS toa_id,
+          CAST(50000 + event_id % 1000 AS VARCHAR) || ' ' ||
+          CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || 'e-9 ' ||
+          CAST(1 + event_id % 10 AS VARCHAR) || '.5 ' ||
+          CAST(800 + event_id % 900 AS VARCHAR) || ' ' ||
+          '0.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || ' ' ||
+          '-B ' || event_type || ' -snr ' || CAST(event_id % 50 AS VARCHAR) AS l
+        FROM e),
+      tok AS (
+        SELECT toa_id, regexp_split_to_array(trim(l), '\s+') AS t FROM lines),
+      parsed AS (
+        SELECT toa_id,
+          CAST(t[1] AS DOUBLE) AS bat, CAST(t[2] AS DOUBLE) AS post,
+          CAST(t[3] AS DOUBLE) AS err,
+          array_to_string(t[6:], ' ') AS flags
+        FROM tok
+        WHERE len(t) >= 5
+          AND TRY_CAST(t[1] AS DOUBLE) IS NOT NULL
+          AND TRY_CAST(t[2] AS DOUBLE) IS NOT NULL
+          AND TRY_CAST(t[3] AS DOUBLE) IS NOT NULL
+          AND TRY_CAST(t[4] AS DOUBLE) IS NOT NULL
+          AND TRY_CAST(t[5] AS DOUBLE) IS NOT NULL),
+      g AS (
+        SELECT regexp_extract(flags, '-B (\S+)', 1) AS grp,
+          FLOOR(post * 1e9 + 0.5) AS r, err * 2.0 AS w, bat
+        FROM parsed),
+      ing AS (
+        SELECT grp, COUNT(*) AS n,
+          CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sum_w,
+          CAST(SUM(CAST(w * r * r AS DECIMAL(38,0))) AS DOUBLE) AS chi2,
+          MIN(bat) AS bat_lo, MAX(bat) AS bat_hi
+        FROM g GROUP BY 1),
+      direct AS (
+        SELECT event_type AS grp,
+          CAST(SUM(CAST(((event_id % 10) * 2 + 3)
+            * CAST(FLOOR(value * 100) AS DOUBLE)
+            * CAST(FLOOR(value * 100) AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS chi2_direct
+        FROM e GROUP BY 1)
+      SELECT i.grp, i.n, i.sum_w, i.chi2, SQRT(i.chi2 / i.sum_w) AS wrms,
+        i.bat_lo, i.bat_hi, d.chi2_direct, i.chi2 - d.chi2_direct AS chi2_diff
+      FROM ing i JOIN direct d USING (grp)
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128, q131, q133, q141)
+    q127, q128, q131, q133, q141, q143, q144, q145, q146)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no
@@ -2046,8 +2403,11 @@ object SignalQueries {
           // half-boundary where Spark's shortest-repr rounding and DuckDB's
           // exact-binary rounding disagree (a measured 1e-9-level Cramer
           // divergence with fractional grids; q131's round-9 hash failure).
-          // value carries exactly 2 decimal places, so floor(value·100) is
-          // the deterministic integer response both engines agree on.
+          // floor(value·100) is the deterministic integer response both
+          // engines agree on bitwise (identical IEEE chain; value·100.0
+          // often lands an ulp below the true cents integer, so this is
+          // a deterministic quantization, NOT exact cents recovery —
+          // exactness is not what the gate needs, determinism is).
           pmod(col("event_id"), lit(13L)).cast("double").as("x1"),
           cents(col("value")).as("y"),
           (lit(1.0) + pmod(col("event_id"), lit(10L)).cast("double")).as("w"))
@@ -2113,8 +2473,9 @@ object SignalQueries {
     * O(groups) everything after. The per-row residual path
     * (`TimingFit.residuals3`) is spec-pinned on a planted-coefficient
     * recovery. FULLY integer grid — covariate (q128), weight (integer
-    * 1+id%10, not its reciprocal) AND response (floor(value·100), exact:
-    * value carries 2 decimal places): every per-row product w·xᵢ·xⱼ(·y)
+    * 1+id%10, not its reciprocal) AND response (floor(value·100) — a
+    * deterministic integer quantization, not exact cents recovery; both
+    * engines run the identical IEEE chain): every per-row product w·xᵢ·xⱼ(·y)
     * is an integer < 2^53, so the DECIMAL(38,6) cast is lossless in both
     * engines and the χ² = syy − βᵀb cancellation is bitwise
     * reproducible. The round-9 fractional form (w = 1/(1+id%10), raw y)

@@ -42,7 +42,18 @@ object VectorQueries {
   /** Shared k-means‖ seed-round CTE prefix (q140/q142): null-filtered
     * base (mirroring the Spark side's vec_id/embedding filters — the
     * null gate may someday inject embedding nulls), md5-minimal seed,
-    * per-point d² to the seed, decimal φ. */
+    * per-point d² to the seed, decimal φ.
+    *
+    * PRECONDITION: vec_id is unique (the embeddings table's key
+    * contract — gen_sf.py shifts ids per replica, gen_nulls.py never
+    * nulls keys). The ORACLE leans on it three ways: `d`'s GROUP BY
+    * vec_id would sum d² across duplicate-id rows, `cv`-style joins on
+    * vec_id would fan out, and ROW_NUMBER over md5(vec_id) has no
+    * tiebreak between equal ids. The ENGINE side is duplicate-safe
+    * (hash + element-wise vec sort, commit e2961c0); a future gate that
+    * injects duplicate ids would need the oracle re-keyed on
+    * (vec_id, embedding) with the same vec tiebreak — it would be the
+    * oracle failing, not the engine. */
   private val seedPoolCtes =
     s"""eb AS (
         SELECT vec_id, embedding FROM embeddings

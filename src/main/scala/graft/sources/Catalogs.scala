@@ -77,15 +77,19 @@ object Catalogs {
                 decFallback: org.apache.spark.sql.Column): DataFrame = {
     val dim = broadcast(catalog.select(col("name").as("__cat_name"),
       col("rajd").as("__rajd"), col("decjd").as("__decjd")))
-    // the par route resolves only as a PAIR: a half-parsed fallback (ra
+    // BOTH routes resolve only as a PAIR: a half-parsed fallback (ra
     // without dec) must not leak one real coordinate under a null
-    // pos_source — "null means neither route resolved" is the contract
+    // pos_source — "null means neither route resolved" is the contract —
+    // and a partially-null catalogue row (possible when the caller built
+    // the catalog DataFrame elsewhere; positionsFromText can't produce
+    // one) must not mix catalogue ra with par dec under 'catalog'
     val parOk = raFallback.isNotNull && decFallback.isNotNull
+    val catOk = col("__rajd").isNotNull && col("__decjd").isNotNull
     obs.join(dim, obs(nameCol) === dim("__cat_name"), "left")
-      .withColumn("ra_deg", coalesce(col("__rajd"), when(parOk, raFallback)))
-      .withColumn("dec_deg", coalesce(col("__decjd"), when(parOk, decFallback)))
+      .withColumn("ra_deg", coalesce(when(catOk, col("__rajd")), when(parOk, raFallback)))
+      .withColumn("dec_deg", coalesce(when(catOk, col("__decjd")), when(parOk, decFallback)))
       .withColumn("pos_source",
-        when(col("__rajd").isNotNull, "catalog")
+        when(catOk, "catalog")
           .when(parOk, "par")
           .otherwise(lit(null).cast("string")))
       .drop("__cat_name", "__rajd", "__decjd")

@@ -166,6 +166,30 @@ class BpeSpec extends SparkSpec {
     assert(m.encodeWord(sample).mkString === sample)
   }
 
+  test("capped-vocab head training agrees with full-vocab training on head merges") {
+    // 10 head words at freq 200 (lowercase) + 3000 tail words at freq 1
+    // (uppercase — disjoint alphabet, so no tail pair shares a symbol
+    // with a head pair). Tail pairs sum to ~40 weighted occurrences at
+    // most (3000 words x 9 positions / 676 bigrams), so every merge
+    // drawn while freq-200 head candidates remain MUST come from the
+    // head — the region the capped model is contractually exact on.
+    val rnd = new java.util.Random(11L)
+    val headWords = (0 until 10).map(_ =>
+      (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val tailWords = (0 until 3000).map(_ =>
+      (0 until 10).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString)
+    val corpus = (headWords.flatMap(w => Seq.fill(200)(w)) ++ tailWords)
+      .grouped(100).map(_.mkString(" ")).toSeq.toDF("text").localCheckpoint()
+    val full = Bpe.train(corpus, "text", numMerges = 40, minFreq = 2)
+    // the 3010-word table estimates ~2 MB; a 100 kB budget forces the
+    // cap and keeps ~150 top words — all ten freq-200 head words in
+    val capped = Bpe.train(corpus, "text", numMerges = 40, minFreq = 2,
+      driverByteBudget = 100000L)
+    assert(full.merges.length === 40)
+    assert(capped.merges.take(20) === full.merges.take(20),
+      "head merges (freq >= 200, far above any tail pair) must be unaffected by the cap")
+  }
+
   test("unicode astral symbols: driver and distributed paths agree (code-point tiebreak)") {
     // U+10400 (astral) vs U+FFFD: UTF-16 code-unit order and code-point
     // order DISAGREE on these two, so a String.compareTo tiebreak in

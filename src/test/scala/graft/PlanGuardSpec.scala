@@ -102,6 +102,57 @@ class PlanGuardSpec extends SparkSpec {
       "q100 must not fall back to a full per-group window sort")
   }
 
+  test("fact-fact skew: AQE skew-join split fires on a planted hot key (SURVEY §5)") {
+    // SURVEY §5 claims "fact-fact joins shuffle on join keys with AQE
+    // skew handling" — this pins the wiring: a hot key big enough to
+    // trip the (test-lowered) skew thresholds must show the split
+    // marker in the FINAL adaptive plan. An isolated newSession keeps
+    // the lowered thresholds away from concurrently-running suites;
+    // production sizes differ only in the threshold constants, which
+    // are size policy, not mechanism.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, lpad, when}
+    // key 0 holds 50k of 60k rows with a ~200 B payload (~10 MB in one
+    // shuffle partition vs kB-sized siblings); 200 cold keys around it
+    val left = s.range(0, 60000).select(
+      when($"id" < 50000, 0L).otherwise($"id" % 200 + 1).as("k"),
+      concat(lit("x"), lpad($"id".cast("string"), 200, "p")).as("pay"))
+    val right = s.range(0, 201).select($"id".as("k"), lit(1).as("v"))
+    val j = left.join(right, "k")
+    // execute THIS dataset (count() would spawn its own QueryExecution
+    // and leave j's adaptive plan unfinalized)
+    assert(j.collect().length === 60000)
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("skew=true") || planStr.contains("skewed"),
+      s"expected the AQE skew-split marker in the final adaptive plan:\n$planStr")
+  }
+
+  test("autoSalted: hot keys ride the salted branch, cold keys the plain join") {
+    import spark.implicits._
+    val left = (Seq.fill(500)(("hot", 1)) ++ (1 to 50).map(i => (s"c$i", i)))
+      .toDF("k", "payload")
+    val right = (Seq(("hot", 9)) ++ (1 to 50).map(i => (s"c$i", -i))).toDF("k", "v")
+    val routed = graft.operators.SkewJoin.autoSalted(
+      left, right, "k", scatterCol = "payload", saltBuckets = 8, heavyThreshold = 100L)
+    // semantics: identical to the plain join
+    val plain = left.join(right, "k")
+    assert(routed.count() === plain.count())
+    assert(routed.select("k", "payload", "v").except(plain.select("k", "payload", "v")).isEmpty)
+    // plan: the salted branch (right side exploded across salt buckets)
+    // AND the zero-replication plain branch both present under the union
+    val planStr = routed.queryExecution.sparkPlan.toString
+    assert(planStr.toLowerCase.contains("union"), "routing must union the two branches")
+    assert(planStr.contains("explode") || planStr.contains("Generate"),
+      "the hot branch must scatter via the exploded salt sequence")
+  }
+
   test("q113 incremental dedup: band-keyed joins only, candidate keys read from checkpoint") {
     val sp = sparkPlan("q113_dedup_incremental")
     assert(sp.collect { case e: BroadcastNestedLoopJoinExec => e }.isEmpty,

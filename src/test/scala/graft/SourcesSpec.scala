@@ -44,6 +44,28 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("ParFile.parseColumn: column-level typing, null rows and non-entries drop") {
+    val df = Seq(
+      (1L, "F0 9.59444 1 1.2e-7"),
+      (2L, "E 0.828011"),
+      (3L, "NITS 1"),                 // ignored param
+      (4L, "F1 -2.0d-17 1"),          // lowercase d: string (case-sensitive D fix)
+      (5L, null.asInstanceOf[String]),
+      (6L, "TAU +42"),
+    ).toDF("id", "l")
+    val out = ParFile.parseColumn(df, "id", "l")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L, 6L))
+    assert(out(1L) === (("F0", "f", Some(9.59444), Some(1.2e-7))))
+    assert(out(2L)._1 === "ECC")
+    assert(out(4L) === (("F1", "s", None, None)))
+    assert(out(6L) === (("TAU", "d", Some(42.0), None)))
+  }
+
   test("SkewJoin.salted matches plain join results") {
     val left = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("key", "id")
     val right = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "tag")
