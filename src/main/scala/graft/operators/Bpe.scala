@@ -161,19 +161,31 @@ object Bpe {
         .orderBy(col("n").desc, md5(col("w").cast("binary")).asc)
         .limit(math.min(k, Int.MaxValue.toLong).toInt)
         .as[(String, Long)]
+      def measure(h: Dataset[(String, Long)]): (Long, Long, Long) = h
+        .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)),
+          coalesce(max(length(col("w"))).cast("long"), lit(0L)))
+        .as[(Long, Long, Long)].head()
       var k = math.max(1L, (driverByteBudget / avgCost).toLong).min(nWords)
       var h = head(k)
-      var (hWords, hChars) = h
-        .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
-        .as[(Long, Long)].head()
+      var (hWords, hChars, hMaxLen) = measure(h)
       var tries = 0
       while (hChars * 48L + hWords * 200L > driverByteBudget && k > 1L && tries < 4) {
-        k = math.max(1L, k * driverByteBudget / math.max(hChars * 48L + hWords * 200L, 1L))
+        // shrink by the overshoot ratio IN DOUBLE: k * budget as a Long
+        // product overflows at real budgets (k ~1e8 x budget ~1e11)
+        val est = math.max(hChars * 48L + hWords * 200L, 1L)
+        k = math.max(1L, (k * (driverByteBudget.toDouble / est)).toLong)
         h = head(k)
-        val hh = h.agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
-          .as[(Long, Long)].head()
-        hWords = hh._1; hChars = hh._2
+        val m = measure(h); hWords = m._1; hChars = m._2; hMaxLen = m._3
         tries += 1
+      }
+      if (hChars * 48L + hWords * 200L > driverByteBudget) {
+        // convergence backstop — the budget is a CONTRACT, not a hint:
+        // bound k by the worst-case per-word cost observed in the
+        // current head (a smaller head is a PREFIX of this one under
+        // the same deterministic ordering, so its max word length can
+        // only shrink) — guaranteed to fit, no further measurement
+        k = math.max(1L, driverByteBudget / (48L * math.max(hMaxLen, 1L) + 200L))
+        h = head(k)
       }
       val kept = h.collect()
       val keptMass = kept.iterator.map(_._2).sum

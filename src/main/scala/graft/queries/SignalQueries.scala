@@ -556,13 +556,16 @@ object SignalQueries {
       )
       // pair-materializing form, so it carries the loud output bound: a
       // densified axis (100× both sides on the same time range = 10,000×
-      // pairs) raise_errors naming the worst bin instead of materializing
-      // a quadratic output; 1e9 pairs/bin is ~3 orders above the worst
-      // sf1 bin. The guard is a 1-row broadcast off the pair hot path
-      // (PlanGuardSpec pins it).
+      // pairs) raise_errors instead of materializing a quadratic output.
+      // The budget bounds TOTAL pairs across bins (round-11 guard
+      // semantics): measured 1.25e7 total at sf0.1, ~2.4e8 at sf1 (the
+      // 19× densification slope), so 2e11 keeps ~3 orders of headroom
+      // over sf1 — legitimate 10× data growth passes, a 100×-densified
+      // axis (≈2.4e12) fails loudly. The guard is a 1-row broadcast off
+      // the pair hot path (PlanGuardSpec pins it).
       graft.operators.RangeJoin
         .pointInInterval(ev, iv, "mts", "valid_from", "valid_to",
-          binWidth = 2L * 86400L * 1000000L, pairBudget = Some(1000000000L))
+          binWidth = 2L * 86400L * 1000000L, pairBudget = Some(200000000000L))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_pairs"), sum("user_id").as("sum_user"))
     },

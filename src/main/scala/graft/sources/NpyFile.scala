@@ -96,18 +96,20 @@ object NpyFile {
       s"npy: payload truncated (${bytes.length} B for $n x $width B + header ${h.dataOffset} B)")
     val buf = ByteBuffer.wrap(bytes, h.dataOffset, (n * width).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
+    // dispatch once on the loop-invariant dtype, not once per element
+    val decode: Int => Double = h.descr match {
+      case "<f8" => i => buf.getDouble(h.dataOffset + i * 8)
+      case "<f4" => i => buf.getFloat(h.dataOffset + i * 4).toDouble
+      case "<i8" => i => buf.getLong(h.dataOffset + i * 8).toDouble
+      case "<i4" => i => buf.getInt(h.dataOffset + i * 4).toDouble
+      case "<i2" => i => buf.getShort(h.dataOffset + i * 2).toDouble
+      case "|i1" | "<i1" => i => bytes(h.dataOffset + i).toDouble
+      case _ => i => (bytes(h.dataOffset + i) & 0xff).toDouble // u1/b1
+    }
     val out = new Array[Double](n.toInt)
     var i = 0
     while (i < out.length) {
-      out(i) = h.descr match {
-        case "<f8" => buf.getDouble(h.dataOffset + i * 8)
-        case "<f4" => buf.getFloat(h.dataOffset + i * 4).toDouble
-        case "<i8" => buf.getLong(h.dataOffset + i * 8).toDouble
-        case "<i4" => buf.getInt(h.dataOffset + i * 4).toDouble
-        case "<i2" => buf.getShort(h.dataOffset + i * 2).toDouble
-        case "|i1" | "<i1" => bytes(h.dataOffset + i).toDouble
-        case _ => (bytes(h.dataOffset + i) & 0xff).toDouble // u1/b1
-      }
+      out(i) = decode(i)
       i += 1
     }
     out

@@ -3,7 +3,6 @@ package graft.sources
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** Pulsar ephemeris (.par) key-value config parsing with typed coercion —
   * the engine-level form of `binary_tools.read_par` (binary_tools.py:26):
@@ -75,17 +74,10 @@ object ParFile {
     * fixed vs scientific vs string, D→E exponents, E→ECC rename,
     * fit-flag-aware uncertainty column) in SQL against lines fabricated
     * from table columns, so the typing table stays cross-checked. */
-  def parseColumn(df: DataFrame, idCol: String, lineCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.filter(col(idCol).isNotNull && col(lineCol).isNotNull)
-      .select(col(idCol).cast("long"), col(lineCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, l) =>
-        parseLine(l).map(e => (id, e.param, e.raw, e.valueType, e.numValue, e.err))
-      }
-      .toDF("line_id", "param", "raw", "value_type", "num_value", "err")
-  }
+  def parseColumn(df: DataFrame, idCol: String, lineCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, lineCol) { (id, l) =>
+      parseLine(l).map(e => (id, e.param, e.raw, e.valueType, e.numValue, e.err))
+    }.toDF("line_id", "param", "raw", "value_type", "num_value", "err")
 
   /** Convenience: entries → (param → numeric value) map, like the
     * reference's dict. Driver-side; for small ephemerides only. */

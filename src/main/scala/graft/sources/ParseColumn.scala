@@ -1,0 +1,22 @@
+package graft.sources
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.col
+
+/** The shared column-level parser shape behind `ParFile.parseColumn`,
+  * `ResidualFile.parseColumn` and `ProjectConfig.parseColumn` (the
+  * q143/q145/q146 fabricated-text oracle entry points): one place owns
+  * the (id, text) contract — null rows drop, the id casts to long, the
+  * text to string, and the per-row parser fans out via a typed flatMap. */
+private[sources] object ParseColumn {
+  def rows[T <: Product: TypeTag](df: DataFrame, idCol: String, textCol: String)(
+      f: (Long, String) => IterableOnce[T]): Dataset[T] = {
+    implicit val enc: Encoder[T] = Encoders.product[T]
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMap { case (id, t) => f(id, t) }
+  }
+}

@@ -59,17 +59,10 @@ object ProjectConfig {
 
   /** Column-level form for fabricated-text oracling (q145): each
     * (id, config-text) row parses to its post-override key/value rows. */
-  def parseColumn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        parse(t).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
-      }
-      .toDF("cfg_id", "key", "value")
-  }
+  def parseColumn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, textCol) { (id, t) =>
+      parse(t).toSeq.sortBy(_._1).map { case (k, v) => (id, k, v) }
+    }.toDF("cfg_id", "key", "value")
 
   /** Distributed load: one row per (config file, surviving key) with the
     * project name taken from the file basename. */

@@ -3,7 +3,6 @@ package graft.sources
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** tempo2 `general2` residual interchange — the text the reference's
   * wrapper emits per archive (tempo2_wrapper.sh:37:
@@ -58,15 +57,8 @@ object ResidualFile {
 
   /** Column-level form for fabricated-text oracling (q146): each
     * (id, line) row parses to zero-or-one typed residual row. */
-  def parseColumn(df: DataFrame, idCol: String, lineCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.filter(col(idCol).isNotNull && col(lineCol).isNotNull)
-      .select(col(idCol).cast("long"), col(lineCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, l) =>
-        parseLine(l).map(r => (id, r.bat, r.post, r.err, r.freq, r.postPhase, r.flags))
-      }
-      .toDF("toa_id", "bat", "post", "err", "freq", "post_phase", "flags")
-  }
+  def parseColumn(df: DataFrame, idCol: String, lineCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, lineCol) { (id, l) =>
+      parseLine(l).map(r => (id, r.bat, r.post, r.err, r.freq, r.postPhase, r.flags))
+    }.toDF("toa_id", "bat", "post", "err", "freq", "post_phase", "flags")
 }

@@ -101,6 +101,20 @@ class CoordsCatalogSpec extends SparkSpec {
     val h = Catalogs.withRaDec(half, "psr", cat, col("ra_par"), col("dec_par")).head()
     assert(h.isNullAt(h.fieldIndex("ra_deg")) && h.isNullAt(h.fieldIndex("dec_deg"))
       && h.isNullAt(h.fieldIndex("pos_source")))
+    // HALF-NULL catalogue row (rajd set, decjd null — possible when the
+    // caller built the catalog frame elsewhere; positionsFromText can't
+    // produce one): the catalogue route must resolve as a PAIR too — no
+    // mixing catalogue ra with par dec under pos_source='catalog'
+    // (advisor finding, round 11)
+    val halfCat = Seq(("J2222+2222", Some(200.0), Option.empty[Double]))
+      .toDF("name", "rajd", "decjd")
+    val hc = Catalogs.withRaDec(
+      Seq(("J2222+2222", 10.0, -20.0)).toDF("psr", "ra_par", "dec_par"),
+      "psr", halfCat, col("ra_par"), col("dec_par")).head()
+    assert(hc.getDouble(hc.fieldIndex("ra_deg")) === 10.0 &&
+      hc.getDouble(hc.fieldIndex("dec_deg")) === -20.0 &&
+      hc.getString(hc.fieldIndex("pos_source")) === "par",
+      "a partially-null catalogue row must fall through to the par PAIR")
     // malformed catalogue lines fail loudly, not as silent drops
     intercept[IllegalArgumentException] {
       Catalogs.positionsFromText(spark, "J0835-4510 128.8")

@@ -146,6 +146,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(keyed == naivePairs(extraKey = true))
   }
 
+  test("pairBudget bounds the TOTAL across bins: no single bin over, sum over") {
+    // 10 bins, each 20 points x 20 intervals = 400 pairs/bin — every bin
+    // under a 500 budget, but the 4000-pair total is not: the round-11
+    // total-sum branch must fire with the total/bin-count message
+    val pts = (0 until 200).map(i => (i.toLong, (i % 10) * 100L + i % 20)).toDF("p_id", "p")
+    val ivs = (0 until 200).map(i => (i.toLong, (i % 10) * 100L, (i % 10) * 100L + 99L))
+      .toDF("i_id", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, ivs, "p", "s", "e",
+        binWidth = 100, pairBudget = Some(500L)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("4000 total candidate pairs")
+      && m.contains("10 bins") && m.contains("pairBudget=500")
+      && m.contains("worst bin")), s"got: ${messages(ex)}")
+    // the same data passes at a budget >= the total, output unchanged
+    val ok = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e",
+        binWidth = 100, pairBudget = Some(4000L))
+      .select("p_id", "i_id").count()
+    assert(ok === 4000L)
+  }
+
   test("pairBudget guard stays off the per-pair hot path (1-row broadcast side)") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
