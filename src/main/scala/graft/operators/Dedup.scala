@@ -439,10 +439,20 @@ object Dedup {
     // (Heaps'-law unbounded — typos/URLs/numbers), far past the 8 GB
     // broadcast ceiling on a real corpus; the join is already keyed on
     // the same exploded shape, so a shuffle join is the scale plan
+    // localCheckpoint: `ordered` is referenced FOUR times below (both
+    // prefix sides, both verify token-set sides) and Spark does not CSE
+    // duplicated subtrees across self-joins — without the barrier the
+    // tokenize + freq-join + per-doc sort chain plans (and runs) four
+    // times (the round-10 plan was 85 nodes with three extra corpus
+    // scans; the r11 sf1 pairing showed the fixed multi-stage cost IS
+    // q80's whole runtime). Materializing the per-doc ordered-token
+    // frame once is strictly cheaper at any scale — it is the
+    // operator's working set, read four ways.
     val ordered = toks.join(freq, Seq("w"))
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("__f"), col("w")))).as("__ord"),
         count(lit(1)).as("__sz"))
+      .localCheckpoint()
     val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
     val prefixes = ordered.select(col("doc"),
       explode(slice(transform(col("__ord"), s => s.getField("w")), lit(1), prefixLen)).as("pw"))

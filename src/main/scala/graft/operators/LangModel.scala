@@ -43,12 +43,20 @@ object LangModel {
     * driver-side value is `vocab` (a scalar count — unavoidable and
     * cheap); the count tables stay distributed. */
   def train(corpus: DataFrame, textCol: String): Model = {
+    // localCheckpoint: the count tables ARE the model — `bigrams` is
+    // read twice per scoring pass (bigram join + context aggregate) and
+    // `unigrams` once more for the vocab scalar; without the barrier
+    // each reference re-tokenizes the training corpus (Spark does not
+    // CSE duplicated subtrees — the q80 similarityJoin lesson).
+    // Materializing the vocab-sized tables once replaces three corpus
+    // explodes with one at any scale.
     val words = corpus.select(posexplode(split(col(textCol), " ")).as(Seq("__p", "w")))
-    val unigrams = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val unigrams = words.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
     val bigrams = corpus
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     Model(unigrams, bigrams, unigrams.count())
   }
 

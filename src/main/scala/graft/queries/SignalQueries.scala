@@ -557,12 +557,16 @@ object SignalQueries {
       // pair-materializing form, so it carries the loud output bound: a
       // densified axis (100× both sides on the same time range = 10,000×
       // pairs) raise_errors instead of materializing a quadratic output.
-      // The budget bounds TOTAL pairs across bins (round-11 guard
-      // semantics): measured 1.25e7 total at sf0.1, ~2.4e8 at sf1 (the
-      // 19× densification slope), so 2e11 keeps ~3 orders of headroom
-      // over sf1 — legitimate 10× data growth passes, a 100×-densified
-      // axis (≈2.4e12) fails loudly. The guard is a 1-row broadcast off
-      // the pair hot path (PlanGuardSpec pins it).
+      // The budget bounds TOTAL CANDIDATE pairs across bins (round-11
+      // guard semantics): measured 2.49e9 candidates at sf1 (the guard's
+      // own message — 1201 bins, worst 2.96e6; matched output is 19×
+      // smaller), so 2e11 keeps ~80× headroom over sf1. q56's time axis
+      // maps events into a FIXED date range, so data growth IS
+      // densification here: another ~10× step (≈2.5e11 candidates)
+      // crosses the budget and fails loudly — exactly the quadratic
+      // blowup the guard exists to name; q88 stays the routed linear
+      // form. The guard is a 1-row broadcast off the pair hot path
+      // (PlanGuardSpec pins it).
       graft.operators.RangeJoin
         .pointInInterval(ev, iv, "mts", "valid_from", "valid_to",
           binWidth = 2L * 86400L * 1000000L, pairBudget = Some(200000000000L))
