@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   *    prior rounds — the lineage trap documented on
   *    Dedup.resolveClusters) — correct but one Spark job per merge.
   *
-  * Both paths produce identical merges: the argmax tiebreak is
+  * The driver and distributed EXACT paths produce identical merges
+  * (the capped head is by construction an approximation above the
+  * budget — it disloses loudly and callers whose oracle replays exact
+  * full-vocab BPE, q129/q130, pin `capVocab = false`): the argmax
+  * tiebreak is
   * (freq desc, pair asc) with pair order compared BY CODE POINT — the
   * order Spark's UTF8String binary comparison yields — not by UTF-16
   * code unit (String.compareTo), which disagrees for astral-plane

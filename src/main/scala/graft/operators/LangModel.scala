@@ -43,20 +43,25 @@ object LangModel {
     * driver-side value is `vocab` (a scalar count — unavoidable and
     * cheap); the count tables stay distributed. */
   def train(corpus: DataFrame, textCol: String): Model = {
-    // localCheckpoint: the count tables ARE the model — `bigrams` is
-    // read twice per scoring pass (bigram join + context aggregate) and
-    // `unigrams` once more for the vocab scalar; without the barrier
+    // persist + materialize: the count tables ARE the model — `bigrams`
+    // is read twice per scoring pass (bigram join + context aggregate)
+    // and `unigrams` once more for the vocab scalar; without a barrier
     // each reference re-tokenizes the training corpus (Spark does not
     // CSE duplicated subtrees — the q80 similarityJoin lesson).
-    // Materializing the vocab-sized tables once replaces three corpus
-    // explodes with one at any scale.
+    // persist (NOT localCheckpoint): a Model is a long-lived handle the
+    // caller keeps across jobs, and localCheckpoint deletes lineage —
+    // one lost executor would permanently break the model; the cache
+    // gives the same single-tokenization reuse while keeping the
+    // recompute path for fault recovery.
     val words = corpus.select(posexplode(split(col(textCol), " ")).as(Seq("__p", "w")))
-    val unigrams = words.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+    val unigrams = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigrams = corpus
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigrams.count() // materialize the cache before the scalar below
     Model(unigrams, bigrams, unigrams.count())
   }
 

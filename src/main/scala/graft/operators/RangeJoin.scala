@@ -145,7 +145,10 @@ object RangeJoin {
             col("__np"), col("__ni"))
           .agg(max(col("__pairs")).as("__max_pairs"),
             sum(col("__pairs")).as("__tot_pairs"),
-            count(lit(1)).as("__n_bins"),
+            // distinct BINS, not (bin, keys) groups — with extraKeys the
+            // group count would over-report the bin count the skew
+            // message diagnoses with
+            countDistinct(col("__b")).as("__n_bins"),
             max_by(struct(col("__b"), col("__np"), col("__ni")), col("__pairs")).as("__w"))
           .filter(
             // single CASE chain: binary ops short-circuit null left

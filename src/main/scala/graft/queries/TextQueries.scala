@@ -1817,7 +1817,11 @@ object TextQueries {
         .parallelized(Tables.documents(s, dir), "doc_id",
           minBytes = Tables.TextHeavyMinBytes)
         .select(regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
-      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L)
+      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L,
+        // the oracle replays EXACT full-vocab BPE: pin the exact route
+        // so a corpus that ever outgrew the driver budget would fall
+        // back to the exact distributed loop, never the capped head
+        capVocab = false)
       import s.implicits._
       model.merges.zipWithIndex
         .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
@@ -1935,7 +1939,11 @@ object TextQueries {
           minBytes = Tables.TextHeavyMinBytes)
         .select(col("doc_id"),
           regexp_replace(lower(col("text")), "[^a-z]+", " ").as("t"))
-      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L)
+      val model = Bpe.train(docs, "t", numMerges = 5, minFreq = 2L,
+        // the oracle replays EXACT full-vocab BPE: pin the exact route
+        // so a corpus that ever outgrew the driver budget would fall
+        // back to the exact distributed loop, never the capped head
+        capVocab = false)
       Bpe.encode(docs, "t", "doc_id", model)
         .select(col("doc_id"), col("n_bpe_tokens"),
           array_join(col("bpe_tokens"), " ").as("tokens_str"))

@@ -51,7 +51,12 @@ object NpyFile {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val (headerLen, headerStart) = major match {
       case 1 => ((buf.getShort(8) & 0xffff).toLong, 10)
-      case 2 | 3 => ((buf.getInt(8) & 0xffffffffL), 12)
+      case 2 | 3 =>
+        // v2+ carries a uint32 length: the magic+version check above only
+        // guarantees 10 bytes — a truncated v2 stub must get the loud
+        // message, not an IndexOutOfBounds from getInt
+        require(bytes.length >= 12, s"npy: file too short for a v$major header (${bytes.length} B)")
+        ((buf.getInt(8) & 0xffffffffL), 12)
       case v => throw new IllegalArgumentException(s"npy: unsupported major version $v")
     }
     require(headerStart + headerLen <= bytes.length,
@@ -118,6 +123,11 @@ object NpyFile {
   /** Serialize doubles as a v1.0 `<f8` 1-D npy file (the round-trip
     * writer: what [[doubles]] parses, numpy.load also reads). */
   def bytes(values: Array[Double]): Array[Byte] = {
+    // the whole stream must fit one JVM byte array: 8 B/value + header
+    // would overflow Int arithmetic past ~268M values — refuse loudly
+    // (the parser's 'exceed a JVM array' contract, write side)
+    require(values.length <= (Int.MaxValue - 1024) / 8,
+      s"npy: ${values.length} doubles exceed a single JVM byte array")
     val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': (${values.length},), }"
     // magic(6) + version(2) + len(2) + dict + pad + '\n', 64-aligned
     val unpadded = 10 + dict.length + 1

@@ -14,8 +14,12 @@ private[sources] object ParseColumn {
   def rows[T <: Product: TypeTag](df: DataFrame, idCol: String, textCol: String)(
       f: (Long, String) => IterableOnce[T]): Dataset[T] = {
     implicit val enc: Encoder[T] = Encoders.product[T]
-    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // cast FIRST, null-filter the casted values: an id that exists but
+    // doesn't cast to long (a string key, an overflowing decimal) must
+    // DROP like a null row per the contract — filtering the raw column
+    // would pass it through and crash the non-nullable Long encoder
+    df.select(col(idCol).cast("long").as("__id"), col(textCol).cast("string").as("__t"))
+      .filter(col("__id").isNotNull && col("__t").isNotNull)
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .flatMap { case (id, t) => f(id, t) }
   }

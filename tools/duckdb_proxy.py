@@ -45,9 +45,13 @@ def main():
         times[name] = best
         print(f"{name} {best:.2f}s", flush=True)
     total = sum(times.values())
+    # a DNF shrinks the sum — the total only means something when every
+    # query finished; comparisons must go per-query (or check this flag)
     result = {"metric": "duckdb_proxy_total", "value": total, "unit": "sec",
+              "total_valid": not failed,
               "queries": times, "failed": failed, "sf": sf_dir}
     print(json.dumps({"metric": "duckdb_proxy_total", "value": total,
+                      "total_valid": not failed,
                       "n_queries": len(times), "n_failed": len(failed)}))
     if out_path:
         json.dump(result, open(out_path, "w"), indent=1)
