@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *
   * The driver and distributed EXACT paths produce identical merges
   * (the capped head is by construction an approximation above the
-  * budget — it disloses loudly and callers whose oracle replays exact
+  * budget — it discloses loudly and callers whose oracle replays exact
   * full-vocab BPE, q129/q130, pin `capVocab = false`): the argmax
   * tiebreak is
   * (freq desc, pair asc) with pair order compared BY CODE POINT — the

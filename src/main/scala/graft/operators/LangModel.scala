@@ -43,25 +43,27 @@ object LangModel {
     * driver-side value is `vocab` (a scalar count — unavoidable and
     * cheap); the count tables stay distributed. */
   def train(corpus: DataFrame, textCol: String): Model = {
-    // persist + materialize: the count tables ARE the model — `bigrams`
-    // is read twice per scoring pass (bigram join + context aggregate)
-    // and `unigrams` once more for the vocab scalar; without a barrier
-    // each reference re-tokenizes the training corpus (Spark does not
-    // CSE duplicated subtrees — the q80 similarityJoin lesson).
-    // persist (NOT localCheckpoint): a Model is a long-lived handle the
-    // caller keeps across jobs, and localCheckpoint deletes lineage —
-    // one lost executor would permanently break the model; the cache
-    // gives the same single-tokenization reuse while keeping the
-    // recompute path for fault recovery.
+    // localCheckpoint on `bigrams`: it is read twice per scoring pass
+    // (bigram join + context aggregate) and without a barrier each
+    // reference re-tokenizes the training corpus (Spark does not CSE
+    // duplicated subtrees — the q80 similarityJoin lesson). `unigrams`
+    // is read exactly once (the vocab scalar) — no barrier can help it.
+    // localCheckpoint, not persist: persist would alias identical plans
+    // through the CacheManager ACROSS train() calls — a same-session
+    // re-train would silently reuse (possibly stale) cached counts and
+    // a benchmark rerun would measure cache hits, not the model build —
+    // and it needs an unpersist lifecycle no lazy caller owns. The
+    // trade: lineage truncation means a lost executor breaks a
+    // long-lived Model; a deployment holding Models across sessions
+    // should instead checkpoint to reliable storage (or persist and own
+    // the unpersist), which is a deployment policy, not this builder's.
     val words = corpus.select(posexplode(split(col(textCol), " ")).as(Seq("__p", "w")))
     val unigrams = words.groupBy("w").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigrams = corpus
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bigrams.count() // materialize the cache before the scalar below
+      .localCheckpoint()
     Model(unigrams, bigrams, unigrams.count())
   }
 

@@ -1168,17 +1168,19 @@ object SignalQueries {
         lit("  #indented comment"))
       val kv = graft.sources.ProjectConfig.parseColumn(
         sup.select(sk.as("cfg_id"), txt.as("cfg_text")), "cfg_id", "cfg_text")
-      // localCheckpoint: `wide` feeds BOTH decimationPlans and the final
-      // join — without the barrier the kv-parse + pivot subtree plans
-      // twice (the q80/q91 non-CSE lesson; dim-sized here, but the
-      // pattern should not regress by example)
+      // `wide` feeds BOTH decimationPlans and the final join, so the
+      // kv-parse + pivot subtree plans twice (no CSE across self-joins
+      // — the q80/q91 lesson). Deliberately NOT checkpointed: the frame
+      // is config-dim-sized, the duplicated subtree costs microseconds,
+      // and an eager barrier would add a whole scheduled job to a
+      // sub-second query — the q80/q91 barriers pay off because THEIR
+      // duplicated subtrees are corpus-sized.
       val wide = kv.groupBy("cfg_id").agg(
         max(when(col("key") === "user", col("value"))).as("cfg_user"),
         max(when(col("key") === "pipe", col("value"))).as("pipe"),
         max(when(col("key") === "rfi_alg", col("value"))).as("rfi_alg"),
         max(when(col("key") === "output_path", col("value"))).as("output_path"),
         max(when(col("key") === "flags", col("value"))).as("flags"))
-        .localCheckpoint()
       val plans = graft.sources.ProjectConfig.decimationPlans(wide, "cfg_id", "flags")
       wide.join(plans, "cfg_id")
         .select(col("cfg_id"), col("cfg_user"), col("pipe"), col("rfi_alg"),
