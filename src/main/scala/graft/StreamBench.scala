@@ -1,0 +1,163 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.streaming.EventStream
+
+/** Streaming micro-bench (round-12 evidence, STREAMING.md): drives three
+  * stateful operators — D9 `deduplicatedNearMinHash`, D11
+  * `windowedHeavyHitters`, D22/D23 `ivfIngested`→`ivfClusterBalance` —
+  * through MemoryStream at a base input size and at 10× it, and reports
+  * per-leg throughput (rows/s) plus state-store size (rows and bytes,
+  * final and peak across micro-batches).
+  *
+  * The point being measured is the D section's bounded-state claim:
+  * event time advances 100 ms per row, so a 10× LONGER stream covers a
+  * 10× longer horizon while the 30-minute watermark keeps only the live
+  * tail in state — state size should stay ~flat (bounded by
+  * buckets-in-horizon / open-windows × shards / open-windows × nlist,
+  * never by total rows ingested), while throughput holds or improves as
+  * fixed micro-batch overhead amortizes. Inputs derive from the real
+  * test tables (document texts, embedding vectors) cycled with shifted
+  * ids and fabricated monotone timestamps; the sink is noop so the
+  * bench times the operators, not result materialization.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_STREAM_N=<base>
+  *        runMain graft.StreamBench  (defaults: sf0.01 tables, N=50000)
+  */
+object StreamBench {
+
+  private case class Leg(op: String, rows: Long, secs: Double,
+                         stateRowsFinal: Long, stateBytesFinal: Long,
+                         stateRowsPeak: Long, stateBytesPeak: Long) {
+    def rowsPerSec: Double = rows / secs
+    def json: String =
+      s"""{"op":${JsonText.quote(op)},"rows":$rows,"secs":${f"$secs%.2f"},""" +
+        s""""rows_per_sec":${f"$rowsPerSec%.0f"},"state_rows_final":$stateRowsFinal,""" +
+        s""""state_bytes_final":$stateBytesFinal,"state_rows_peak":$stateRowsPeak,""" +
+        s""""state_bytes_peak":$stateBytesPeak}"""
+  }
+
+  /** Feed `chunks` through `addChunk`+processAllAvailable, timing the
+    * whole drain; sample state metrics after every micro-batch. */
+  private def drive[T](q: StreamingQuery, chunks: Seq[Seq[T]], add: Seq[T] => Unit,
+                       op: String, total: Long): Leg = {
+    var peakRows = 0L
+    var peakBytes = 0L
+    var finRows = 0L
+    var finBytes = 0L
+    val t0 = System.nanoTime()
+    chunks.foreach { c =>
+      add(c)
+      q.processAllAvailable()
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      val r = so.map(_.numRowsTotal).sum
+      val b = so.map(_.memoryUsedBytes).sum
+      if (r > peakRows) peakRows = r
+      if (b > peakBytes) peakBytes = b
+      finRows = r; finBytes = b
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    Leg(op, total, secs, finRows, finBytes, peakRows, peakBytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val baseN = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "50000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // source material from the real tables (bounded driver pulls)
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(substring(col("text"), 1, 240).as("t")).as[String]
+      .filter(_ != null).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("embedding").as[Seq[Float]].collect()
+    val dim = vecs.head.length
+    val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    def ts(i: Int) = new Timestamp(baseMs + i.toLong * 100L) // 100 ms cadence
+
+    // IVF model trained once on the real embeddings (the batch half)
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val model = graft.operators.IvfPq.train(embDf, "vec_id", "embedding",
+      dim = dim, nlist = 16, m = 8, k = 16, iters = 2)
+    // materialize codebooks so training cost stays out of the timed legs
+    model.coarse.collect(); model.pq.collect()
+
+    def chunksOf[T](xs: IndexedSeq[T], n: Int): Seq[Seq[T]] =
+      xs.grouped(math.max(1, xs.length / n)).map(_.toSeq).toSeq
+
+    def nearDupLeg(n: Int): Leg = {
+      val rows: IndexedSeq[(Long, Timestamp, String)] = (0 until n).map { i =>
+        // every 4th doc reuses the previous text (a near-dup the operator
+        // should drop); others cycle the corpus with a unique suffix
+        val base = texts((i - i % 4) % texts.length)
+        val t = if (i % 4 != 0) base else base + " u" + i
+        (i.toLong, ts(i), t)
+      }
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = EventStream.deduplicatedNearMinHash(
+          mem.toDF().toDF("doc_id", "ts", "text"), "text")
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      try drive(q, chunksOf(rows, 10), (c: Seq[(Long, Timestamp, String)]) => { mem.addData(c: _*); () },
+        s"D9 deduplicatedNearMinHash n=$n", n.toLong)
+      finally q.stop()
+    }
+
+    def hhLeg(n: Int): Leg = {
+      val rows: IndexedSeq[EventStream.Event] = (0 until n).map { i =>
+        // zipf-ish key skew: low user ids hit far more often
+        val u = (i % 7) * (i % 11) * (i % 13) % 997
+        EventStream.Event(i.toLong, ts(i), u.toLong, s"type${i % 5}", (i % 100).toDouble)
+      }
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.windowedHeavyHitters(mem.toDS(), _.user_id.toString,
+          windowSeconds = 600, capacity = 32, shards = 32)
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      try drive(q, chunksOf(rows, 10), (c: Seq[EventStream.Event]) => { mem.addData(c: _*); () },
+        s"D11 windowedHeavyHitters n=$n", n.toLong)
+      finally q.stop()
+    }
+
+    def ivfLeg(n: Int): Leg = {
+      val rows: IndexedSeq[(Long, Timestamp, Seq[Float])] = (0 until n).map { i =>
+        (i.toLong, ts(i), vecs(i % vecs.length))
+      }
+      val mem = MemoryStream[(Long, Timestamp, Seq[Float])]
+      val q = EventStream.ivfClusterBalance(
+          mem.toDF().toDF("vec_id", "ts", "embedding"), "ts", "vec_id", "embedding", model)
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      try drive(q, chunksOf(rows, 10), (c: Seq[(Long, Timestamp, Seq[Float])]) => { mem.addData(c: _*); () },
+        s"D22/D23 ivfIngested+balance n=$n", n.toLong)
+      finally q.stop()
+    }
+
+    val legs = Seq(baseN, baseN * 10).flatMap { n =>
+      Seq(nearDupLeg(n), hhLeg(n), ivfLeg(n))
+    }
+    legs.foreach(l => println(
+      f"${l.op}%-42s ${l.rows}%9d rows ${l.secs}%7.2f s ${l.rowsPerSec}%9.0f rows/s " +
+        f"state ${l.stateRowsFinal}%7d rows / ${l.stateBytesFinal}%10d B (peak ${l.stateRowsPeak}%7d / ${l.stateBytesPeak}%10d)"))
+    val line = "{\"metric\":\"stream_bench\",\"legs\":[" + legs.map(_.json).mkString(",") + s"""],"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "/tmp/stream_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[stream-bench] could not write $outFile: ${e.getMessage}") }
+    spark.stop()
+  }
+}

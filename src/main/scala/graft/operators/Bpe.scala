@@ -52,8 +52,18 @@ object Bpe {
   private[operators] def symbols(word: String): Vector[String] =
     word.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
 
-  /** Learned merges, in application order. */
-  final case class Model(merges: Seq[(String, String)]) {
+  /** Learned merges, in application order.
+    *
+    * `cappedVocab`/`droppedWords`/`droppedMassPct` record whether the
+    * capped-head route fired during training (and how much of the
+    * vocabulary/corpus word mass the truncation excluded), so a caller
+    * can programmatically distinguish an exact model from an
+    * approximate one instead of relying on the stderr disclosure. An
+    * exactly-trained model carries (false, 0, 0.0). */
+  final case class Model(merges: Seq[(String, String)],
+                         cappedVocab: Boolean = false,
+                         droppedWords: Long = 0L,
+                         droppedMassPct: Double = 0.0) {
     // built once per (deserialized) model, NOT once per word — encode
     // calls encodeWord per corpus word and a per-call toMap of a
     // 10k-merge model would dominate tokenization cost
@@ -115,7 +125,10 @@ object Bpe {
     * standard capped-vocab practice: pair frequencies are dominated by
     * the head (Zipf), so top-ranked merges are unaffected by dropping
     * the long tail — BpeSpec pins head-merge agreement against the
-    * full-vocab model. A 100 TB web corpus WILL exceed any driver
+    * full-vocab model. When the cap fires the returned Model records it
+    * (`cappedVocab = true` plus dropped word count / corpus-mass
+    * percentage), so callers can detect the approximation in code, not
+    * just on stderr. A 100 TB web corpus WILL exceed any driver
     * budget, and the exact alternative (`capVocab = false` → the
     * distributed per-merge loop) costs one Spark job per merge — hours
     * of scheduler overhead at real vocab sizes — so the capped head is
@@ -201,7 +214,10 @@ object Bpe {
         f"truncation) covering $pct%.2f%% of corpus word mass. Tail-only " +
         f"merges are excluded by construction; pass capVocab = false for " +
         f"the exact distributed loop (one Spark job per merge).")
-      trainDriver(kept, numMerges, minFreq)
+      trainDriver(kept, numMerges, minFreq).copy(
+        cappedVocab = true,
+        droppedWords = nWords - kept.length,
+        droppedMassPct = 100.0 - pct)
     } else {
       // Loud fallback: per-round Spark jobs are hours of scheduler
       // overhead at real vocab sizes — the exact route for when the

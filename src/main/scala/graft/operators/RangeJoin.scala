@@ -80,8 +80,22 @@ object RangeJoin {
     * q88_interval_agg form). Reach for `pointInInterval` only when the
     * pairs themselves are the product.
     *
+    * PERF (round-12 profile, SCALING.md): when the pair stream feeds an
+    * aggregate, the per-matched-pair key cost is first-order — a STRING
+    * group key hashed once per 1.25e9 pairs was 4 s of q56's 12 s at
+    * sf1, while the candidate loop itself outran DuckDB's whole query.
+    * Dictionary-encode low-cardinality string keys around the join
+    * (pure-function surrogate like xxhash64 — the dict subtree plans
+    * twice across the join-back, so positional ids would disagree;
+    * null-safe <=> dict join keeps null-key rows), as q56 does.
+    *
     * `pairBudget` (opt-in) bounds that output — the TOTAL candidate-pair
-    * count: per-(bin, keys) products `n_points × n_intervals` are
+    * count. COMPATIBILITY NOTE: before round 11 the same parameter
+    * bounded the WORST PER-BIN product; it now bounds the SUM over all
+    * bins (strictly stricter for the same value — a budget calibrated to
+    * the old per-bin meaning can only fail LOUDLY earlier, never let a
+    * larger output through silently; recalibrate by multiplying by the
+    * expected bin count). Mechanically: per-(bin, keys) products `n_points × n_intervals` are
     * pre-counted on both sides and the job raise_errors when their SUM
     * over all bins exceeds the budget (naming the single worst bin and
     * its two counts when that bin alone blows it — the skew diagnosis)

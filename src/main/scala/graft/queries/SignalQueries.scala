@@ -559,19 +559,38 @@ object SignalQueries {
       // pairs) raise_errors instead of materializing a quadratic output.
       // The budget bounds TOTAL CANDIDATE pairs across bins (round-11
       // guard semantics): measured 2.49e9 candidates at sf1 (the guard's
-      // own message — 1201 bins, worst 2.96e6; matched output is 19×
-      // smaller), so 2e11 keeps ~80× headroom over sf1. q56's time axis
-      // maps events into a FIXED date range, so data growth IS
-      // densification here: another ~10× step (≈2.5e11 candidates)
-      // crosses the budget and fails loudly — exactly the quadratic
-      // blowup the guard exists to name; q88 stays the routed linear
-      // form. The guard is a 1-row broadcast off the pair hot path
+      // own message — 1201 bins, worst 2.96e6; matched output is 1.25e9,
+      // exactly the uniform-model half), so 2e11 keeps ~80× headroom over
+      // sf1. q56's time axis maps events into a FIXED date range, so data
+      // growth IS densification here: another ~10× step (≈2.5e11
+      // candidates) crosses the budget and fails loudly — exactly the
+      // quadratic blowup the guard exists to name; q88 stays the routed
+      // linear form. The guard is a 1-row broadcast off the pair hot path
       // (PlanGuardSpec pins it).
+      //
+      // The group key is DICTIONARY-ENCODED around the pair join (round-12
+      // profile): hashing + probing a STRING key once per matched pair was
+      // 4.0 s of the 12.1 s sf1 runtime (count-only join: 3.6 s — the
+      // 2.49e9-candidate loop itself OUTRUNS DuckDB's whole query), so the
+      // pair stream aggregates on a long surrogate and the 5-row result
+      // joins the strings back. The surrogate must be a PURE FUNCTION of
+      // the value (xxhash64), not positional (monotonically_increasing_id):
+      // the dict subtree plans twice across the self-join and positional
+      // ids would disagree between the copies. The dict join is null-SAFE
+      // (<=>) so a null priority keeps its pair rows and surfaces as the
+      // null group, exactly as the direct groupBy would.
+      val dict = iv.select("o_orderpriority").distinct()
+        .withColumn("pid", xxhash64(col("o_orderpriority")))
+      val iv2 = iv.join(broadcast(dict),
+          iv("o_orderpriority") <=> dict("o_orderpriority"))
+        .select(dict("pid"), iv("valid_from"), iv("valid_to"))
       graft.operators.RangeJoin
-        .pointInInterval(ev, iv, "mts", "valid_from", "valid_to",
+        .pointInInterval(ev, iv2, "mts", "valid_from", "valid_to",
           binWidth = 2L * 86400L * 1000000L, pairBudget = Some(200000000000L))
-        .groupBy("o_orderpriority")
+        .groupBy("pid")
         .agg(count(lit(1)).as("n_pairs"), sum("user_id").as("sum_user"))
+        .join(broadcast(dict), "pid")
+        .select(col("o_orderpriority"), col("n_pairs"), col("sum_user"))
     },
     Some("""
       WITH ev AS (
@@ -994,9 +1013,11 @@ object SignalQueries {
     * case-sensitive so '1.5d-16' classifies as string, while the
     * e-vs-f test uppercases FIRST), fit-flag '0'/'1' suppression in
     * 3-token lines, and '+'-signed integers. The oracle replays the
-    * split/filter/classification generically — note the int probe must
-    * be a regex, not TRY_CAST (DuckDB casts '5.0' to BIGINT 5; Scala
-    * `toLong` throws). */
+    * split/filter/classification generically — the int probe is a regex
+    * (TRY_CAST alone would admit '5.0', which DuckDB casts to BIGINT 5
+    * while Scala `toLong` throws) AND'd with TRY_CAST(raw AS BIGINT) so
+    * a >Long.MaxValue digit string falls through to the float branch on
+    * BOTH sides, mirroring the engine's Try(toLong) overflow path. */
   private lazy val q143 = Q(
     "q143_par_typing",
     (s, dir) => {
@@ -1057,7 +1078,7 @@ object SignalQueries {
       typed AS (
         SELECT line_id, param, raw, t, n,
           CASE
-            WHEN regexp_matches(raw, '^[+-]?[0-9]+$') THEN 'd'
+            WHEN regexp_matches(raw, '^[+-]?[0-9]+$') AND TRY_CAST(raw AS BIGINT) IS NOT NULL THEN 'd'
             WHEN TRY_CAST(replace(raw, 'D', 'E') AS DOUBLE) IS NOT NULL THEN
               CASE WHEN contains(replace(upper(raw), 'D', 'E'), 'E') THEN 'e' ELSE 'f' END
             ELSE 's'
@@ -1346,10 +1367,174 @@ object SignalQueries {
     """),
   )
 
+  /** B23→oracle: `KEY VALUE` observation-header parsing
+    * (`HeaderFile.parseColumn` — get_listinfo, fluxcal_meerkat.py:20,
+    * the obs.header / Tsky-table reader). One fabricated header per
+    * customer exercising every parse rule: `#` comments (indented too),
+    * blank lines, leading whitespace before a key, key-only lines
+    * (drop), values with internal spaces (split at the FIRST whitespace
+    * run only), multi-space key/value separators, a duplicate key whose
+    * LAST occurrence wins (the dict build), and two lines fabricated
+    * from nullable columns (c_mktsegment, c_nationkey) so the nulls
+    * gate exercises the concat_ws null-line skip on both sides. The
+    * flatMap goes through HeaderFile.parse itself. Scale: dim-sized
+    * parse fan-out, no shuffle before the compare. */
+  private lazy val q147 = Q(
+    "q147_header_parse",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val ck = col("c_custkey")
+      val txt = concat_ws("\n",
+        lit("# obs.header (fabricated)"),
+        concat(lit("SOURCE J"), pmod(ck, lit(24)), lit("M"), pmod(ck, lit(60))),
+        lit("  TELESCOPE MeerKAT"),
+        concat(lit("BW "), pmod(ck, lit(856)) + 544),
+        concat(lit("NCHAN "), (pmod(ck, lit(4)) + 1) * 1024),
+        concat(lit("SOURCE J"), pmod(ck, lit(7)), lit("DUP")),
+        concat(lit("SEGMENT "), col("c_mktsegment")),
+        lit("KEYONLY"),
+        lit(""),
+        lit("   # indented comment"),
+        concat(lit("TIED_BEAM "), pmod(ck, lit(2)), lit(" "), pmod(ck, lit(3)), lit(" coherent")),
+        concat(lit("NANT   "), col("c_nationkey") + 8))
+      graft.sources.HeaderFile.parseColumn(
+        c.select(ck.as("hdr_id"), txt.as("hdr_text")), "hdr_id", "hdr_text")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey AS hdr_id, c_mktsegment, c_nationkey FROM customer
+        WHERE c_custkey IS NOT NULL),
+      hdrs AS (
+        SELECT hdr_id, [
+          '# obs.header (fabricated)',
+          'SOURCE J' || CAST(hdr_id % 24 AS VARCHAR) || 'M' || CAST(hdr_id % 60 AS VARCHAR),
+          '  TELESCOPE MeerKAT',
+          'BW ' || CAST(hdr_id % 856 + 544 AS VARCHAR),
+          'NCHAN ' || CAST((hdr_id % 4 + 1) * 1024 AS VARCHAR),
+          'SOURCE J' || CAST(hdr_id % 7 AS VARCHAR) || 'DUP',
+          'SEGMENT ' || c_mktsegment,
+          'KEYONLY',
+          '',
+          '   # indented comment',
+          'TIED_BEAM ' || CAST(hdr_id % 2 AS VARCHAR) || ' ' || CAST(hdr_id % 3 AS VARCHAR) || ' coherent',
+          'NANT   ' || CAST(c_nationkey + 8 AS VARCHAR)
+        ] AS ls FROM c),
+      lines AS (
+        SELECT hdr_id, i, trim(ls[i]) AS l
+        FROM hdrs, UNNEST(generate_series(1, len(ls))) AS u(i)),
+      kv AS (
+        SELECT hdr_id, i,
+          regexp_extract(l, '^(\S+)\s+(.*)$', 1) AS key,
+          trim(regexp_extract(l, '^(\S+)\s+(.*)$', 2)) AS value
+        FROM lines
+        WHERE l IS NOT NULL AND l <> '' AND NOT starts_with(l, '#')
+          AND regexp_matches(l, '^\S+\s+\S')),
+      last AS (
+        SELECT hdr_id, key, arg_max(value, i) AS value FROM kv GROUP BY 1, 2)
+      SELECT hdr_id, key, value FROM last
+    """),
+  )
+
+  /** B26→oracle: psrflux dynamic-spectrum parsing + zap accounting
+    * (`DynspecFile.parseColumn` — the np.loadtxt format
+    * calc_dynspec_zap_fraction reads, archive_utils.py:118). One
+    * fabricated dynspec line per non-null event exercising comments
+    * (indented too), blank lines, short (<6 token) lines, an extra
+    * trailing token (ignored — usecols semantics), and the zap rule's
+    * AND (flux==0 with nonzero error is NOT zapped, and vice versa);
+    * flux rides the value column on the exact .25 grid so sums stay
+    * integer-exact. Grouped to the per-band zap-fraction table the
+    * reference computes per archive. Scale: one fact pass, map-side
+    * combined. (Round-12 lesson pinned in DynspecFile's scaladoc: the
+    * first cut parsed with a Column `split`/`element_at` chain and ran
+    * 9 s at sf1 — Catalyst's projection collapse inlines the split into
+    * every consumer — vs 1.3 s for the same work as the typed flatMap
+    * the other interchange parsers already use.) */
+  private lazy val q148 = Q(
+    "q148_dynspec_zap",
+    (s, dir) => {
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val eid = col("event_id")
+      val m = pmod(eid, lit(17))
+      val tidx = pmod(eid, lit(96))
+      val cidx = pmod(eid, lit(928))
+      val z = pmod(eid, lit(13))
+      val flux = when(z === 0, lit("0"))
+        .when(z === 1, lit("0.0"))
+        .when(z === 2, lit("-3.25"))
+        .otherwise(concat(cents(col("value")).cast("long"), lit(".25")))
+      val ferr = when(z === 0, lit("0"))
+        .when(z === 1, lit("2.5"))
+        .when(z === 2, lit("0.0"))
+        .otherwise(concat(pmod(eid, lit(9)) + 1, lit(".5")))
+      val full6 = concat_ws(" ", tidx, cidx, concat(tidx * 8, lit(".0")),
+        concat(cidx + 856, lit(".5")), flux, ferr)
+      val line = when(m === 0, lit("# DynSpec (fabricated)"))
+        .when(m === 1, lit("   # indented comment"))
+        .when(m === 2, lit(""))
+        .when(m === 3, lit("1 2 3.0 4.0 5.0"))
+        .when(m === 4, concat(full6, lit(" 99")))
+        .otherwise(full6)
+      val cells = graft.sources.DynspecFile.parseColumn(
+        e.select(eid.as("cell_id"), line.as("ds_line")), "cell_id", "ds_line")
+      cells
+        .groupBy(pmod(col("chan_idx"), lit(8)).as("band"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("zapped").cast("long")).as("n_zapped"),
+          (sum(col("zapped").cast("long")) / count(lit(1))).as("zap_frac"),
+          dsumInt(col("flux") * 4).as("sum_flux4"),
+          min(col("time_s")).as("t_lo"),
+          max(col("freq_mhz")).as("f_hi"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, value FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      lines AS (
+        SELECT event_id AS cell_id,
+          CASE event_id % 17
+            WHEN 0 THEN '# DynSpec (fabricated)'
+            WHEN 1 THEN '   # indented comment'
+            WHEN 2 THEN ''
+            WHEN 3 THEN '1 2 3.0 4.0 5.0'
+            ELSE
+              CAST(event_id % 96 AS VARCHAR) || ' ' ||
+              CAST(event_id % 928 AS VARCHAR) || ' ' ||
+              CAST(event_id % 96 * 8 AS VARCHAR) || '.0 ' ||
+              CAST(event_id % 928 + 856 AS VARCHAR) || '.5 ' ||
+              CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN '0.0' WHEN 2 THEN '-3.25'
+                ELSE CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || '.25' END || ' ' ||
+              CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN '2.5' WHEN 2 THEN '0.0'
+                ELSE CAST(event_id % 9 + 1 AS VARCHAR) || '.5' END ||
+              CASE WHEN event_id % 17 = 4 THEN ' 99' ELSE '' END
+          END AS l
+        FROM e),
+      tok AS (
+        SELECT cell_id, regexp_split_to_array(trim(l), '\s+') AS t
+        FROM lines
+        WHERE NOT starts_with(trim(l), '#') AND length(trim(l)) > 0),
+      cells AS (
+        SELECT cell_id,
+          CAST(t[1] AS INTEGER) AS time_idx, CAST(t[2] AS INTEGER) AS chan_idx,
+          CAST(t[3] AS DOUBLE) AS time_s, CAST(t[4] AS DOUBLE) AS freq_mhz,
+          CAST(t[5] AS DOUBLE) AS flux, CAST(t[6] AS DOUBLE) AS flux_err
+        FROM tok WHERE len(t) >= 6)
+      SELECT chan_idx % 8 AS band, COUNT(*) AS n_cells,
+        CAST(SUM(CASE WHEN flux = 0.0 AND flux_err = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zapped,
+        CAST(SUM(CASE WHEN flux = 0.0 AND flux_err = 0.0 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS zap_frac,
+        CAST(SUM(CAST(flux * 4 AS DECIMAL(38,0))) AS DOUBLE) AS sum_flux4,
+        MIN(time_s) AS t_lo, MAX(freq_mhz) AS f_hi
+      FROM cells GROUP BY 1
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128, q131, q133, q141, q143, q144, q145, q146)
+    q127, q128, q131, q133, q141, q143, q144, q145, q146, q147, q148)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no

@@ -8,27 +8,57 @@ import org.apache.spark.sql.functions._
   * (archive_utils.py:118): `#`-comment lines, then columns
   * (time_idx, chan_idx, time_s, freq_mhz, flux, flux_err); a cell is
   * zapped when flux == 0 AND flux_err == 0 (columns 4 and 5).
+  *
+  * Parsing is a per-row Scala function fanned out through a typed
+  * flatMap (the ParFile/ResidualFile/ProjectConfig shape) rather than a
+  * Column-expression chain: a chain of `split`/`element_at`/`cast`
+  * projections gets INLINED into every consumer when Catalyst collapses
+  * projections — measured 9 s for 1M rows at sf1 (the regex split and
+  * the line expression re-evaluated per referencing column) vs 1.3 s
+  * for the identical work as one flatMap. Malformed numeric tokens
+  * throw (np.loadtxt raises on garbage too); comments, blanks and
+  * short (<6 token) lines drop; extra trailing tokens are ignored
+  * (usecols semantics).
   */
 object DynspecFile {
 
+  final case class Cell(time_idx: Int, chan_idx: Int, time_s: Double,
+                        freq_mhz: Double, flux: Double, flux_err: Double) {
+    def zapped: Boolean = flux == 0.0 && flux_err == 0.0
+  }
+
+  /** One text line → zero or one typed cell. np.loadtxt also accepts
+    * whitespace-indented comment lines, so trim BEFORE the comment
+    * test. */
+  def parseLine(line: String): Option[Cell] = {
+    val l = line.trim
+    if (l.isEmpty || l.startsWith("#")) return None
+    val t = l.split("\\s+")
+    if (t.length < 6) return None
+    Some(Cell(t(0).toInt, t(1).toInt, t(2).toDouble,
+      t(3).toDouble, t(4).toDouble, t(5).toDouble))
+  }
+
   /** Distributed parse of one or many dynspec files. */
   def load(spark: SparkSession, path: String): DataFrame = {
-    spark.read.text(path)
-      // trim before the comment test: np.loadtxt also accepts
-      // whitespace-indented comment lines
-      .filter(!trim(col("value")).startsWith("#") && length(trim(col("value"))) > 0)
-      .select(split(trim(col("value")), "\\s+").as("f"))
-      .filter(size(col("f")) >= 6)
-      .select(
-        element_at(col("f"), 1).cast("int").as("time_idx"),
-        element_at(col("f"), 2).cast("int").as("chan_idx"),
-        element_at(col("f"), 3).cast("double").as("time_s"),
-        element_at(col("f"), 4).cast("double").as("freq_mhz"),
-        element_at(col("f"), 5).cast("double").as("flux"),
-        element_at(col("f"), 6).cast("double").as("flux_err"),
-      )
-      .withColumn("zapped", col("flux") === 0.0 && col("flux_err") === 0.0)
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => parseLine(l).map(c =>
+        (c.time_idx, c.chan_idx, c.time_s, c.freq_mhz, c.flux, c.flux_err, c.zapped)))
+      .toDF("time_idx", "chan_idx", "time_s", "freq_mhz", "flux", "flux_err", "zapped")
   }
+
+  /** Column-level form of [[load]]: each (id, line) row parses to zero
+    * or one typed dynspec cell row through [[parseLine]] itself —
+    * q148's oracle cross-checks the production parser, not a copy.
+    * Null ids/lines drop and the id casts to long (the ParseColumn
+    * contract shared with ParFile/ResidualFile). */
+  def parseColumn(df: DataFrame, idCol: String, lineCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, lineCol) { (id, l) =>
+      parseLine(l).map(c =>
+        (id, c.time_idx, c.chan_idx, c.time_s, c.freq_mhz, c.flux, c.flux_err, c.zapped))
+    }.toDF("cell_id", "time_idx", "chan_idx", "time_s", "freq_mhz", "flux",
+      "flux_err", "zapped")
 
   /** Zapped-cell fraction (archive_utils.py:118), distributed. An empty
     * dynspec (headers only) yields 0.0 rather than a null-unboxing NPE. */

@@ -97,4 +97,18 @@ object HeaderFile {
         val parts = l.split("\\s+", 2)
         if (parts.length == 2) Some(parts(0) -> parts(1).trim) else None
       }.toMap
+
+  /** Column-level form of [[parse]]: each (id, header-text) row fans out
+    * to one row per parsed key — blank lines, `#` comments (indented
+    * ones too) and key-only lines drop; the value is everything past the
+    * first whitespace run; duplicate keys keep the LAST occurrence (the
+    * Map build — exactly what get_listinfo's dict comprehension does).
+    * The flatMap goes through [[parse]] itself, so q147's oracle
+    * cross-checks the production parser, not a re-implementation. Row
+    * order within a header is Map-iteration order (unordered contract —
+    * the driver compare sorts). */
+  def parseColumn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, textCol) { (id, t) =>
+      parse(t).map { case (k, v) => (id, k, v) }
+    }.toDF("hdr_id", "key", "value")
 }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions.col
 
 /** The shared column-level parser shape behind `ParFile.parseColumn`,
-  * `ResidualFile.parseColumn` and `ProjectConfig.parseColumn` (the
-  * q143/q145/q146 fabricated-text oracle entry points): one place owns
+  * `ResidualFile.parseColumn`, `ProjectConfig.parseColumn`,
+  * `HeaderFile.parseColumn` and `DynspecFile.parseColumn` (the
+  * q143/q145/q146/q147/q148 fabricated-text oracle entry points): one place owns
   * the (id, text) contract — null rows drop, the id casts to long, the
   * text to string, and the per-row parser fans out via a typed flatMap. */
 private[sources] object ParseColumn {

@@ -9,8 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `-output general2 -s "{bat} {post} {err} {freq} {post_phase}
   * {flags}\n" -outfile <archive>.residual`): five numeric columns —
   * barycentric arrival time (MJD), postfit residual (s), its error (ns),
-  * frequency (MHz), postfit residual in phase — then the TOA flags,
-  * verbatim to end of line (zero or more `-key value` tokens). Existing
+  * frequency (MHz), postfit residual in phase — then the TOA flags to
+  * end of line (zero or more `-key value` tokens), carried with
+  * whitespace runs normalized to single spaces (the line is tokenized
+  * on `\s+` and re-joined — token semantics survive, original spacing
+  * does not). Existing
   * `.residual` files produced by tempo2 runs ingest through this source
   * for comparison against graft's own fit diagnostics (q131/q146).
   *

@@ -186,8 +186,22 @@ class BpeSpec extends SparkSpec {
     val capped = Bpe.train(corpus, "text", numMerges = 40, minFreq = 2,
       driverByteBudget = 100000L)
     assert(full.merges.length === 40)
-    assert(capped.merges.take(20) === full.merges.take(20),
-      "head merges (freq >= 200, far above any tail pair) must be unaffected by the cap")
+    // The head supplies 70 freq-200 merge candidates (10 words x 7
+    // intra-word merges each, disjoint alphabet from the tail), so ALL
+    // 40 requested merges come from the head in BOTH models — the first
+    // permitted divergence index is 71, past the end of this run.
+    // Asserting full agreement (not a prefix) characterizes the
+    // boundary: a regression in the head-truncation ordering would
+    // surface as a mismatch anywhere in the 40.
+    assert(capped.merges === full.merges,
+      "all 40 merges draw from the freq-200 head (70 candidates deep), so the capped " +
+        "model must agree on every one — divergence is only permitted past merge 70")
+    // the returned Model records the approximation programmatically
+    assert(!full.cappedVocab && full.droppedWords === 0L)
+    assert(capped.cappedVocab, "cap fired (2 MB table vs 100 kB budget) but Model does not say so")
+    // ~150 of 3010 words kept -> ~2860 dropped; tail mass 3000 of 5000
+    assert(capped.droppedWords > 2500L && capped.droppedWords < 3010L)
+    assert(capped.droppedMassPct > 0.0 && capped.droppedMassPct < 100.0)
   }
 
   test("unicode astral symbols: driver and distributed paths agree (code-point tiebreak)") {
