@@ -36,9 +36,12 @@ object StreamBench {
                          stateRowsFinal: Long, stateBytesFinal: Long,
                          stateRowsPeak: Long, stateBytesPeak: Long) {
     def rowsPerSec: Double = rows / secs
+    // locale-independent number rendering (an f"" interpolator would
+    // emit comma decimals — invalid JSON — under e.g. de_DE; Bench.scala
+    // writes raw Double toString for the same reason)
     def json: String =
-      s"""{"op":${JsonText.quote(op)},"rows":$rows,"secs":${f"$secs%.2f"},""" +
-        s""""rows_per_sec":${f"$rowsPerSec%.0f"},"state_rows_final":$stateRowsFinal,""" +
+      s"""{"op":${JsonText.quote(op)},"rows":$rows,"secs":${math.rint(secs * 100) / 100},""" +
+        s""""rows_per_sec":${math.rint(rowsPerSec)},"state_rows_final":$stateRowsFinal,""" +
         s""""state_bytes_final":$stateBytesFinal,"state_rows_peak":$stateRowsPeak,""" +
         s""""state_bytes_peak":$stateBytesPeak}"""
   }
@@ -104,8 +107,10 @@ object StreamBench {
 
     def nearDupLeg(n: Int): Leg = {
       val rows: IndexedSeq[(Long, Timestamp, String)] = (0 until n).map { i =>
-        // every 4th doc reuses the previous text (a near-dup the operator
-        // should drop); others cycle the corpus with a unique suffix
+        // docs arrive in groups of four sharing a base text: i%4 in
+        // {1,2,3} repeat the base VERBATIM, i%4==0 appends a unique
+        // suffix (the near-dup) — so the stateful path does real
+        // signature comparisons and real drops in every batch
         val base = texts((i - i % 4) % texts.length)
         val t = if (i % 4 != 0) base else base + " u" + i
         (i.toLong, ts(i), t)

@@ -578,7 +578,13 @@ object SignalQueries {
       // the dict subtree plans twice across the self-join and positional
       // ids would disagree between the copies. The dict join is null-SAFE
       // (<=>) so a null priority keeps its pair rows and surfaces as the
-      // null group, exactly as the direct groupBy would.
+      // null group, exactly as the direct groupBy would. Deliberately NOT
+      // localCheckpointed (which would also lift the pure-function
+      // constraint): the duplicated subtree is one orders scan + a 5-row
+      // distinct (~0.3 s at sf1 against the 7.4 s query), while an eager
+      // barrier adds a whole scheduled job to every run including the
+      // sub-second sf0.1 one — the q145 trade, opposite of q80/q91 whose
+      // duplicated subtrees were corpus-sized compute.
       val dict = iv.select("o_orderpriority").distinct()
         .withColumn("pid", xxhash64(col("o_orderpriority")))
       val iv2 = iv.join(broadcast(dict),
@@ -1448,7 +1454,7 @@ object SignalQueries {
     * combined. (Round-12 lesson pinned in DynspecFile's scaladoc: the
     * first cut parsed with a Column `split`/`element_at` chain and ran
     * 9 s at sf1 — Catalyst's projection collapse inlines the split into
-    * every consumer — vs 1.3 s for the same work as the typed flatMap
+    * every consumer — vs 1.07 s for the same work as the typed flatMap
     * the other interchange parsers already use.) */
   private lazy val q148 = Q(
     "q148_dynspec_zap",

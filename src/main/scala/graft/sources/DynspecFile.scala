@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Column-expression chain: a chain of `split`/`element_at`/`cast`
   * projections gets INLINED into every consumer when Catalyst collapses
   * projections — measured 9 s for 1M rows at sf1 (the regex split and
-  * the line expression re-evaluated per referencing column) vs 1.3 s
+  * the line expression re-evaluated per referencing column) vs 1.07 s
   * for the identical work as one flatMap. Malformed numeric tokens
   * throw (np.loadtxt raises on garbage too); comments, blanks and
   * short (<6 token) lines drop; extra trailing tokens are ignored
