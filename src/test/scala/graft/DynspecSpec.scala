@@ -27,6 +27,46 @@ class DynspecSpec extends SparkSpec {
     assert(DynspecFile.zapFraction(df) == 0.5) // archive_utils.py:118 semantics
   }
 
+  test("DynspecFile.parseColumn: per-line quirks (short lines, indented comments, extra tokens, null ids)") {
+    val rows = Seq(
+      (1L, "0 5 0.0 1283.5 1.5 0.1"),          // plain cell
+      (2L, "  # indented comment"),             // drops (trim before # test)
+      (3L, ""),                                 // blank drops
+      (4L, "1 2 3.0 4.0 5.0"),                  // 5 tokens -> drops
+      (5L, "0 6 0.0 1284.5 0.0 0.0 99 extra"),  // extra tokens ignored, zapped
+      (6L, "0 7 0.0 1285.5 0.0 2.5"),           // flux 0 but err nonzero -> NOT zapped
+      (7L, null),                               // null line drops
+    ).toDF("id", "l")
+    val out = DynspecFile.parseColumn(rows, "id", "l")
+      .select("cell_id", "chan_idx", "zapped").as[(Long, Int, Boolean)].collect().toSet
+    assert(out == Set((1L, 5, false), (5L, 6, true), (6L, 7, false)))
+    // a null id drops its line even when the line itself parses
+    val nullId = Seq((java.lang.Long.valueOf(8L), "0 5 0.0 1283.5 1.5 0.1"),
+      (null.asInstanceOf[java.lang.Long], "0 9 0.0 1283.5 1.5 0.1")).toDF("id", "l")
+    assert(DynspecFile.parseColumn(nullId, "id", "l").count() == 1)
+    // malformed numeric tokens THROW (np.loadtxt raises on garbage too)
+    val bad = Seq((9L, "zero 5 0.0 1283.5 1.5 0.1")).toDF("id", "l")
+    intercept[org.apache.spark.SparkException] {
+      DynspecFile.parseColumn(bad, "id", "l").collect()
+    }
+    ()
+  }
+
+  test("HeaderFile.parseColumn: last-wins duplicates, key-only lines, first-whitespace-run split") {
+    import graft.sources.HeaderFile
+    val hdr = Seq(
+      (1L, "SOURCE J1\nBW   856\nSOURCE J2\nKEYONLY\n  TIED 1 2 coherent\n# c\n\n  # ic"),
+      (2L, null),
+    ).toDF("id", "t")
+    val out = HeaderFile.parseColumn(hdr, "id", "t")
+      .select("hdr_id", "key", "value").as[(Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, "SOURCE", "J2"),       // LAST occurrence wins (the dict build)
+      (1L, "BW", "856"),          // multi-space separator collapses
+      (1L, "TIED", "1 2 coherent"), // split at FIRST whitespace run only
+    ))
+  }
+
   test("TrimEdges drops all-zapped border rows/channels") {
     // grid 4x4; valid cells only in [1..2] x [1..2]
     val cells = for { t <- 0 to 3; c <- 0 to 3 } yield
