@@ -2,7 +2,6 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -72,35 +71,32 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val baseN = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "50000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared factory so the streaming bench runs under the SAME
+    // engine settings as the batch bench it is published beside
+    val spark = GraftSession.getOrCreate()
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    // source material from the real tables (bounded driver pulls)
+    // source material from the real tables (bounded driver pulls; one
+    // source definition for the embeddings table)
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select(substring(col("text"), 1, 240).as("t")).as[String]
       .filter(_ != null).collect()
-    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
-      .select("embedding").as[Seq[Float]].collect()
+    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
+    val vecs = embDf.select("embedding").as[Seq[Float]].collect()
     val dim = vecs.head.length
     val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
     def ts(i: Int) = new Timestamp(baseMs + i.toLong * 100L) // 100 ms cadence
 
-    // IVF model trained once on the real embeddings (the batch half)
-    val embDf = graft.sources.Tables.embeddings(spark, sfDir)
-    val model = graft.operators.IvfPq.train(embDf, "vec_id", "embedding",
+    // IVF model trained ONCE on the real embeddings: the codebooks are
+    // lazy plans, so pin them with an eager localCheckpoint — otherwise
+    // every encodeStateless call (which collects the codebooks into
+    // literals) would re-run Lloyd training
+    val model0 = graft.operators.IvfPq.train(embDf, "vec_id", "embedding",
       dim = dim, nlist = 16, m = 8, k = 16, iters = 2)
-    // materialize codebooks so training cost stays out of the timed legs
-    model.coarse.collect(); model.pq.collect()
+    val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
+      pq = model0.pq.localCheckpoint())
 
     def chunksOf[T](xs: IndexedSeq[T], n: Int): Seq[Seq[T]] =
       xs.grouped(math.max(1, xs.length / n)).map(_.toSeq).toSeq
