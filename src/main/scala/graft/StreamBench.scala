@@ -84,6 +84,8 @@ object StreamBench {
       .filter(_ != null).collect()
     val embDf = graft.sources.Tables.embeddings(spark, sfDir)
     val vecs = embDf.select("embedding").as[Seq[Float]].collect()
+    require(texts.nonEmpty && vecs.nonEmpty,
+      s"$sfDir has no non-null document texts or no embeddings — nothing to stream")
     val dim = vecs.head.length
     val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
@@ -154,7 +156,8 @@ object StreamBench {
     legs.foreach(l => println(
       f"${l.op}%-42s ${l.rows}%9d rows ${l.secs}%7.2f s ${l.rowsPerSec}%9.0f rows/s " +
         f"state ${l.stateRowsFinal}%7d rows / ${l.stateBytesFinal}%10d B (peak ${l.stateRowsPeak}%7d / ${l.stateBytesPeak}%10d)"))
-    val line = "{\"metric\":\"stream_bench\",\"legs\":[" + legs.map(_.json).mkString(",") + s"""],"sf":"$sfDir"}"""
+    val line = "{\"metric\":\"stream_bench\",\"legs\":[" + legs.map(_.json).mkString(",") +
+      s"""],"sf":${JsonText.quote(sfDir)}}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "/tmp/stream_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -72,8 +72,9 @@ object RangeJoin {
     *
     * OUTPUT-BOUND AT SCALE: this form MATERIALIZES every qualifying
     * pair, and on a densifying axis the pair count grows as points ×
-    * intervals (measured 19× on a 10× sf step — q56's SCALING.md row;
-    * that is the output's size, not an inefficiency). If the downstream
+    * intervals (measured ×100.04 candidates on q56's 10× sf step —
+    * SCALING.md round-12 addendum; that is the output's size, not an
+    * inefficiency). If the downstream
     * need is an aggregate per interval/group (counts, sums), use
     * [[aggregatePointsInIntervals]] instead — it folds the pairs inside
     * the join stage and stays linear in the INPUT row counts (the

@@ -29,13 +29,17 @@ object DynspecFile {
 
   /** One text line → zero or one typed cell. np.loadtxt also accepts
     * whitespace-indented comment lines, so trim BEFORE the comment
-    * test. */
+    * test. Index tokens parse through DOUBLE (np.loadtxt reads every
+    * column as float, so a float-writing producer emits `0.0 5.0 ...`
+    * for the index columns — a bare toInt would reject a file the
+    * reference reads fine); truncation toward zero matches numpy's
+    * int conversion. */
   def parseLine(line: String): Option[Cell] = {
     val l = line.trim
     if (l.isEmpty || l.startsWith("#")) return None
     val t = l.split("\\s+")
     if (t.length < 6) return None
-    Some(Cell(t(0).toInt, t(1).toInt, t(2).toDouble,
+    Some(Cell(t(0).toDouble.toInt, t(1).toDouble.toInt, t(2).toDouble,
       t(3).toDouble, t(4).toDouble, t(5).toDouble))
   }
 

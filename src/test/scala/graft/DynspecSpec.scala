@@ -30,6 +30,7 @@ class DynspecSpec extends SparkSpec {
   test("DynspecFile.parseColumn: per-line quirks (short lines, indented comments, extra tokens, null ids)") {
     val rows = Seq(
       (1L, "0 5 0.0 1283.5 1.5 0.1"),          // plain cell
+      (10L, "3.0 11.0 8.0 1284.5 2.5 0.1"),    // float-formatted indices (np.savetxt round-trip)
       (2L, "  # indented comment"),             // drops (trim before # test)
       (3L, ""),                                 // blank drops
       (4L, "1 2 3.0 4.0 5.0"),                  // 5 tokens -> drops
@@ -39,7 +40,7 @@ class DynspecSpec extends SparkSpec {
     ).toDF("id", "l")
     val out = DynspecFile.parseColumn(rows, "id", "l")
       .select("cell_id", "chan_idx", "zapped").as[(Long, Int, Boolean)].collect().toSet
-    assert(out == Set((1L, 5, false), (5L, 6, true), (6L, 7, false)))
+    assert(out == Set((1L, 5, false), (10L, 11, false), (5L, 6, true), (6L, 7, false)))
     // a null id drops its line even when the line itself parses
     val nullId = Seq((java.lang.Long.valueOf(8L), "0 5 0.0 1283.5 1.5 0.1"),
       (null.asInstanceOf[java.lang.Long], "0 9 0.0 1283.5 1.5 0.1")).toDF("id", "l")
