@@ -89,6 +89,14 @@ object RangeJoin {
     * (pure-function surrogate like xxhash64 — the dict subtree plans
     * twice across the join-back, so positional ids would disagree;
     * null-safe <=> dict join keeps null-key rows), as q56 does.
+    * COLLISION CAVEAT: a 64-bit hash collision between two distinct
+    * key values would silently merge their aggregate groups and then
+    * DUPLICATE rows at the dict join-back (the inner join matches both
+    * colliding dict rows). Negligible at dictionary cardinality like
+    * q56's 5 priorities, but when copying the pattern assert
+    * `countDistinct(surrogate) == countDistinct(key)` on the broadcast
+    * dict first — trivially cheap at dict size, and it turns the
+    * silent merge into a loud failure.
     *
     * `pairBudget` (opt-in) bounds that output — the TOTAL candidate-pair
     * count. COMPATIBILITY NOTE: before round 11 the same parameter

@@ -1482,6 +1482,8 @@ object SignalQueries {
         .when(m === 2, lit(""))
         .when(m === 3, lit("1 2 3.0 4.0 5.0"))
         .when(m === 4, concat(full6, lit(" 99")))
+        .when(m === 5, concat(full6, lit(" # psrflux note")))
+        .when(m === 6, lit("1 2 3.0 4.0 5.0 # hash-before-col6 truncates short"))
         .otherwise(full6)
       val cells = graft.sources.DynspecFile.parseColumn(
         e.select(eid.as("cell_id"), line.as("ds_line")), "cell_id", "ds_line")
@@ -1506,6 +1508,7 @@ object SignalQueries {
             WHEN 1 THEN '   # indented comment'
             WHEN 2 THEN ''
             WHEN 3 THEN '1 2 3.0 4.0 5.0'
+            WHEN 6 THEN '1 2 3.0 4.0 5.0 # hash-before-col6 truncates short'
             ELSE
               CAST(event_id % 96 AS VARCHAR) || ' ' ||
               CAST(event_id % 928 AS VARCHAR) || ' ' ||
@@ -1515,13 +1518,14 @@ object SignalQueries {
                 ELSE CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || '.25' END || ' ' ||
               CASE event_id % 13 WHEN 0 THEN '0' WHEN 1 THEN '2.5' WHEN 2 THEN '0.0'
                 ELSE CAST(event_id % 9 + 1 AS VARCHAR) || '.5' END ||
-              CASE WHEN event_id % 17 = 4 THEN ' 99' ELSE '' END
+              CASE WHEN event_id % 17 = 4 THEN ' 99'
+                   WHEN event_id % 17 = 5 THEN ' # psrflux note' ELSE '' END
           END AS l
         FROM e),
       tok AS (
-        SELECT cell_id, regexp_split_to_array(trim(l), '\s+') AS t
+        SELECT cell_id, regexp_split_to_array(trim(split_part(l, '#', 1)), '\s+') AS t
         FROM lines
-        WHERE NOT starts_with(trim(l), '#') AND length(trim(l)) > 0),
+        WHERE length(trim(split_part(l, '#', 1))) > 0),
       cells AS (
         SELECT cell_id,
           CAST(t[1] AS INTEGER) AS time_idx, CAST(t[2] AS INTEGER) AS chan_idx,

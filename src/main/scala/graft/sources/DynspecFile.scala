@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** psrflux dynamic-spectrum text files — the whitespace-separated format
   * `calc_dynspec_zap_fraction` reads with np.loadtxt
-  * (archive_utils.py:118): `#`-comment lines, then columns
+  * (archive_utils.py:118): `#` comments, then columns
   * (time_idx, chan_idx, time_s, freq_mhz, flux, flux_err); a cell is
   * zapped when flux == 0 AND flux_err == 0 (columns 4 and 5).
+  * COMMENT CONTRACT: np.loadtxt truncates each line at the FIRST `#`
+  * wherever it appears (comments='#' default), not only at line start —
+  * so a data line with a trailing `# note` still parses, and a `#`
+  * landing before the 6th column leaves a short line. This parser does
+  * the same truncation; the one disclosed leniency is that short lines
+  * then DROP where np.loadtxt raises a column-count error.
   *
   * Parsing is a per-row Scala function fanned out through a typed
   * flatMap (the ParFile/ResidualFile/ProjectConfig shape) rather than a
@@ -27,16 +33,19 @@ object DynspecFile {
     def zapped: Boolean = flux == 0.0 && flux_err == 0.0
   }
 
-  /** One text line → zero or one typed cell. np.loadtxt also accepts
-    * whitespace-indented comment lines, so trim BEFORE the comment
-    * test. Index tokens parse through DOUBLE (np.loadtxt reads every
+  /** One text line → zero or one typed cell. The line truncates at the
+    * first `#` ANYWHERE (np.loadtxt's comments handling — see the
+    * object scaladoc), which also covers whole-line and
+    * whitespace-indented comments; whatever remains is trimmed before
+    * the emptiness test. Index tokens parse through DOUBLE (np.loadtxt reads every
     * column as float, so a float-writing producer emits `0.0 5.0 ...`
     * for the index columns — a bare toInt would reject a file the
     * reference reads fine); truncation toward zero matches numpy's
     * int conversion. */
   def parseLine(line: String): Option[Cell] = {
-    val l = line.trim
-    if (l.isEmpty || l.startsWith("#")) return None
+    val hash = line.indexOf('#')
+    val l = (if (hash >= 0) line.substring(0, hash) else line).trim
+    if (l.isEmpty) return None
     val t = l.split("\\s+")
     if (t.length < 6) return None
     Some(Cell(t(0).toDouble.toInt, t(1).toDouble.toInt, t(2).toDouble,

@@ -87,7 +87,14 @@ object ParFile {
 
 /** Plain `KEY VALUE` header parsing — `get_listinfo`
   * (scripts/fluxcal_meerkat.py:20), used for obs.header and lookup
-  * tables (e.g. the UHF Tsky table). */
+  * tables (e.g. the UHF Tsky table). BEHAVIOR CONTRACT: a lenient
+  * SUPERSET of get_listinfo, which `line.split()`-unpacks into exactly
+  * two names and so RAISES on blank lines, comments, key-only lines
+  * and >2-token lines. On every line where get_listinfo succeeds
+  * (exactly two whitespace-separated tokens) the two agree; on lines
+  * where it would crash, this parser drops the unusable ones (blank /
+  * `#` / key-only) and keeps multi-token values whole (everything past
+  * the first whitespace run) instead of failing the file. */
 object HeaderFile {
   def parse(text: String): Map[String, String] =
     text.linesIterator
@@ -100,9 +107,11 @@ object HeaderFile {
 
   /** Column-level form of [[parse]]: each (id, header-text) row fans out
     * to one row per parsed key — blank lines, `#` comments (indented
-    * ones too) and key-only lines drop; the value is everything past the
-    * first whitespace run; duplicate keys keep the LAST occurrence (the
-    * Map build — exactly what get_listinfo's dict comprehension does).
+    * ones too) and key-only lines drop (where get_listinfo would raise —
+    * see the object scaladoc's lenient-superset contract); the value is
+    * everything past the first whitespace run; duplicate keys keep the
+    * LAST occurrence (matching get_listinfo's last-assignment-wins dict
+    * build, the one behavior shared verbatim).
     * The flatMap goes through [[parse]] itself, so q147's oracle
     * cross-checks the production parser, not a re-implementation. Row
     * order within a header is Map-iteration order (unordered contract —

@@ -37,10 +37,12 @@ class DynspecSpec extends SparkSpec {
       (5L, "0 6 0.0 1284.5 0.0 0.0 99 extra"),  // extra tokens ignored, zapped
       (6L, "0 7 0.0 1285.5 0.0 2.5"),           // flux 0 but err nonzero -> NOT zapped
       (7L, null),                               // null line drops
+      (11L, "0 8 0.0 1286.5 0.0 0.0 # zapped, trailing comment"), // np.loadtxt truncates at # ANYWHERE
+      (12L, "0 9 0.0 1286.5 1.5 # comment lands before col 6"),   // truncation leaves 5 tokens -> drops
     ).toDF("id", "l")
     val out = DynspecFile.parseColumn(rows, "id", "l")
       .select("cell_id", "chan_idx", "zapped").as[(Long, Int, Boolean)].collect().toSet
-    assert(out == Set((1L, 5, false), (10L, 11, false), (5L, 6, true), (6L, 7, false)))
+    assert(out == Set((1L, 5, false), (10L, 11, false), (5L, 6, true), (6L, 7, false), (11L, 8, true)))
     // a null id drops its line even when the line itself parses
     val nullId = Seq((java.lang.Long.valueOf(8L), "0 5 0.0 1283.5 1.5 0.1"),
       (null.asInstanceOf[java.lang.Long], "0 9 0.0 1283.5 1.5 0.1")).toDF("id", "l")
