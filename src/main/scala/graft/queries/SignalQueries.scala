@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1541,10 +1542,142 @@ object SignalQueries {
     """),
   )
 
+  /** B49→oracle: FITS card value-typing grammar end to end
+    * (`FitsFile.parseCard` + the FitsCard coercions +
+    * `mergeContinuations` — dlyfix_fits.py:89 `parsefitshdr` and the
+    * fitsline value accessors). Each event row fabricates one 80-char
+    * card image (or a 3-card CONTINUE long-string group) from table
+    * columns — logical T/F, fixed-format ints (signed too), floats with
+    * Fortran D/d exponents, quoted strings with `''` escapes and a `/`
+    * INSIDE the quotes, leading-blank-significant / trailing-blank-
+    * trimmed strings, COMMENT/HISTORY cards, an undefined (blank) value,
+    * a BAD LINE the parser must skip, and an unquoted value with a
+    * comment slash hard against the digits — and parses it through the
+    * production per-card path via [[graft.sources.FitsFile.parseCardColumn]].
+    * The oracle replays the typing generically in SQL (quote-aware
+    * comment split, coercion priority, `&`+CONTINUE merge with
+    * first-non-null comment). Scale: stateless per-row fan-out, no
+    * shuffle — the same plan shape as q143/q147/q148. */
+  private lazy val q149 = Q(
+    "q149_fits_cards",
+    (s, dir) => {
+      val e = Tables.parallelized(Tables.events(s, dir), "event_id")
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val eid = col("event_id")
+      val m = pmod(eid, lit(15))
+      def pad(c: Column): Column = rpad(c, 80, " ")
+      val contText = concat(
+        pad(concat(lit("OBSERVER= 'team-"), pmod(eid, lit(30)), lit(" &' / obs team"))), lit("\n"),
+        pad(lit("CONTINUE  'alpha &'")), lit("\n"),
+        pad(concat(lit("CONTINUE  'omega-"), pmod(eid, lit(7)), lit("'"))))
+      val text = when(m === 0, pad(lit("SIMPLE  = T / conforms to FITS standard")))
+        .when(m === 1, pad(lit("POL_CAL = F")))
+        .when(m === 2, pad(concat(lit("NCHAN   = "), pmod(eid, lit(1024)))))
+        .when(m === 3, pad(concat(lit("TINT    = +"), pmod(eid, lit(3600)), lit(" / integration s"))))
+        .when(m === 4, pad(concat(lit("SCALE   = "), cents(col("value")).cast("long"), lit(".25 / adc gain"))))
+        .when(m === 5, pad(concat(lit("FREQ    = 1."), pmod(eid, lit(100)), lit("D3 / centre freq"))))
+        .when(m === 6, pad(concat(lit("DM      = -"), pmod(eid, lit(90)), lit(".5d-2"))))
+        .when(m === 7, pad(concat(lit("SRC_NAME= 'J"), pmod(eid, lit(24)), lit("-07''A/B  ' / target"))))
+        .when(m === 8, contText)
+        .when(m === 9, pad(concat(lit("POS_REF = '  lead-"), pmod(eid, lit(5)), lit("'"))))
+        .when(m === 10, pad(concat(lit("COMMENT fabricated block "), pmod(eid, lit(50)))))
+        .when(m === 11, pad(concat(lit("HISTORY pass "), pmod(eid, lit(9)), lit(" reprocessed"))))
+        .when(m === 12, pad(lit("BLANKVAL=")))
+        .when(m === 13, pad(lit("BADCARD without equals")))
+        .otherwise(pad(concat(lit("RATIO   = "), pmod(eid, lit(17)), lit("/"), pmod(eid, lit(13)), lit(" parts"))))
+      graft.sources.FitsFile.parseCardColumn(
+        e.select(eid.as("card_id"), text.as("card_text")), "card_id", "card_text")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, value FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      img AS (
+        SELECT event_id AS card_id,
+          CASE event_id % 15
+            WHEN 0 THEN rpad('SIMPLE  = T / conforms to FITS standard', 80, ' ')
+            WHEN 1 THEN rpad('POL_CAL = F', 80, ' ')
+            WHEN 2 THEN rpad('NCHAN   = ' || CAST(event_id % 1024 AS VARCHAR), 80, ' ')
+            WHEN 3 THEN rpad('TINT    = +' || CAST(event_id % 3600 AS VARCHAR) || ' / integration s', 80, ' ')
+            WHEN 4 THEN rpad('SCALE   = ' || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || '.25 / adc gain', 80, ' ')
+            WHEN 5 THEN rpad('FREQ    = 1.' || CAST(event_id % 100 AS VARCHAR) || 'D3 / centre freq', 80, ' ')
+            WHEN 6 THEN rpad('DM      = -' || CAST(event_id % 90 AS VARCHAR) || '.5d-2', 80, ' ')
+            WHEN 7 THEN rpad('SRC_NAME= ''J' || CAST(event_id % 24 AS VARCHAR) || '-07''''A/B  '' / target', 80, ' ')
+            WHEN 8 THEN rpad('OBSERVER= ''team-' || CAST(event_id % 30 AS VARCHAR) || ' &'' / obs team', 80, ' ') ||
+              chr(10) || rpad('CONTINUE  ''alpha &''', 80, ' ') ||
+              chr(10) || rpad('CONTINUE  ''omega-' || CAST(event_id % 7 AS VARCHAR) || '''', 80, ' ')
+            WHEN 9 THEN rpad('POS_REF = ''  lead-' || CAST(event_id % 5 AS VARCHAR) || '''', 80, ' ')
+            WHEN 10 THEN rpad('COMMENT fabricated block ' || CAST(event_id % 50 AS VARCHAR), 80, ' ')
+            WHEN 11 THEN rpad('HISTORY pass ' || CAST(event_id % 9 AS VARCHAR) || ' reprocessed', 80, ' ')
+            WHEN 12 THEN rpad('BLANKVAL=', 80, ' ')
+            WHEN 13 THEN rpad('BADCARD without equals', 80, ' ')
+            ELSE rpad('RATIO   = ' || CAST(event_id % 17 AS VARCHAR) || '/' ||
+              CAST(event_id % 13 AS VARCHAR) || ' parts', 80, ' ')
+          END AS text
+        FROM e),
+      lines AS (
+        SELECT card_id,
+          UNNEST(string_split(text, chr(10))) AS l,
+          UNNEST(range(len(string_split(text, chr(10))))) AS ln
+        FROM img),
+      split AS (
+        SELECT card_id, ln,
+          CASE WHEN starts_with(l, 'COMMENT') THEN 'COMMENT'
+               WHEN starts_with(l, 'HISTORY') THEN 'HISTORY'
+               WHEN starts_with(l, 'CONTINUE') THEN 'CONTINUE'
+               WHEN strpos(l, '=') > 1 THEN trim(substr(l, 1, strpos(l, '=') - 1))
+               END AS key,
+          CASE WHEN starts_with(l, 'COMMENT') OR starts_with(l, 'HISTORY') THEN substr(l, 8)
+               WHEN starts_with(l, 'CONTINUE') THEN substr(l, 9)
+               WHEN strpos(l, '=') > 1 THEN substr(l, strpos(l, '=') + 1) END AS val
+        FROM lines),
+      per AS (
+        SELECT card_id, ln, key,
+          CASE WHEN key IN ('COMMENT','HISTORY') THEN trim(val)
+               WHEN starts_with(ltrim(val), '''') THEN
+                 regexp_extract(val, '^\s*(''(?:[^'']|'''')*'')', 1)
+               WHEN strpos(val, '/') > 0 THEN trim(substr(val, 1, strpos(val, '/') - 1))
+               ELSE trim(val) END AS raw,
+          CASE WHEN key IN ('COMMENT','HISTORY','CONTINUE') THEN NULL
+               WHEN starts_with(ltrim(val), '''') THEN
+                 NULLIF(trim(regexp_extract(val, '^\s*''(?:[^'']|'''')*''[^/]*/(.*)$', 1)), '')
+               WHEN strpos(val, '/') > 0 THEN NULLIF(trim(substr(val, strpos(val, '/') + 1)), '')
+               END AS comment
+        FROM split WHERE key IS NOT NULL),
+      co AS (
+        SELECT card_id, ln, key, raw, comment,
+          CASE WHEN length(raw) >= 2 AND starts_with(raw, '''') AND raw LIKE '%''' THEN
+            rtrim(replace(substr(raw, 2, length(raw) - 2), '''''', ''''))
+            END AS str_v,
+          CASE raw WHEN 'T' THEN TRUE WHEN 'F' THEN FALSE END AS bool_v,
+          CASE WHEN regexp_matches(raw, '^[+-]?[0-9]+$') THEN TRY_CAST(raw AS BIGINT) END AS long_v,
+          TRY_CAST(replace(replace(raw, 'D', 'E'), 'd', 'e') AS DOUBLE) AS dbl_v
+        FROM per),
+      counted AS (SELECT *, COUNT(*) OVER (PARTITION BY card_id) AS nl FROM co)
+      SELECT card_id, key, raw,
+        CASE WHEN str_v IS NOT NULL THEN 'str' WHEN bool_v IS NOT NULL THEN 'bool'
+             WHEN long_v IS NOT NULL THEN 'int' WHEN dbl_v IS NOT NULL THEN 'float'
+             ELSE 'undef' END AS value_type,
+        str_v AS str_value, bool_v AS bool_value, long_v AS long_value,
+        dbl_v AS double_value, comment
+      FROM counted WHERE nl = 1
+      UNION ALL
+      SELECT card_id, arg_min(key, ln) AS key,
+        '''' || string_agg(regexp_replace(str_v, '&$', ''), '' ORDER BY ln) || '''' AS raw,
+        'str' AS value_type,
+        string_agg(regexp_replace(str_v, '&$', ''), '' ORDER BY ln) AS str_value,
+        CAST(NULL AS BOOLEAN) AS bool_value, CAST(NULL AS BIGINT) AS long_value,
+        CAST(NULL AS DOUBLE) AS double_value,
+        arg_min(comment, ln) FILTER (WHERE comment IS NOT NULL) AS comment
+      FROM counted WHERE nl > 1 GROUP BY card_id
+    """),
+  )
+
   val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q56, q60, q61, q63, q65, q71, q74, q75, q76, q82, q83, q87, q88,
     q95, q96, q98, q103, q104, q105, q106, q107, q108, q110, q114, q115, q117, q121,
-    q127, q128, q131, q133, q141, q143, q144, q145, q146, q147, q148)
+    q127, q128, q131, q133, q141, q143, q144, q145, q146, q147, q148, q149)
 
   /** B60: polarisation calibration (`PolnCal.applyJones` — the
     * reference README's Functionalities §1, its one routine with no

@@ -54,6 +54,44 @@ object FitsFile {
       raw.trim.replace('D', 'E').replace('d', 'e').toDoubleOption
   }
 
+  /** Parse ONE 80-char card image — the per-card production path
+    * ([[parseBlock]] delegates here card by card, and q149's
+    * [[parseCardColumn]] fans fabricated images through it). Returns
+    * None for blank padding and for malformed '='-less lines (the
+    * reference prints "BAD LINE" and skips — dlyfix_fits.py:117; we
+    * skip silently). Images shorter than 80 chars are blank-padded
+    * first (parseBlock always hands exactly 80). */
+  def parseCard(image: String): Option[FitsCard] = {
+    val line = if (image.length < CardSize) image.padTo(CardSize, ' ') else image
+    if (line.startsWith("END") && line.substring(3).trim.isEmpty)
+      Some(FitsCard("END", "", None))
+    else if (line.startsWith("COMMENT") || line.startsWith("HISTORY") ||
+             line.startsWith("CONTINUE")) {
+      val key = line.takeWhile(c => c != ' ' && c != '=')
+      Some(FitsCard(key, line.substring(key.length + (if (line.charAt(key.length) == '=') 1 else 0)), None))
+    } else if (line.trim.nonEmpty) {
+      val eq = line.indexOf('=')
+      if (eq > 0) {
+        val key = line.substring(0, eq).trim
+        val rest = line.substring(eq + 1)
+        // The / comment separator must sit outside a quoted string.
+        var inQuote = false
+        var slash = -1
+        var j = 0
+        while (j < rest.length && slash < 0) {
+          val c = rest.charAt(j)
+          if (c == '\'') inQuote = !inQuote
+          else if (c == '/' && !inQuote) slash = j
+          j += 1
+        }
+        val (v, cm) =
+          if (slash >= 0) (rest.substring(0, slash), Some(rest.substring(slash + 1).trim))
+          else (rest, None)
+        Some(FitsCard(key, v, cm.filter(_.nonEmpty)))
+      } else None
+    } else None
+  }
+
   /** Parse the 36 cards of one 2880-byte block starting at `off`.
     * Cards after END in the block are blank padding and are dropped
     * (the reference keeps them as key=None blanks; we have no use for
@@ -65,35 +103,9 @@ object FitsFile {
     val stop = off + BlockSize
     while (i < stop && !ended) {
       val line = new String(bytes, i, CardSize, StandardCharsets.US_ASCII)
-      if (line.startsWith("END") && line.substring(3).trim.isEmpty) {
-        ended = true
-        out += FitsCard("END", "", None)
-      } else if (line.startsWith("COMMENT") || line.startsWith("HISTORY") ||
-                 line.startsWith("CONTINUE")) {
-        val key = line.takeWhile(c => c != ' ' && c != '=')
-        out += FitsCard(key, line.substring(key.length + (if (line.charAt(key.length) == '=') 1 else 0)), None)
-      } else if (line.trim.nonEmpty) {
-        val eq = line.indexOf('=')
-        if (eq > 0) {
-          val key = line.substring(0, eq).trim
-          val rest = line.substring(eq + 1)
-          // The / comment separator must sit outside a quoted string.
-          var inQuote = false
-          var slash = -1
-          var j = 0
-          while (j < rest.length && slash < 0) {
-            val c = rest.charAt(j)
-            if (c == '\'') inQuote = !inQuote
-            else if (c == '/' && !inQuote) slash = j
-            j += 1
-          }
-          val (v, cm) =
-            if (slash >= 0) (rest.substring(0, slash), Some(rest.substring(slash + 1).trim))
-            else (rest, None)
-          out += FitsCard(key, v, cm.filter(_.nonEmpty))
-        }
-        // A non-empty line with no '=' is malformed; the reference prints
-        // "BAD LINE" and skips — we skip silently.
+      parseCard(line).foreach { c =>
+        out += c
+        if (c.key == "END") ended = true
       }
       i += CardSize
     }
@@ -515,4 +527,34 @@ object FitsFile {
       }
       .toDF()
   }
+
+  /** Column-level card value-typing: each (id, text) row splits into
+    * newline-separated 80-char card images, parses each through
+    * [[parseCard]] — the same per-card path [[parseBlock]] walks — then
+    * merges CONTINUE long strings via [[mergeContinuations]] and emits
+    * one row per surviving card with the [[CardRow]] coercions
+    * (str/bool/long/double, each independent) plus the winning value
+    * class by the engine's coercion priority: quoted string > logical
+    * T/F > integer > double (Fortran D exponents) > undefined. q149
+    * fabricates card images from table columns and its DuckDB oracle
+    * replays this typing generically — the string-level grammar
+    * (quote-aware `/` comment split, `''` escapes, trailing-blank trim,
+    * `&`+CONTINUE merge) stays cross-checked against a second engine.
+    * Reference: dlyfix_fits.py:89 `parsefitshdr` + the fitsline value
+    * accessors. */
+  def parseCardColumn(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ParseColumn.rows(df, idCol, textCol) { (id, text) =>
+      val cards = text.split('\n').toSeq.flatMap(parseCard).filterNot(_.key == "END")
+      mergeContinuations(cards).map { c =>
+        val vt =
+          if (c.strValue.isDefined) "str"
+          else if (c.boolValue.isDefined) "bool"
+          else if (c.longValue.isDefined) "int"
+          else if (c.doubleValue.isDefined) "float"
+          else "undef"
+        (id, c.key, c.raw.trim, vt, c.strValue, c.boolValue, c.longValue,
+          c.doubleValue, c.comment)
+      }
+    }.toDF("card_id", "key", "raw", "value_type", "str_value", "bool_value",
+      "long_value", "double_value", "comment")
 }

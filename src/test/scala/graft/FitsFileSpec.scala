@@ -213,6 +213,45 @@ class FitsFileSpec extends SparkSpec {
     }
   }
 
+  test("parseCard: per-card grammar (the path parseBlock walks)") {
+    // value card with quote-aware '/' split and '' escape
+    val c = parseCard(card("SRC_NAME= 'J3-07''A/B  ' / target")).get
+    assert(c.key == "SRC_NAME" && c.strValue.contains("J3-07'A/B") &&
+      c.comment.contains("target"))
+    // logical, int (signed), float with d exponent
+    assert(parseCard(card("SIMPLE  = T")).get.boolValue.contains(true))
+    assert(parseCard(card("TINT    = +42 / s")).get.longValue.contains(42L))
+    assert(parseCard(card("DM      = -7.5d-2")).get.doubleValue.contains(-0.075))
+    // COMMENT keeps the remainder raw, no comment split
+    val cm = parseCard(card("COMMENT free / text")).get
+    assert(cm.key == "COMMENT" && cm.raw.trim == "free / text" && cm.comment.isEmpty)
+    // END, blank padding, BAD LINE
+    assert(parseCard(card("END")).get.key == "END")
+    assert(parseCard(" " * 80).isEmpty)
+    assert(parseCard(card("BADCARD no equals")).isEmpty)
+    // short input is blank-padded (parseBlock always hands exactly 80)
+    assert(parseCard("NCHAN   = 1024").get.longValue.contains(1024L))
+  }
+
+  test("parseCardColumn: typing + CONTINUE merge through the production path") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, card("SCALE   = 12.25 / gain")),
+      (2L, card("OBSERVER= 'team-1 &' / obs") + "\n" +
+        card("CONTINUE  'alpha &'") + "\n" + card("CONTINUE  'omega'")),
+      (3L, card("BADCARD no equals")),        // skipped
+      (4L, card("BLANKVAL=")),                // undefined value
+    ).toDF("id", "t")
+    val out = FitsFile.parseCardColumn(rows, "id", "t")
+      .select("card_id", "key", "value_type", "str_value", "comment")
+      .as[(Long, String, String, Option[String], Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "SCALE", "float", None, Some("gain")),
+      (2L, "OBSERVER", "str", Some("team-1 alpha omega"), Some("obs")),
+      (4L, "BLANKVAL", "undef", None, None),
+    ))
+  }
+
   test("distributed load explodes cards over binaryFile") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits").toFile
