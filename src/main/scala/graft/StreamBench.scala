@@ -8,12 +8,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.streaming.EventStream
 
-/** Streaming micro-bench (round-12 evidence, STREAMING.md): drives three
-  * stateful operators — D9 `deduplicatedNearMinHash`, D11
-  * `windowedHeavyHitters`, D22/D23 `ivfIngested`→`ivfClusterBalance` —
+/** Streaming micro-bench (round-12 evidence, STREAMING.md): drives five
+  * stateful operators — one per distinct state CLASS in the D section —
   * through MemoryStream at a base input size and at 10× it, and reports
   * per-leg throughput (rows/s) plus state-store size (rows and bytes,
-  * final and peak across micro-batches).
+  * final and peak across micro-batches):
+  *   - D9  `deduplicatedNearMinHash` — LSH signature-bucket store
+  *   - D11 `windowedHeavyHitters`    — windowed counter maps (SpaceSaving)
+  *   - D22/D23 `ivfIngested`→`ivfClusterBalance` — windowed nlist counts
+  *   - D12 `latestState`             — flatMapGroupsWithState per-key
+  *     record + EventTimeTimeout purge (also covers D10/D18's class)
+  *   - D16 `windowedDistinct`        — HLL sketch per open window (the
+  *     state class whose exact alternative grows with key cardinality)
   *
   * The point being measured is the D section's bounded-state claim:
   * event time advances 100 ms per row, so a 10× LONGER stream covers a
@@ -46,23 +52,34 @@ object StreamBench {
   }
 
   /** Feed `chunks` through `addChunk`+processAllAvailable, timing the
-    * whole drain; sample state metrics after every micro-batch. */
+    * whole drain; sample state metrics from EVERY micro-batch via
+    * `recentProgress` (one chunk can span several micro-batches, and the
+    * last of them may be a zero-row watermark-advance batch — sampling
+    * only `lastProgress` would under-report the true peak). Entries
+    * already seen are skipped by batchId. */
   private def drive[T](q: StreamingQuery, chunks: Seq[Seq[T]], add: Seq[T] => Unit,
                        op: String, total: Long): Leg = {
     var peakRows = 0L
     var peakBytes = 0L
     var finRows = 0L
     var finBytes = 0L
+    var lastBatch = -1L
     val t0 = System.nanoTime()
     chunks.foreach { c =>
       add(c)
       q.processAllAvailable()
-      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
-      val r = so.map(_.numRowsTotal).sum
-      val b = so.map(_.memoryUsedBytes).sum
-      if (r > peakRows) peakRows = r
-      if (b > peakBytes) peakBytes = b
-      finRows = r; finBytes = b
+      val fresh = (q.recentProgress.toSeq ++ Option(q.lastProgress))
+        .filter(p => p != null && p.batchId > lastBatch)
+        .sortBy(_.batchId)
+      fresh.foreach { p =>
+        val so = p.stateOperators.toSeq
+        val r = so.map(_.numRowsTotal).sum
+        val b = so.map(_.memoryUsedBytes).sum
+        if (r > peakRows) peakRows = r
+        if (b > peakBytes) peakBytes = b
+        finRows = r; finBytes = b
+      }
+      if (fresh.nonEmpty) lastBatch = fresh.last.batchId
     }
     val secs = (System.nanoTime() - t0) / 1e9
     Leg(op, total, secs, finRows, finBytes, peakRows, peakBytes)
@@ -150,8 +167,39 @@ object StreamBench {
       finally q.stop()
     }
 
+    def latestLeg(n: Int): Leg = {
+      val rows: IndexedSeq[EventStream.Event] = (0 until n).map { i =>
+        // bounded LIVE-key population: 997 users × 5 types (coprime →
+        // 4985 distinct (user, type) keys), each re-hit every ~498 s of
+        // event time — under the 600 s idle horizon, so every key stays
+        // live and state measures the key POPULATION, not stream length
+        EventStream.Event(i.toLong, ts(i), (i % 997).toLong, s"type${i % 5}", (i % 100).toDouble)
+      }
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.latestState(mem.toDS(), idleSeconds = 600)
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      try drive(q, chunksOf(rows, 10), (c: Seq[EventStream.Event]) => { mem.addData(c: _*); () },
+        s"D12 latestState n=$n", n.toLong)
+      finally q.stop()
+    }
+
+    def distinctLeg(n: Int): Leg = {
+      val rows: IndexedSeq[EventStream.Event] = (0 until n).map { i =>
+        // EVERY row a new user id — the adversarial case for exact
+        // COUNT(DISTINCT) state (grows linearly with the stream); HLL
+        // state must stay one fixed-size sketch per OPEN window
+        EventStream.Event(i.toLong, ts(i), i.toLong, s"type${i % 5}", (i % 100).toDouble)
+      }
+      val mem = MemoryStream[EventStream.Event]
+      val q = EventStream.windowedDistinct(mem.toDS().toDF(), "user_id")
+        .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+      try drive(q, chunksOf(rows, 10), (c: Seq[EventStream.Event]) => { mem.addData(c: _*); () },
+        s"D16 windowedDistinct n=$n", n.toLong)
+      finally q.stop()
+    }
+
     val legs = Seq(baseN, baseN * 10).flatMap { n =>
-      Seq(nearDupLeg(n), hhLeg(n), ivfLeg(n))
+      Seq(nearDupLeg(n), hhLeg(n), ivfLeg(n), latestLeg(n), distinctLeg(n))
     }
     legs.foreach(l => println(
       f"${l.op}%-42s ${l.rows}%9d rows ${l.secs}%7.2f s ${l.rowsPerSec}%9.0f rows/s " +
