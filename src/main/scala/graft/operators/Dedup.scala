@@ -228,6 +228,21 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint() // reused every round — don't re-run the pair pipeline
+    // Hybrid (guide §1.2 "choose the distributed algorithm"): the verified
+    // pair graph is already a huge reduction of the corpus — when it fits
+    // on the driver, a local union-find resolves components in one collect
+    // (exact same min-reachable-id labels) instead of O(log diameter)
+    // rounds of 3 scheduled jobs each. The edge budget is conf-sized, not
+    // hard-coded for this box; past it (billion-pair corpora) the
+    // distributed label-propagation loop below is unchanged. The count is
+    // a cheap scan of the just-checkpointed partitions.
+    val maxLocalEdges = pairs.sparkSession.conf
+      .get("spark.graft.components.maxLocalEdges", (4L << 20).toString).toLong
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && edges.count() <= maxLocalEdges)
+      return resolveClustersLocal(edges, outId, outCluster)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -275,6 +290,78 @@ object Dedup {
           "labels are partially propagated and clusters would be split — " +
           "raise maxIters (pointer jumping needs ~log2(component diameter) rounds)")
     labels.select(col("node").as(outId), col("label").as(outCluster))
+  }
+
+  /** Driver-side union-find over a collected (src, dst) edge frame —
+    * the small-graph path of [[resolveClusters]]. Label semantics are
+    * identical to the propagation loop: every node appearing as an
+    * endpoint gets the MINIMUM id reachable through edges; a null
+    * endpoint (never produced by the join-built pair frames, but legal
+    * input) is its own inert node with a null label, exactly as the
+    * null-unsafe joins of the loop leave it. */
+  private def resolveClustersLocal(edges: DataFrame, outId: String,
+                                   outCluster: String): DataFrame = {
+    val spark = edges.sparkSession
+    val longIds = edges.schema.head.dataType == org.apache.spark.sql.types.LongType
+    val rows = edges.collect()
+    def get(r: org.apache.spark.sql.Row, i: Int): java.lang.Long =
+      if (r.isNullAt(i)) null
+      else if (longIds) java.lang.Long.valueOf(r.getLong(i))
+      else java.lang.Long.valueOf(r.getInt(i).toLong)
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    var sawNull = false
+    def nodeOf(v: java.lang.Long): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else {
+        idx.put(v, Integer.valueOf(ids.length))
+        ids += v.longValue(); parent += parent.length
+        ids.length - 1
+      }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (get(r, 0), get(r, 1))
+      if (a == null || b == null) {
+        sawNull = true
+        if (a != null) nodeOf(a)
+        if (b != null) nodeOf(b)
+      } else {
+        val (ra, rb) = (find(nodeOf(a)), find(nodeOf(b)))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    // min id per component root
+    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    ids.indices.foreach { i =>
+      val r = Integer.valueOf(find(i))
+      val cur = minOf.get(r)
+      if (cur == null || ids(i) < cur.longValue()) minOf.put(r, java.lang.Long.valueOf(ids(i)))
+    }
+    val out: Seq[(java.lang.Long, java.lang.Long)] =
+      ids.indices.map(i =>
+        (java.lang.Long.valueOf(ids(i)), minOf.get(Integer.valueOf(find(i))))) ++
+        (if (sawNull) Seq((null: java.lang.Long, null: java.lang.Long)) else Nil)
+    val t = edges.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(outId, t, nullable = true),
+      org.apache.spark.sql.types.StructField(outCluster, t, nullable = true)))
+    def cv(v: java.lang.Long): Any =
+      if (v == null) null else if (longIds) v.longValue() else v.intValue()
+    val data = out.map { case (n, l) =>
+      org.apache.spark.sql.Row(cv(n), cv(l)) }
+    // LocalRelation (not an RDD): the planner sees its true size, so the
+    // downstream cluster join can go broadcast on its own
+    spark.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
   }
 
   /** Survivor selection over a full corpus: each doc gets its near-dup

@@ -40,10 +40,48 @@ object IvfPq {
     val coarse = Quantize.trainCodebook(df, idCol, vecCol, m = 1, dim = dim,
         k = nlist, iters = iters)
       .select(col("code").as("cluster"), col("centroid").as("c_centroid"))
-    val resid = residuals(df, idCol, vecCol, coarse, bits)
+    // residuals for PQ training: when the trained coarse codebook is
+    // driver-collectable (nlist·dim doubles — always, for any nlist this
+    // trainer could have looped on the driver) the assignment is ONE
+    // stateless NearestCentroid projection, replacing the join+argmin-agg
+    // shape that shuffled the full vector table (groupBy(id) carrying the
+    // vec) and materialized n×nlist joined rows. Same distance chain and
+    // tie direction; rows with no assignable cluster (null/ragged vecs)
+    // are dropped exactly as the old inner join-back dropped them.
+    val resid =
+      if (nlist.toLong * dim <= (1L << 21)) residualsStateless(df, idCol, vecCol, coarse)
+      else residuals(df, idCol, vecCol, coarse, bits)
     val pq = Quantize.trainCodebook(resid, "id", "resid", m = m, dim = dim,
       k = k, iters = iters)
     Model(coarse, pq, m, dim, bits)
+  }
+
+  /** (id, cluster, resid) as one stateless projection over a literal
+    * coarse codebook — the training-path twin of [[encodeStateless]]'s
+    * coarse stage (same NearestCentroid.l2, same |v|²−2v·c+|c|² chain,
+    * ties to the smaller cluster). Null/invalid vectors (null struct
+    * from NearestCentroid) are filtered, matching [[residuals]]'s
+    * inner join-back. */
+  private def residualsStateless(df: DataFrame, idCol: String, vecCol: String,
+                                 coarse: DataFrame): DataFrame = {
+    // null centroids (an init row with no vector) can never win the old
+    // join path's argmin — dropping them before the collect is identical
+    val rows = coarse.select("cluster", "c_centroid")
+      .filter(col("c_centroid").isNotNull).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (rows.isEmpty)
+      // all-null codebook: the old inner join-back dropped every row
+      return df.select(col(idCol).as("id"), lit(0).as("cluster"),
+        col(vecCol).cast("array<double>").as("resid")).limit(0)
+    val vec = col(vecCol).cast("array<double>")
+    val best = graft.expressions.NearestCentroid.l2(vec, rows.map(_._2), rows.map(_._1))
+    val centMap = map_from_arrays(
+      typedLit(rows.map(_._1).toSeq),
+      typedLit(rows.map(_._2.toSeq).toSeq))
+    df.withColumn("__cl", best.getField("cluster"))
+      .filter(col("__cl").isNotNull)
+      .select(col(idCol).as("id"), col("__cl").as("cluster"),
+        zip_with(vec, element_at(centMap, col("__cl")), (a, b) => a - b).as("resid"))
   }
 
   /** Smallest label width covering `nlist` clusters (ArgMaxPack field). */

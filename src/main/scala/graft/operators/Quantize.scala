@@ -36,9 +36,18 @@ object Quantize {
     * Lloyd iterations. Initial centroids are the subvectors of the `k`
     * smallest ids (deterministic). Returns (subspace, code, centroid).
     *
-    * Scale shape per iteration: centroids broadcast (m·k small arrays),
-    * assignment is a per-row argmin (no shuffle), update is one
-    * map-side-combining aggregate keyed on (subspace, code). */
+    * Scale shape per iteration (the KMeans.fit shape, per subspace): the
+    * codebook lives on the DRIVER between rounds (k·dim doubles — the PQ
+    * contract makes it bounded), assignment is ONE stateless
+    * NearestCentroid projection (no join, no extra exchange), and the
+    * update is one map-side-combining decimal-mean aggregate keyed on
+    * (subspace, code). Exactly one job runs per round and round i never
+    * re-executes rounds 1..i-1 — the previous fold-of-lazy-DataFrames
+    * form re-planned (and re-ran) every earlier round once per
+    * iteration's eager max-code probe and once more per downstream
+    * consumer (a measured 2-3× of q119/q123/q126's whole runtime).
+    * Codebooks past [[driverCodebookMaxDoubles]] (the k→2^24 coarse
+    * regime) fall back to the distributed join-based loop. */
   def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
                     m: Int, dim: Int, k: Int, iters: Int = 3): DataFrame = {
     // k ≤ 256 is the classic byte-code PQ; larger k is allowed because
@@ -46,6 +55,75 @@ object Quantize {
     // and real IVF lists run to tens of thousands. 2^24 is ArgMaxPack's
     // label-width ceiling.
     require(k >= 1 && k <= (1 << 24), s"codebook size k must be in [1, 2^24], got $k")
+    if (k.toLong * dim <= driverCodebookMaxDoubles(df))
+      trainCodebookLocal(df, idCol, vecCol, m, dim, k, iters)
+    else
+      trainCodebookDistributed(df, idCol, vecCol, m, dim, k, iters)
+  }
+
+  /** Driver-held-codebook budget (doubles) for [[trainCodebook]]'s local
+    * loop — parameterized, not hard-coded for the 128 GiB sandbox: the
+    * default 2^21 doubles (16 MB) is comfortable for any driver that can
+    * broadcast the same codebook, which the join path would do anyway. */
+  private def driverCodebookMaxDoubles(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.quantize.driverCodebookMaxDoubles",
+      (1L << 21).toString).toLong
+
+  /** The driver-resident Lloyd loop of [[trainCodebook]]: same init, same
+    * decimal-mean update ([[lloydUpdate]]), same empty-cluster fallback,
+    * assignment bit-identical to [[assignCodes]] on finite inputs
+    * (NearestCentroid.l2 runs the identical |v|²−2v·c+|c|² chain; ties to
+    * the smaller code at full double precision — QuantizeSpec pins
+    * determinism and the q119/q123/q126 oracles pin the trained values). */
+  private def trainCodebookLocal(df: DataFrame, idCol: String, vecCol: String,
+                                 m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val subs = subvectors(df, idCol, vecCol, m, dim).cache()
+    try {
+      // init: the k smallest ids' subvectors per subspace (unchanged —
+      // including rows whose subvec is null, which the update then skips)
+      var codebook: Array[(Int, Int, Seq[Double])] = subs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("id")))
+        .filter(col("rn") <= k)
+        .select(col("subspace"), (col("rn") - 1).cast("int").as("code"), col("subvec").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          if (r.isNullAt(2)) null else r.getSeq[Double](2)))
+
+      for (_ <- 1 to iters if codebook.exists(_._3 != null)) {
+        // stateless per-row argmin against the driver codebook: one
+        // when-chain branch per subspace, each a literal-codebook
+        // NearestCentroid (k×(dim/m) primitive flops, no join rows)
+        val bySub = codebook.filter(_._3 != null).groupBy(_._1).view
+          .mapValues(_.sortBy(_._2).map(t => (t._2, t._3.toArray))).toMap
+        val codeCol = bySub.toSeq.sortBy(_._1).foldLeft(lit(null).cast("int")) {
+          case (acc, (s, entries)) =>
+            val best = graft.expressions.NearestCentroid.l2(
+              col("subvec"), entries.map(_._2), entries.map(_._1))
+            when(col("subspace") === s, best.getField("cluster")).otherwise(acc)
+        }
+        val updated = lloydUpdate(
+            subs.withColumn("code", codeCol).filter(col("code").isNotNull), "subvec")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        // empty clusters keep their previous centroid
+        codebook = codebook.map { case (s, c, prev) =>
+          (s, c, updated.getOrElse((s, c), prev))
+        }
+      }
+      import spark.implicits._
+      codebook.toSeq.toDF("subspace", "code", "centroid")
+    } finally { subs.unpersist(); () }
+  }
+
+  /** The original lazy-DataFrame Lloyd fold — the path for codebooks too
+    * large to hold on the driver between rounds. Each iteration's
+    * assignment is the broadcast-join [[assignCodes]]; note its eager
+    * max-code probe re-executes the preceding rounds' lineage, so prefer
+    * the driver loop whenever the codebook fits. */
+  private def trainCodebookDistributed(df: DataFrame, idCol: String, vecCol: String,
+                                       m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
     val subs = subvectors(df, idCol, vecCol, m, dim).cache()
     val init = subs
       .withColumn("rn", row_number().over(

@@ -133,12 +133,29 @@ class DedupKnnSpec extends SparkSpec {
 
   test("Dedup.resolveClusters fails loudly instead of returning split clusters") {
     // a mis-parameterized maxIters must throw, not silently hand back
-    // partially-propagated labels (which would let near-dups survive)
+    // partially-propagated labels (which would let near-dups survive) —
+    // the distributed loop's contract, so force past the local-edge gate
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val ex = intercept[IllegalStateException] {
-      Dedup.resolveClusters(chain, maxIters = 2).collect()
-    }
-    assert(ex.getMessage.contains("did not converge"))
+    spark.conf.set("spark.graft.components.maxLocalEdges", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.resolveClusters(chain, maxIters = 2).collect()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+    } finally spark.conf.unset("spark.graft.components.maxLocalEdges")
+  }
+
+  test("Dedup.resolveClusters local union-find path matches the distributed loop") {
+    val rng = new scala.util.Random(11)
+    val pairs = (1 to 500).map { _ =>
+      (rng.nextInt(200).toLong, rng.nextInt(200).toLong)
+    }.filter(p => p._1 != p._2).distinct.toDF("a_id", "b_id")
+    val local = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.components.maxLocalEdges", "0")
+    val dist =
+      try Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.components.maxLocalEdges")
+    assert(local == dist)
   }
 
   test("Dedup.resolveClusters matches a union-find oracle on a random pair graph") {

@@ -48,14 +48,17 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q47 dedup clusters: returned plan reads checkpointed round state, not round replay") {
-    // the iterative min-label resolution runs eagerly inside the build;
-    // the DataFrame it returns must scan the localCheckpoint blocks
-    // (LogicalRDD) instead of carrying the whole per-round lineage
+    // the min-label resolution runs eagerly inside the build; the
+    // DataFrame it returns must scan materialized cluster labels — the
+    // localCheckpoint blocks (LogicalRDD) of the distributed loop, or the
+    // LocalRelation of the driver union-find path — instead of carrying
+    // the whole per-round lineage
     val df = Queries.queryMap("q47_dedup_clusters")(spark, dir)
     val rdds = df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }
-    assert(rdds.nonEmpty, "q47 lineage must be truncated via localCheckpoint")
+    assert(rdds.nonEmpty, "q47 lineage must be truncated (checkpoint blocks or a local label relation)")
   }
 
   test("q04 dimension rollup: dims broadcast, never shuffled") {
