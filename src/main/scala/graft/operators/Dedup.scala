@@ -39,7 +39,11 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    // ONE signature pass: both sides of the band self-join read the same
+    // (doc, band) keys; without the barrier the shingle+minhash map stage
+    // (the operator's dominant per-row cost) plans — and runs — twice
     val bandDf = bandKeys(df, textCol, idCol, numHashes, bands, shingleN)
+      .localCheckpoint(false)
     val a = bandDf.select(col("doc").as("a_id"), col("band"))
     val b = bandDf.select(col("doc").as("b_id"), col("band"))
     a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
@@ -74,7 +78,9 @@ object Dedup {
     * oracle parity is not required (xxhash64 has no DuckDB twin). */
   def minhashLshFast(df: DataFrame, textCol: String, idCol: String,
                      numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    // same one-signature-pass barrier as minhashLsh
     val bandDf = fastBandKeys(df, textCol, idCol, numHashes, bands, shingleN)
+      .localCheckpoint(false)
     val a = bandDf.select(col("doc").as("a_id"), col("band"))
     val b = bandDf.select(col("doc").as("b_id"), col("band"))
     a.join(b, Seq("band")).filter(col("a_id") < col("b_id"))
@@ -132,21 +138,31 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
                     idCol: String): DataFrame = {
+    // `pairs` is read FOUR ways below (both candIds sides, the inter
+    // join, the outer frame) and its producer is typically the LSH
+    // candidate join — without a barrier that join (and everything
+    // under it) plans and runs four times per action. Materializing the
+    // candidate list once is bounded by the candidate count.
+    val p = pairs.localCheckpoint(false)
     // restrict to docs actually named by a candidate pair BEFORE the
     // word explode/aggregate: `docs` may be a whole corpus (the
     // incremental path passes batch ∪ existing) and verification cost
     // must follow the candidate count, not the corpus size
-    val candIds = pairs.select(col("a_id").as("__cid"))
-      .union(pairs.select(col("b_id").as("__cid"))).distinct()
+    val candIds = p.select(explode(array(col("a_id"), col("b_id"))).as("__cid")).distinct()
     val cand = docs.join(candIds, docs(idCol) === col("__cid"), "leftsemi")
+    // the candidate-restricted token stream is read three ways (counts,
+    // intersection a-side, b-side) — one barrier stops the corpus
+    // semi-join + tokenize from running three times; its size follows
+    // the candidate count, not the corpus
     val wd = cand.select(col(idCol).as("doc"),
       explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
+      .localCheckpoint(false)
     val wc = wd.groupBy("doc").agg(count(lit(1)).as("nw"))
-    val inter = pairs
+    val inter = p
       .join(wd.select(col("doc").as("a_id"), col("w")), Seq("a_id"))
       .join(wd.select(col("doc").as("b_id"), col("w")), Seq("b_id", "w"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(inter, Seq("a_id", "b_id"), "left")
       .na.fill(0L, Seq("inter"))
       .join(wc.select(col("doc").as("a_id"), col("nw").as("nw_a")), Seq("a_id"))
@@ -180,17 +196,21 @@ object Dedup {
   def editVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
                  idCol: String, maxDist: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // same barrier discipline as jaccardVerify: `pairs` is read three
+    // ways (candIds, outer frame via two joins) and `cand` twice (a/b
+    // text sides) — materialize each once, bounded by candidate count
+    val p = pairs.localCheckpoint(false)
     val texts = docs.select(col(idCol).as("__tid"), col(textCol).as("__txt"))
-    val candIds = pairs.select(col("a_id").as("__cid"))
-      .union(pairs.select(col("b_id").as("__cid"))).distinct()
+    val candIds = p.select(explode(array(col("a_id"), col("b_id"))).as("__cid")).distinct()
     val cand = texts.join(candIds, col("__tid") === col("__cid"), "leftsemi")
+      .localCheckpoint(false)
     val dist =
       if (maxDist == Int.MaxValue) levenshtein(col("__ta"), col("__tb")).cast("long")
       else {
         val banded = levenshtein(col("__ta"), col("__tb"), maxDist)
         when(banded === -1, lit(maxDist.toLong + 1L)).otherwise(banded.cast("long"))
       }
-    pairs
+    p
       .join(cand.select(col("__tid").as("a_id"), col("__txt").as("__ta")), Seq("a_id"))
       .join(cand.select(col("__tid").as("b_id"), col("__txt").as("__tb")), Seq("b_id"))
       .withColumn("edit_dist", dist)
@@ -223,9 +243,17 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                       outId: String = "doc_id", outCluster: String = "cluster_id",
                       maxIters: Int = 25): DataFrame = {
+    // ONE pass over the pair pipeline: the union-of-two-projections form
+    // plants the (candidate join + verify) subtree twice in the plan and
+    // Spark does not CSE across union branches — the most expensive stage
+    // of every dedup pipeline executed twice (measured: half of q92/q113's
+    // edge materialization). Exploding both directions per row reads the
+    // pairs exactly once and yields the same edge set.
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // reused every round — don't re-run the pair pipeline
     // Hybrid (guide §1.2 "choose the distributed algorithm"): the verified
@@ -395,9 +423,14 @@ object Dedup {
     // have >= shingleN words (fastBandKeys filters shorter docs), so
     // identical short texts would otherwise both survive; it also
     // shrinks the LSH input for free.
+    // `unique` is the working set of every following stage (band keys,
+    // verify token sets, the final anti join) — materialize the exact
+    // stage once instead of re-running its corpus hash-aggregate + semi
+    // join per consumer
     val unique = df.join(
       exact(df, textCol, idCol).select(col("keep_id").as("__keep")),
       df(idCol) === col("__keep"), "leftsemi")
+      .localCheckpoint(false)
     dropLosers(unique, verifiedNearDupPairs(unique, textCol, idCol,
       threshold, numHashes, bands, shingleN), idCol)
   }
@@ -601,6 +634,7 @@ object Dedup {
         Seq("__h"), Seq(graft.plans.TopK.desc("__ord"), graft.plans.TopK.asc("doc_id")), k = 1)
       .select(col("doc_id").as("__keep"))
     val unique = df.join(exactWinners, df(idCol) === col("__keep"), "leftsemi")
+      .localCheckpoint(false) // the shared working set — same barrier as dedupCorpus
     val verified = verifiedNearDupPairs(unique, textCol, idCol,
       threshold, numHashes, bands, shingleN)
     val losers = survivorsBy(unique, verified, idCol, orderCol)
@@ -649,7 +683,10 @@ object Dedup {
     * to finer buckets; candidate pairs are deduped across tables. */
   def byEmbedding(df: DataFrame, vecCol: String, idCol: String,
                   threshold: Double, bits: Int = 4, tables: Int = 1): DataFrame = {
+    // one bucketing pass feeds both self-join sides (same barrier as
+    // minhashLsh's band keys)
     val withBucket = embeddingBuckets(df, vecCol, idCol, bits, tables)
+      .localCheckpoint(false)
     val a = withBucket.select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val b = withBucket.select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
@@ -685,8 +722,11 @@ object Dedup {
   def dedupIncrementalByEmbedding(newDocs: DataFrame, existing: DataFrame,
                                   vecCol: String, idCol: String, threshold: Double,
                                   bits: Int = 4, tables: Int = 1): DataFrame = {
-    val nb = embeddingBuckets(newDocs, vecCol, idCol, bits, tables)
-      .select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
+    // ONE bucketing pass over the batch serves the asymmetric join AND
+    // the within-batch self join (the dedupIncremental band-key pattern)
+    val nbk = embeddingBuckets(newDocs, vecCol, idCol, bits, tables)
+      .localCheckpoint(false)
+    val nb = nbk.select(col("id").as("a_id"), col("vec").as("a_vec"), col("bucket"))
     val eb = embeddingBuckets(existing, vecCol, idCol, bits, tables)
       .select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket"))
     val candNE = nb.join(eb, Seq("bucket"))
@@ -694,7 +734,15 @@ object Dedup {
       .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id")
-    val candNN = byEmbedding(newDocs, vecCol, idCol, threshold, bits, tables)
+    // within-batch pairs from the same checkpointed keys — value-identical
+    // to byEmbedding(newDocs, …) (same buckets, same cosine, same dedup)
+    val nnPairs = nb.join(
+        nbk.select(col("id").as("b_id"), col("vec").as("b_vec"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+    val candNN = (if (tables == 1) nnPairs else nnPairs.dropDuplicates("a_id", "b_id"))
+      .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
       .select("a_id", "b_id")
     val clusters = resolveClusters(candNE.union(candNN).distinct())
     val contaminated = clusters
@@ -737,6 +785,9 @@ object Dedup {
           shiftright(col("h"), i * width).bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // one fingerprint pass feeds both self-join sides: the upstream
+      // hash computation (SimHash/pHash per row) must not run twice
+      .localCheckpoint(false)
     val a = keyed.select(col("id").as("a_id"), col("h").as("a_h"), col("band"), col("key"))
     val b = keyed.select(col("id").as("b_id"), col("h").as("b_h"), col("band"), col("key"))
     // popcount-filter BEFORE the pair dedup: dist is computable from
@@ -794,10 +845,14 @@ object Dedup {
       threshold)
 
   /** Within-cluster cosine pairs over an (id, cluster, vec) assignment —
-    * the shared tail of the flat and two-level SemDeDup paths. */
+    * the shared tail of the flat and two-level SemDeDup paths. The
+    * assignment (k×d flops per row — the SemDeDup scale cost at k ∝ n)
+    * feeds both self-join sides: materialize it once rather than running
+    * the nearest-centroid scan twice. */
   private def pairsFromAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("cluster"), col("id").as("a_id"), col("vec").as("a_vec"))
-    val b = assigned.select(col("cluster"), col("id").as("b_id"), col("vec").as("b_vec"))
+    val once = assigned.localCheckpoint(false)
+    val a = once.select(col("cluster"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = once.select(col("cluster"), col("id").as("b_id"), col("vec").as("b_vec"))
     a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
       .withColumn("cosine", VectorFns.cosine(col("a_vec"), col("b_vec")))
       .filter(col("cosine") >= threshold)

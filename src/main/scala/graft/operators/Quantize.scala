@@ -103,10 +103,19 @@ object Quantize {
               col("subvec"), entries.map(_._2), entries.map(_._1))
             when(col("subspace") === s, best.getField("cluster")).otherwise(acc)
         }
-        val updated = lloydUpdate(
-            subs.withColumn("code", codeCol).filter(col("code").isNotNull), "subvec")
+        // lloydUpdate's first stage (decimal mean per component) runs
+        // distributed; its second stage only ASSEMBLES the ≤ m·k·dim
+        // component means into arrays — do that on the driver and save
+        // the second exchange per round (values are identical: same
+        // per-(subspace, code, pos) means, same pos order)
+        val updated = subs.withColumn("code", codeCol).filter(col("code").isNotNull)
+          .select(col("subspace"), col("code"), posexplode(col("subvec")).as(Seq("pos", "comp")))
+          .groupBy("subspace", "code", "pos")
+          .agg((sum(col("comp").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("c"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+          .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).sortBy(_._1).map(_._2).toSeq).toMap
         // empty clusters keep their previous centroid
         codebook = codebook.map { case (s, c, prev) =>
           (s, c, updated.getOrElse((s, c), prev))
