@@ -267,21 +267,24 @@ object IvfPq {
       .select(col("qc"), col("subspace"), col("code"),
         Quantize.sqDist(col("subvec"), col("centroid")).as("d2"))
 
-    // candidates: encoded rows of probed clusters — a join keyed on the
-    // cluster id, so the scan is cluster-local at any scale
+    // ADC distances as ONE per-row fold over a broadcast per-(query,
+    // cluster) lookup MAP instead of the former posexplode → broadcast
+    // join → re-aggregate: the explode churned candidates×m rows and the
+    // groupBy re-shuffled every candidate — pure overhead, since each
+    // candidate's m lookups need no cross-row data. Values are identical:
+    // the same m d2 doubles enter the same exact decimal(38,18) sum
+    // (order-free), a -1 sentinel code contributes nothing exactly as it
+    // failed the old inner join, and a candidate with NO valid code is
+    // absent from the output in both shapes.
+    val tbl = Quantize.adcMaps(table, "qc")
     val cand = probes.select(col("q_id"), col("cluster"))
       .join(encoded.select(col("id").as("t_id"), col("cluster"), col("codes")), Seq("cluster"))
-      .select(col("q_id"), col("cluster"), col("t_id"),
-        posexplode(col("codes")).as(Seq("subspace", "code")))
       .withColumn("qc", struct(col("q_id"), col("cluster")))
 
     val rw = w.partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
-    cand.join(broadcast(table), Seq("qc", "subspace", "code"))
-      .groupBy("q_id", "t_id")
-      // decimal accumulator (Num policy, same as Quantize.adcTopK): the
-      // m-term sum is exact and order-free, so equal code sequences get
-      // bitwise-equal distances and the t_id tie-break is deterministic
-      .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("adc_d2"))
+    cand.join(broadcast(tbl), Seq("qc"))
+      .withColumn("adc_d2", Quantize.adcFold(col("codes"), col("tbl"), model.m))
+      .filter(col("adc_d2").isNotNull)
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "adc_d2", "rank")

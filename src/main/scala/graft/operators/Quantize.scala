@@ -284,7 +284,10 @@ object Quantize {
     * vector's distance is the sum over subspaces of the query-to-centroid
     * distance of its code. The per-query distance table (m·k doubles)
     * is built once via the broadcast codebook, then the encoded scan is
-    * per-row lookups — the rank filter rides the TopKPerKey rewrite. */
+    * per-row MAP lookups folded in place ([[adcFold]]) — no explode of
+    * the codes, no re-aggregation shuffle of the candidates (the former
+    * shape churned candidates×m rows through a groupBy for per-row-local
+    * work). The rank filter rides the TopKPerKey rewrite. */
   def adcTopK(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
               qIdCol: String, qVecCol: String, m: Int, dim: Int, k: Int): DataFrame = {
     graft.plans.RankFilterToTopK_Install(queries.sparkSession)
@@ -295,25 +298,57 @@ object Quantize {
     val table = qsubs.join(cb, Seq("subspace"))
       .select(col("q_id"), col("subspace"), col("code"),
         sqDist(col("subvec"), col("centroid")).as("d2"))
-    // encoded rows explode to (id, subspace, code) and look up d2
-    val lookups = encoded
-      .select(col("id").as("t_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    val tbl = adcMaps(table, "q_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc_d2").asc, col("t_id"))
-    lookups.join(broadcast(table), Seq("subspace", "code"))
-      .groupBy("q_id", "t_id")
-      // decimal accumulator (Num policy): the m-term sum is exact and
-      // order-free, so duplicate codes get BITWISE-equal distances and
-      // the t_id tie-break below is deterministic across partitionings.
-      // MAGNITUDE CONTRACT: decimal(38,18) holds |Σd2| < 1e20, i.e.
-      // per-subspace squared distances to ~1e19 — comfortable for
-      // unit-scale embeddings (d2 ~ 1), and under ANSI mode (Spark 4's
-      // default, which graft sessions keep) an overflow fails LOUDLY
-      // rather than silently nulling the ranking; only a non-ANSI
-      // deployment with ~1e9-scale components needs to pre-scale.
-      .agg(sum(col("d2").cast("decimal(38,18)")).cast("double").as("adc_d2"))
+    encoded.select(col("id").as("t_id"), col("codes"))
+      .crossJoin(broadcast(tbl))
+      // decimal accumulation inside adcFold (Num policy): the m-term sum
+      // is exact and order-free, so duplicate codes get BITWISE-equal
+      // distances and the t_id tie-break below is deterministic across
+      // partitionings. MAGNITUDE CONTRACT: decimal(38,18) holds
+      // |Σd2| < 1e20 — comfortable for unit-scale embeddings, and under
+      // ANSI mode an overflow fails LOUDLY rather than silently nulling
+      // the ranking.
+      .withColumn("adc_d2", adcFold(col("codes"), col("tbl"), m))
+      .filter(col("adc_d2").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "adc_d2", "rank")
+  }
+
+  /** Per-key ADC lookup maps: one row per `keyCol` value with a
+    * (subspace·2^25 + code) → d2 map — the broadcastable form of the
+    * per-query distance table ([[adcFold]] is the reader). 2^25 clears
+    * trainCodebook's k ≤ 2^24 ceiling, so a -1 sentinel code's key
+    * (s·2^25 − 1) can never collide with a real (s−1, code) entry. */
+  private[operators] def adcMaps(table: DataFrame, keyCol: String): DataFrame =
+    table
+      .select(col(keyCol), (col("subspace").cast("long") * (1L << 25) + col("code")).as("k"),
+        col("d2"))
+      .groupBy(keyCol)
+      .agg(map_from_arrays(collect_list(col("k")), collect_list(col("d2"))).as("tbl"))
+
+  /** Fold a codes array over an [[adcMaps]] lookup map: exact scale-18
+    * decimal sum of the found entries, null when NO code resolves
+    * (-1 sentinel codes miss the map exactly as they failed the old
+    * (subspace, code) inner join; a candidate with no valid code must
+    * be ABSENT from the ranking, so callers filter the null).
+    *
+    * Precision: the accumulator is decimal(37,18) and each entry casts
+    * to decimal(30,18), so the add result is decimal(38,18) — SCALE 18
+    * IS PRESERVED (a naive (38,18)+(38,18) lambda promotes to scale 17,
+    * silently rounding the 18th digit the old Sum kept exact). The cast
+    * back to (37,18) checks magnitude only. Contract: per-subspace
+    * d2 < 1e12 and |Σd2| < 1e19 (vs the old 1e20) — orders beyond any
+    * unit-scale embedding; ANSI mode fails loudly past it. */
+  private[operators] def adcFold(codes: Column, tbl: Column, m: Int): Column = {
+    val found = filter(
+      zip_with(codes, typedLit((0 until m).toList),
+        (c, s) => try_element_at(tbl, s.cast("long") * (1L << 25) + c)),
+      x => x.isNotNull)
+    when(size(found) > 0,
+      aggregate(found, lit(java.math.BigDecimal.ZERO).cast("decimal(37,18)"),
+        (acc, x) => (acc + x.cast("decimal(30,18)")).cast("decimal(37,18)")).cast("double"))
   }
 }

@@ -755,7 +755,8 @@ object VectorQueries {
       val dim = 64
       val cb = graft.operators.Quantize
         .trainCodebook(base, "vec_id", "embedding", m, dim, k = 16, iters = 2)
-        .localCheckpoint() // k·m = 128 rows, reused by encode + both ADC sides
+      // k·m = 128 rows in a LocalRelation — reused by encode + both ADC
+      // sides with no lineage to pin (former localCheckpoint removed)
       val enc = graft.operators.Quantize.encode(base, "vec_id", "embedding", cb, m, dim)
       val q0 = base
         .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
@@ -1089,12 +1090,11 @@ object VectorQueries {
     (s, dir) => {
       val base = emb(s, dir)
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      val model0 = graft.operators.IvfPq.train(base, "vec_id", "embedding",
+      // trainCodebook's driver loop returns LocalRelation codebooks —
+      // already materialized, nothing to pin (the former localCheckpoint
+      // copies cost two barrier jobs for frames with no lineage to cut)
+      val model = graft.operators.IvfPq.train(base, "vec_id", "embedding",
         dim = 64, nlist = 8, m = 4, k = 16, iters = 2)
-      // both codebooks are reused by encode + the two search sides — pin
-      // the small frames so the Lloyd lineage never re-executes
-      val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
-        pq = model0.pq.localCheckpoint())
       val enc = graft.operators.IvfPq.encode(base, "vec_id", "embedding", model)
       val q0 = base
         .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
@@ -1208,10 +1208,9 @@ object VectorQueries {
     (s, dir) => {
       val base = emb(s, dir)
         .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
-      val model0 = graft.operators.IvfPq.train(base, "vec_id", "embedding",
+      // LocalRelation codebooks — no lineage to pin (see q123)
+      val model = graft.operators.IvfPq.train(base, "vec_id", "embedding",
         dim = 64, nlist = 8, m = 4, k = 16, iters = 2)
-      val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
-        pq = model0.pq.localCheckpoint())
       val enc = graft.operators.IvfPq.encode(base, "vec_id", "embedding", model)
       val q0 = base
         .join(broadcast(base.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
