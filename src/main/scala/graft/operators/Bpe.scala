@@ -150,7 +150,7 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Size guard: one tiny agg over the (already word-sized) table. The
     // driver-side state is per-SYMBOL boxed strings, so estimate ~48 B
@@ -361,7 +361,7 @@ object Bpe {
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] = wordFreq
       .map { case (w, n) => (symbols(w): Seq[String], n) }
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
@@ -390,7 +390,7 @@ object Bpe {
               } else { out += syms(i); i += 1 }
             }
             (out.toSeq, n)
-          }.localCheckpoint()
+          }.localCheckpoint(false)
           // note: no unpersist — it is a no-op for localCheckpoint
           // blocks; dropping the reference lets ContextCleaner reclaim
           // the previous round's RDD blocks

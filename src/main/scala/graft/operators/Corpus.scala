@@ -260,7 +260,7 @@ object Corpus {
     val benchShingles = benchmark
       .select(explode(TextFns.shingles(col(textCol), n)).as("__s"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Size the filter to the actual distinct-shingle count (one tiny
     // aggregate over the structurally-small benchmark), then build it

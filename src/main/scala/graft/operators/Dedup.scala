@@ -477,7 +477,7 @@ object Dedup {
     val fresh = vsCorpus.join(
       exact(vsCorpus, textCol, idCol).select(col("keep_id").as("__keep")),
       vsCorpus(idCol) === col("__keep"), "leftsemi")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Stage 2 — ONE pair graph across both frames: new×existing pairs
     // from an asymmetric band join plus new×new pairs from the self
     // join, verified together and resolved as one set of connected
@@ -495,7 +495,7 @@ object Dedup {
     // within-batch LSH is definitionally the band-key self join, so
     // deriving it from the checkpointed keys changes nothing but the
     // pass count — the shingle+minhash map stage is the expensive part).
-    val nb = keys(fresh).select(col("doc").as("a_id"), col("band")).localCheckpoint()
+    val nb = keys(fresh).select(col("doc").as("a_id"), col("band")).localCheckpoint(false)
     val eb = keys(existing).select(col("doc").as("b_id"), col("band"))
     val candNE = nb.join(eb, Seq("band")).select("a_id", "b_id").distinct()
     val candNN = nb
@@ -572,7 +572,7 @@ object Dedup {
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("__f"), col("w")))).as("__ord"),
         count(lit(1)).as("__sz"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
     val prefixes = ordered.select(col("doc"),
       explode(slice(transform(col("__ord"), s => s.getField("w")), lit(1), prefixLen)).as("pw"))

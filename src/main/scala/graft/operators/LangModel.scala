@@ -63,7 +63,7 @@ object LangModel {
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     Model(unigrams, bigrams, unigrams.count())
   }
 

@@ -879,7 +879,7 @@ object VectorQueries {
         e, "embedding", "vec_id", "label", targetClusterSize = 25)
       // the two-level path evaluates the codebook several times (count,
       // coarse fit, cell keying, non-empty collect) — pin it once
-      val cents = centroids.localCheckpoint()
+      val cents = centroids.localCheckpoint(false)
       val flat = graft.operators.Dedup
         .assignNearest(e, "embedding", "vec_id", cents, labelBits)
         .select(col("id").as("vec_id"), col("cluster").as("flat_cl"))
