@@ -574,11 +574,20 @@ object Dedup {
         count(lit(1)).as("__sz"))
       .localCheckpoint(false)
     val prefixLen = (col("__sz") - ceil(lit(tau) * col("__sz")) + 1).cast("int")
-    val prefixes = ordered.select(col("doc"),
+    val prefixes = ordered.select(col("doc"), col("__sz"),
       explode(slice(transform(col("__ord"), s => s.getField("w")), lit(1), prefixLen)).as("pw"))
-    val candidates = prefixes.select(col("doc").as("a_id"), col("pw"))
-      .join(prefixes.select(col("doc").as("b_id"), col("pw")), Seq("pw"))
-      .filter(col("a_id") < col("b_id"))
+    // PPJoin length filter: J(x,y) ≥ τ forces τ ≤ |x∩y|/|x∪y| ≤
+    // min(|x|,|y|)/max(|x|,|y|), so a size-mismatched pair can NEVER
+    // verify — drop it at the candidate join (the predicate rides the
+    // joined row, so the dominant mismatched-size candidate class dies
+    // before the distinct shuffle and the verify token joins). Output
+    // is provably unchanged: only pairs below the τ verify threshold
+    // are removed.
+    val candidates = prefixes.select(col("doc").as("a_id"), col("__sz").as("__la"), col("pw"))
+      .join(prefixes.select(col("doc").as("b_id"), col("__sz").as("__lb"), col("pw")), Seq("pw"))
+      .filter(col("a_id") < col("b_id") &&
+        col("__la").cast("double") * lit(tau) <= col("__lb").cast("double") &&
+        col("__lb").cast("double") * lit(tau) <= col("__la").cast("double"))
       .select("a_id", "b_id").distinct()
     val tokenSets = ordered.select(col("doc"),
       transform(col("__ord"), s => s.getField("w")).as("__ws"), col("__sz"))
