@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must reach the caller raw: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// any consumer parsing Bench's one-line JSON summary from stdout.
+run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's closing "[success] Total time" banner would otherwise print
+// AFTER that JSON line; suppress it so the summary is the last stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
