@@ -18,6 +18,7 @@ run / outputStrategy := Some(StdoutOutput)
 // ...and sbt's closing "[success] Total time" banner would otherwise print
 // AFTER that JSON line; suppress it so the summary is the last stdout line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

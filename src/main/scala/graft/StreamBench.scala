@@ -108,14 +108,12 @@ object StreamBench {
 
     def ts(i: Int) = new Timestamp(baseMs + i.toLong * 100L) // 100 ms cadence
 
-    // IVF model trained ONCE on the real embeddings: the codebooks are
-    // lazy plans, so pin them with an eager localCheckpoint — otherwise
-    // every encodeStateless call (which collects the codebooks into
-    // literals) would re-run Lloyd training
-    val model0 = graft.operators.IvfPq.train(embDf, "vec_id", "embedding",
+    // IVF model trained ONCE on the real embeddings. At this codebook
+    // size IvfPq.train runs the driver-resident Lloyd loop and returns
+    // LocalRelations — already materialized, so the eager localCheckpoint
+    // pinning this once carried would just be two wasted barrier jobs
+    val model = graft.operators.IvfPq.train(embDf, "vec_id", "embedding",
       dim = dim, nlist = 16, m = 8, k = 16, iters = 2)
-    val model = model0.copy(coarse = model0.coarse.localCheckpoint(),
-      pq = model0.pq.localCheckpoint())
 
     def chunksOf[T](xs: IndexedSeq[T], n: Int): Seq[Seq[T]] =
       xs.grouped(math.max(1, xs.length / n)).map(_.toSeq).toSeq

@@ -30,6 +30,16 @@ object Functions {
       (exprs: Seq[Expression]) => WordShingles(exprs.head, litInt(exprs(1), "word_shingles", "n"))),
     ("minhash_sig", classOf[MinHashSig],
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, litInt(exprs(1), "minhash_sig", "hashes"))),
+    ("minhash_bands", classOf[MinHashBands],
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head,
+        litInt(exprs(1), "minhash_bands", "hashes"),
+        litInt(exprs(2), "minhash_bands", "bands"),
+        litInt(exprs(3), "minhash_bands", "shingleN"))),
+    ("xxminhash_bands", classOf[XxMinHashBands],
+      (exprs: Seq[Expression]) => XxMinHashBands(exprs.head,
+        litInt(exprs(1), "xxminhash_bands", "hashes"),
+        litInt(exprs(2), "xxminhash_bands", "bands"),
+        litInt(exprs(3), "xxminhash_bands", "shingleN"))),
     ("simhash_bits", classOf[SimHashBits],
       (exprs: Seq[Expression]) => SimHashBits(exprs.head, litInt(exprs(1), "simhash_bits", "bits"))),
     ("dot_product", classOf[DotProduct],

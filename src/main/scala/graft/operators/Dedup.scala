@@ -24,12 +24,35 @@ object Dedup {
   private def parallelized(df: DataFrame, idCol: String): DataFrame =
     graft.sources.Tables.parallelized(df, idCol)
 
+  /** Barrier for a CORPUS-SIZED working set (the one-call pipelines'
+    * exact-deduped `unique` frame — every other checkpoint in this file
+    * is candidate/signature-bounded). Stored serialized-with-disk by
+    * default (`spark.graft.checkpoint.corpusStorageLevel`): the default
+    * deserialized MEMORY_AND_DISK level can thrash executor memory when
+    * the working set approaches corpus scale. Disposition (the
+    * localCheckpoint trade, deliberate): blocks live on executors with
+    * NO lineage fallback, so losing an executor mid-job at 100 TB kills
+    * the job — the recompute-vs-store call here is that re-running the
+    * exact-dedup hash aggregate per downstream consumer (band keys,
+    * verify token sets, the final anti join — 3+ corpus passes) costs
+    * more than one materialization; a deployment that must survive
+    * executor loss should write `unique` to reliable storage (one
+    * parquet round-trip) instead, which is a recovery policy, not an
+    * operator concern. */
+  private def corpusCheckpoint(df: DataFrame): DataFrame = {
+    val lvl = df.sparkSession.conf.get(
+      "spark.graft.checkpoint.corpusStorageLevel", "MEMORY_AND_DISK_SER")
+    df.localCheckpoint(eager = false,
+      storageLevel = org.apache.spark.storage.StorageLevel.fromString(lvl))
+  }
+
   /** MinHash + LSH candidate pairs: `numHashes` md5-minhash components over
     * word-`shingleN`-gram shingles, banded `bands`-wise; docs sharing any
     * band hash become candidate pairs (a_id < b_id, distinct).
     *
-    * The signature is the native per-row MinHashSig expression — one md5
-    * per shingle serving all components, mins tracked in a single pass —
+    * The shingle → signature → band-key chain is the single fused native
+    * MinHashBands expression — one md5 per shingle (served straight off
+    * the text's byte buffer, no shingle array) plus one md5 per band —
     * so the rows × shingles explode (and its groupBy shuffle) never
     * exists; only the per-doc band keys reach an exchange, and the band
     * self-join stays bucket-local.
@@ -56,19 +79,17 @@ object Dedup {
   private def bandKeys(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val perBand = numHashes / bands
     // The >= shingleN filter drops docs with no shingles (mirrored in the
-    // oracle SQL); MinHashSig would return null for them anyway.
-    val withSig = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+    // oracle SQL); MinHashBands would return null for them anyway.
+    // The whole shingle → minhash → band-md5 chain is ONE fused native
+    // expression over the raw text bytes (no shingle-array
+    // materialization — each shingle is a byte range of the text);
+    // NativeExprParitySpec pins value-parity with the composed
+    // word_shingles + minhash_sig + md5(concat(…)) form.
+    parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
       .select(col(idCol).as("doc"),
-        graft.expressions.MinHashSig.of(
-          TextFns.shingles(col(textCol), shingleN), numHashes).as("sig"))
-    withSig.select(
-      col("doc"),
-      explode(array((0 until bands).map { b =>
-        val cols = (b * perBand until (b + 1) * perBand).map(i => element_at(col("sig"), i + 1))
-        md5(concat(cols: _*))
-      }: _*)).as("band"))
+        explode(graft.expressions.MinHashBands.of(
+          col(textCol), numHashes, bands, shingleN)).as("band"))
   }
 
   /** Scale-path MinHash+LSH: identical banded design to `minhashLsh` but
@@ -93,17 +114,14 @@ object Dedup {
   private def fastBandKeys(df: DataFrame, textCol: String, idCol: String,
                            numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val perBand = numHashes / bands
-    val sh = parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
-      .select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), shingleN)).as("sh"))
-    val hashCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    val withSig = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
-    withSig.select(
-      col("doc"),
-      explode(array((0 until bands).map { b =>
-        val cols = (b * perBand until (b + 1) * perBand).map(i => col(s"h$i"))
-        xxhash64(cols: _*)
-      }: _*)).as("band"))
+    // ONE fused projection (XxMinHashBands) — the former explode(shingles)
+    // → min(xxhash64(sh, i)) groupBy(doc) shape shuffled corpus × shingles
+    // rows through a hash aggregate for work that never needed cross-row
+    // data; NativeExprParitySpec pins band-for-band value parity.
+    parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.XxMinHashBands.of(
+          col(textCol), numHashes, bands, shingleN)).as("band"))
   }
 
   /** SimHash fingerprint (`bits` ≤ 16): per distinct word, ±1 votes from
@@ -255,7 +273,10 @@ object Dedup {
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint() // reused every round — don't re-run the pair pipeline
+      // reused every round — don't re-run the pair pipeline. Lazy: the
+      // count() gate below is the first action and materializes it, so an
+      // eager barrier here would just be one extra scheduled job
+      .localCheckpoint(false)
     // Hybrid (guide §1.2 "choose the distributed algorithm"): the verified
     // pair graph is already a huge reduction of the corpus — when it fits
     // on the driver, a local union-find resolves components in one collect
@@ -263,7 +284,7 @@ object Dedup {
     // rounds of 3 scheduled jobs each. The edge budget is conf-sized, not
     // hard-coded for this box; past it (billion-pair corpora) the
     // distributed label-propagation loop below is unchanged. The count is
-    // a cheap scan of the just-checkpointed partitions.
+    // the action that materializes the lazy checkpoint above.
     val maxLocalEdges = pairs.sparkSession.conf
       .get("spark.graft.components.maxLocalEdges", (4L << 20).toString).toLong
     val integralIds = edges.schema.fields.forall(f =>
@@ -331,11 +352,16 @@ object Dedup {
                                    outCluster: String): DataFrame = {
     val spark = edges.sparkSession
     val longIds = edges.schema.head.dataType == org.apache.spark.sql.types.LongType
-    val rows = edges.collect()
-    def get(r: org.apache.spark.sql.Row, i: Int): java.lang.Long =
-      if (r.isNullAt(i)) null
-      else if (longIds) java.lang.Long.valueOf(r.getLong(i))
-      else java.lang.Long.valueOf(r.getInt(i).toLong)
+    // collect boxed-Long pairs, not GenericRows: a Row costs ~2× the
+    // tuple (row object + value array on top of the two boxes), and this
+    // transient array is budgeted in EDGES (maxLocalEdges), not bytes —
+    // keep the driver footprint as close to the raw longs as a null-safe
+    // collect allows
+    val rows: Array[(java.lang.Long, java.lang.Long)] = edges
+      .select(col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.LONG, org.apache.spark.sql.Encoders.LONG))
+      .collect()
     val idx = new java.util.HashMap[java.lang.Long, Integer]()
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -356,8 +382,7 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { r =>
-      val (a, b) = (get(r, 0), get(r, 1))
+    rows.foreach { case (a, b) =>
       if (a == null || b == null) {
         sawNull = true
         if (a != null) nodeOf(a)
@@ -427,10 +452,9 @@ object Dedup {
     // verify token sets, the final anti join) — materialize the exact
     // stage once instead of re-running its corpus hash-aggregate + semi
     // join per consumer
-    val unique = df.join(
+    val unique = corpusCheckpoint(df.join(
       exact(df, textCol, idCol).select(col("keep_id").as("__keep")),
-      df(idCol) === col("__keep"), "leftsemi")
-      .localCheckpoint(false)
+      df(idCol) === col("__keep"), "leftsemi"))
     dropLosers(unique, verifiedNearDupPairs(unique, textCol, idCol,
       threshold, numHashes, bands, shingleN), idCol)
   }
@@ -580,14 +604,18 @@ object Dedup {
     // min(|x|,|y|)/max(|x|,|y|), so a size-mismatched pair can NEVER
     // verify — drop it at the candidate join (the predicate rides the
     // joined row, so the dominant mismatched-size candidate class dies
-    // before the distinct shuffle and the verify token joins). Output
-    // is provably unchanged: only pairs below the τ verify threshold
-    // are removed.
+    // before the distinct shuffle and the verify token joins). The
+    // filter is the DIVISION form, not lb·τ ≤ la: the verify stage
+    // compares jaccard ≥ τ with an IEEE division, and jaccard is
+    // maximized at inter = min(la,lb) where it equals exactly this
+    // min/max quotient — fl is monotone, so pruning on the same rounded
+    // quotient can never drop a pair the verify division would accept
+    // (the multiplication form could, at an exact threshold boundary).
     val candidates = prefixes.select(col("doc").as("a_id"), col("__sz").as("__la"), col("pw"))
       .join(prefixes.select(col("doc").as("b_id"), col("__sz").as("__lb"), col("pw")), Seq("pw"))
       .filter(col("a_id") < col("b_id") &&
-        col("__la").cast("double") * lit(tau) <= col("__lb").cast("double") &&
-        col("__lb").cast("double") * lit(tau) <= col("__la").cast("double"))
+        least(col("__la"), col("__lb")).cast("double") /
+          greatest(col("__la"), col("__lb")).cast("double") >= lit(tau))
       .select("a_id", "b_id").distinct()
     val tokenSets = ordered.select(col("doc"),
       transform(col("__ord"), s => s.getField("w")).as("__ws"), col("__sz"))
@@ -642,8 +670,9 @@ object Dedup {
         df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h"), orderCol.as("__ord")),
         Seq("__h"), Seq(graft.plans.TopK.desc("__ord"), graft.plans.TopK.asc("doc_id")), k = 1)
       .select(col("doc_id").as("__keep"))
-    val unique = df.join(exactWinners, df(idCol) === col("__keep"), "leftsemi")
-      .localCheckpoint(false) // the shared working set — same barrier as dedupCorpus
+    // the shared working set — same corpus-sized barrier as dedupCorpus
+    val unique = corpusCheckpoint(
+      df.join(exactWinners, df(idCol) === col("__keep"), "leftsemi"))
     val verified = verifiedNearDupPairs(unique, textCol, idCol,
       threshold, numHashes, bands, shingleN)
     val losers = survivorsBy(unique, verified, idCol, orderCol)

@@ -48,8 +48,12 @@ object IvfPq {
     // vec) and materialized n×nlist joined rows. Same distance chain and
     // tie direction; rows with no assignable cluster (null/ragged vecs)
     // are dropped exactly as the old inner join-back dropped them.
+    // same driver-held-codebook budget as trainCodebook itself — a
+    // deployment that lowers the conf (driver cannot hold codebooks)
+    // must not get the coarse codebook collected here either
     val resid =
-      if (nlist.toLong * dim <= (1L << 21)) residualsStateless(df, idCol, vecCol, coarse)
+      if (nlist.toLong * dim <= Quantize.driverCodebookMaxDoubles(df))
+        residualsStateless(df, idCol, vecCol, coarse)
       else residuals(df, idCol, vecCol, coarse, bits)
     val pq = Quantize.trainCodebook(resid, "id", "resid", m = m, dim = dim,
       k = k, iters = iters)
@@ -244,13 +248,41 @@ object IvfPq {
     val w = org.apache.spark.sql.expressions.Window
     val qvecs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).cast("array<double>").as("q_vec"))
 
-    // nprobe best clusters per query (broadcast coarse; TopK rewrite)
-    val pw = w.partitionBy("q_id").orderBy(col("cd2").asc, col("cluster").asc)
-    val probes = qvecs.join(broadcast(model.coarse))
-      .withColumn("cd2", Quantize.sqDist(col("q_vec"), col("c_centroid")))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cluster"), col("c_centroid"))
+    // nprobe best clusters per query. Default: the coarse codebook is
+    // driver-collectable (the trainCodebook budget), so probe selection
+    // is ONE stateless top-nprobe expression over plan-literal centroids
+    // — no queries × nlist join rows, no window, no exchange in the
+    // probe segment. Ordering (Spark double compare on cd2 asc, ties to
+    // the smaller cluster) and the d² chain are bit-identical to the
+    // join+window fallback below, which remains for codebooks past the
+    // budget or carrying null/ragged centroids (whose null-first window
+    // ranking the expression deliberately does not reproduce).
+    val budgetRows = (Quantize.driverCodebookMaxDoubles(queries) /
+      math.max(1, model.dim)).toInt
+    val probeRows = model.coarse.select("cluster", "c_centroid")
+      .limit(budgetRows + 1).collect()
+    val cleanLocal = probeRows.length <= budgetRows && probeRows.nonEmpty &&
+      probeRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        r.getSeq[Double](1).length == model.dim)
+    val probes =
+      if (cleanLocal) {
+        val cents = probeRows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        val centMap = map_from_arrays(
+          typedLit(cents.map(_._1).toSeq),
+          typedLit(cents.map(_._2.toSeq).toSeq))
+        qvecs
+          .withColumn("cluster", explode(graft.expressions.NearestCentroidsTopN.l2(
+            col("q_vec"), cents.map(_._2), cents.map(_._1), nprobe)))
+          .withColumn("c_centroid", element_at(centMap, col("cluster")))
+          .select(col("q_id"), col("q_vec"), col("cluster"), col("c_centroid"))
+      } else {
+        val pw = w.partitionBy("q_id").orderBy(col("cd2").asc, col("cluster").asc)
+        qvecs.join(broadcast(model.coarse))
+          .withColumn("cd2", Quantize.sqDist(col("q_vec"), col("c_centroid")))
+          .withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= nprobe)
+          .select(col("q_id"), col("q_vec"), col("cluster"), col("c_centroid"))
+      }
 
     // residual query per probed cluster → per-subspace ADC lookup table:
     // (q_id, cluster, subspace, code) → squared distance contribution

@@ -136,6 +136,12 @@ object LangModel {
       .select(explode(bigramArray(textCol)).as("bg"))
       .select(col("bg.w_prev").as("w_prev"), col("bg.w").as("w"))
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c_pair"))
+      // read twice — by the eager N scalar below and by the PMI query
+      // itself — and its producer is a full corpus tokenize+explode+
+      // shuffle; the lazy barrier (materialized by the N aggregate, which
+      // touches every partition) runs it once. Bounded by the distinct
+      // bigram count, not the corpus.
+      .localCheckpoint(false)
     // sum over an empty frame is NULL, not 0 — a corpus with no bigrams
     // (all docs < 2 words) must return an empty result, not NPE
     val nRow = bi.agg(sum(col("c_pair"))).head()

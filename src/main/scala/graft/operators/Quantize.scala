@@ -65,7 +65,7 @@ object Quantize {
     * loop — parameterized, not hard-coded for the 128 GiB sandbox: the
     * default 2^21 doubles (16 MB) is comfortable for any driver that can
     * broadcast the same codebook, which the join path would do anyway. */
-  private def driverCodebookMaxDoubles(df: DataFrame): Long =
+  private[operators] def driverCodebookMaxDoubles(df: DataFrame): Long =
     df.sparkSession.conf.get("spark.graft.quantize.driverCodebookMaxDoubles",
       (1L << 21).toString).toLong
 
@@ -134,19 +134,27 @@ object Quantize {
   private def trainCodebookDistributed(df: DataFrame, idCol: String, vecCol: String,
                                        m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
     val subs = subvectors(df, idCol, vecCol, m, dim).cache()
-    val init = subs
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("id")))
-      .filter(col("rn") <= k)
-      .select(col("subspace"), (col("rn") - 1).cast("int").as("code"), col("subvec").as("centroid"))
+    try {
+      val init = subs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("subspace").orderBy("id")))
+        .filter(col("rn") <= k)
+        .select(col("subspace"), (col("rn") - 1).cast("int").as("code"), col("subvec").as("centroid"))
 
-    (1 to iters).foldLeft(init) { (codebook, _) =>
-      val updated = lloydUpdate(assignCodes(subs, codebook, "subvec"), "subvec")
-      // empty clusters keep their previous centroid
-      codebook.select(col("subspace"), col("code"), col("centroid").as("prev"))
-        .join(updated, Seq("subspace", "code"), "left")
-        .select(col("subspace"), col("code"), coalesce(col("centroid"), col("prev")).as("centroid"))
-    }
+      val trained = (1 to iters).foldLeft(init) { (codebook, _) =>
+        val updated = lloydUpdate(assignCodes(subs, codebook, "subvec"), "subvec")
+        // empty clusters keep their previous centroid
+        codebook.select(col("subspace"), col("code"), col("centroid").as("prev"))
+          .join(updated, Seq("subspace", "code"), "left")
+          .select(col("subspace"), col("code"), coalesce(col("centroid"), col("prev")).as("centroid"))
+      }
+      // materialize the trained codebook BEFORE releasing the training
+      // cache: the fold's result is lazy, and unpersisting `subs` under a
+      // lazy plan would silently recompute every subvector pass per
+      // consumer — while never unpersisting (the previous shape) leaked
+      // the cache across the whole session (and across timed bench runs)
+      trained.localCheckpoint(eager = true)
+    } finally { subs.unpersist(); () }
   }
 
   /** One Lloyd centroid update: exact per-component decimal means of the

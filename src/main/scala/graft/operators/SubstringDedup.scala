@@ -65,16 +65,35 @@ object SubstringDedup {
       .select("__id", "span_start", "span_end")
   }
 
-  /** Grams appearing in ≥ 2 DISTINCT docs, with the canonical (minimum)
-    * holder id: (`gram`, `min_id`). Two-stage aggregation — distinct
-    * (gram, doc) first, so a gram repeated 10⁶ times inside one doc
-    * costs one row at the gram shuffle, not 10⁶. */
-  private def sharedGrams(grams: DataFrame): DataFrame =
-    grams.select("gram", "__id").distinct()
-      .groupBy("gram")
-      .agg(count(lit(1)).as("__n_docs"), min(col("__id")).as("min_id"))
-      .filter(col("__n_docs") >= 2)
-      .select("gram", "min_id")
+  /** Annotate every gram-position row with its gram's distinct-doc count
+    * and canonical (minimum) holder id — the shared-gram detection fused
+    * onto the position rows themselves. The former shape computed a
+    * separate shared-gram table (distinct → groupBy → filter) and joined
+    * it back to `grams`: Spark does not CSE the duplicated subtree, so
+    * the gram producer (corpus scan + split + shingle pass) ran TWICE,
+    * plus a distinct shuffle and a gram-keyed join shuffle. Here ONE
+    * gram-keyed exchange feeds two window functions over the same
+    * partitioning: a first-occurrence flag per (gram, doc) via lag over
+    * (gram ORDER BY doc, pos), then the full-frame sum of flags = the
+    * gram's distinct-doc count (and min(__id) over the frame = the
+    * canonical holder, since the frame is doc-ordered). Row set and
+    * values are identical to the join form.
+    *
+    * Skew note: a gram shared by D docs sorts its position rows in one
+    * window partition — the same rows the join form also placed in one
+    * hash partition, so the skew class is unchanged. */
+  private def withSharedCounts(grams: DataFrame): DataFrame = {
+    val byGram = Window.partitionBy("gram").orderBy("__id", "pos")
+    val whole = Window.partitionBy("gram")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grams
+      .withColumn("__first",
+        when(lag(col("__id"), 1).over(byGram).isNull ||
+          lag(col("__id"), 1).over(byGram) =!= col("__id"), 1L).otherwise(0L))
+      .withColumn("__n_docs", sum(col("__first")).over(whole))
+      .withColumn("min_id", min(col("__id")).over(whole))
+      .drop("__first")
+  }
 
   private def withKey(df: DataFrame, hashKeys: Boolean): DataFrame =
     if (hashKeys) df.withColumn("gram", xxhash64(col("gram"))) else df
@@ -85,8 +104,8 @@ object SubstringDedup {
   def dupSpans(docs: DataFrame, textCol: String, idCol: String, k: Int,
                hashKeys: Boolean = true): DataFrame = {
     val grams = withKey(gramPositions(docs, textCol, idCol, k), hashKeys)
-    val dupPos = grams
-      .join(sharedGrams(grams).select("gram"), Seq("gram"))
+    val dupPos = withSharedCounts(grams)
+      .filter(col("__n_docs") >= 2)
       .select("__id", "pos")
     mergeCoverage(dupPos, k).withColumnRenamed("__id", idCol)
   }
@@ -128,9 +147,8 @@ object SubstringDedup {
     val grams = withKey(gramPositions(docs, textCol, idCol, k), hashKeys)
     // duplicated gram starts this doc must NOT keep (it is not the
     // gram's canonical holder)
-    val strip = grams
-      .join(sharedGrams(grams), Seq("gram"))
-      .filter(col("__id") =!= col("min_id"))
+    val strip = withSharedCounts(grams)
+      .filter(col("__n_docs") >= 2 && col("__id") =!= col("min_id"))
       .select("__id", "pos")
       .withColumn("__strip", lit(1L))
     val toks = docs.select(col(idCol).as("__id"),

@@ -94,6 +94,24 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("search: literal top-nprobe probe path == join+window fallback row-for-row") {
+    val model = IvfPq.train(corpus, "vec_id", "embedding", dim = 8, nlist = 4, m = 2, k = 4, iters = 2)
+    val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.filter($"vec_id" < 10L)
+    def run() = IvfPq.search(queries, encoded, model, "vec_id", "embedding", nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val literal = run()
+    // driverCodebookMaxDoubles = 0 forces the broadcast-join + window
+    // probe selection — the two paths must agree exactly (same cd2
+    // doubles, same tie direction, same probed clusters)
+    spark.conf.set("spark.graft.quantize.driverCodebookMaxDoubles", "0")
+    val viaWindow =
+      try run()
+      finally spark.conf.unset("spark.graft.quantize.driverCodebookMaxDoubles")
+    assert(literal == viaWindow)
+    assert(literal.nonEmpty)
+  }
+
   // test-local exact squared L2 (Quantize.sqDist is package-private; an
   // interpreted HOF fold is fine at spec scale)
   private def sqD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {

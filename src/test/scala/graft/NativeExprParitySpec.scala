@@ -68,6 +68,47 @@ class NativeExprParitySpec extends SparkSpec {
     assert(composed.nonEmpty)
   }
 
+  test("MinHashBands == word_shingles + minhash_sig + md5(concat(sig slices)) on random docs") {
+    import graft.expressions.MinHashBands
+    val (numHashes, bands, n) = (8, 2, 3)
+    val perBand = numHashes / bands
+    val eligible = docs.filter(size(TextFns.words(col("text"))) >= n)
+    val native = eligible.select(col("doc_id"),
+      MinHashBands.of(col("text"), numHashes, bands, n).as("bk"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sig = MinHashSig.of(TextFns.shingles(col("text"), n), numHashes)
+    val composed = eligible.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), array((0 until bands).map { b =>
+        md5(concat((b * perBand until (b + 1) * perBand)
+          .map(i => element_at(col("sig"), i + 1)): _*))
+      }: _*).as("bk"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native.keySet == composed.keySet)
+    composed.foreach { case (d, b) => assert(native(d) == b, s"doc $d") }
+    assert(composed.nonEmpty)
+  }
+
+  test("XxMinHashBands == explode + min(xxhash64(sh, i)) + xxhash64 band fold on random docs") {
+    import graft.expressions.XxMinHashBands
+    val (numHashes, bands, n) = (8, 2, 3)
+    val perBand = numHashes / bands
+    val eligible = docs.filter(size(TextFns.words(col("text"))) >= n)
+    val native = eligible.select(col("doc_id"),
+      XxMinHashBands.of(col("text"), numHashes, bands, n).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = eligible.select(col("doc_id").as("doc"),
+      explode(TextFns.shingles(col("text"), n)).as("sh"))
+    val hashCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val composed = sh.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+      .select(col("doc"), array((0 until bands).map { b =>
+        xxhash64((b * perBand until (b + 1) * perBand).map(i => col(s"h$i")): _*)
+      }: _*).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == composed.keySet)
+    composed.foreach { case (d, b) => assert(native(d) == b, s"doc $d") }
+    assert(composed.nonEmpty)
+  }
+
   test("ArgMaxPack max(long) == max(struct) argmax on random scores, and plans HashAggregate") {
     import graft.expressions.ArgMaxPack
     // random (key, score, label) candidates; scores spaced far above the

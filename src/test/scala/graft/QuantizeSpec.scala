@@ -42,6 +42,27 @@ class QuantizeSpec extends SparkSpec {
     assert(codes.select("codes").distinct().count() == 300)
   }
 
+  test("trainCodebook distributed fold == driver loop codebook-for-codebook") {
+    // force the >budget path (the claimed 100 TB fallback) and pin it
+    // against the default driver-resident loop: same init, same Lloyd
+    // rounds, same decimal means, same empty-cluster fallback
+    val local = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    spark.conf.set("spark.graft.quantize.driverCodebookMaxDoubles", "0")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val dist = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      assert(dist == local)
+      // the distributed trainer must release its subvector cache (the
+      // one persisted frame left behind is the checkpointed RESULT) — a
+      // subs leak here reappears across every later timed run of a session
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1,
+        s"trainCodebookDistributed leaked cached RDDs beyond its result: $leaked")
+    } finally spark.conf.unset("spark.graft.quantize.driverCodebookMaxDoubles")
+  }
+
   test("encode emits m in-range codes; clusters map to distinct code words") {
     // k=2 so each natural cluster owns exactly one code per subspace
     val cb = Quantize.trainCodebook(data, "vec_id", "embedding", m, dim, k = 2)

@@ -26,6 +26,38 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("windowed shared-gram detection == distinct/groupBy/join reference on random docs") {
+    // the one-exchange window form (withSharedCounts) replaced a
+    // distinct → groupBy → join-back shape; pin row-set equality of the
+    // duplicated-position sets on a randomized corpus with repeated and
+    // partially-shared runs
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val shared = (1 to 12).map(i => s"r$i").mkString(" ")
+    val rand = (id: Long) => Seq.fill(8 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 30L).map { id =>
+      val t =
+        if (id % 3 == 0) s"${rand(id)} $shared ${rand(id)}"
+        else rand(id)
+      (id, t)
+    }.toDF("doc_id", "text")
+    for (k <- Seq(4, 8); hashKeys <- Seq(false, true)) {
+      val spans = SubstringDedup.dupSpans(corpus, "text", "doc_id", k, hashKeys)
+        .as[(Long, Int, Int)].collect().toSet
+      // reference: the pre-r14 join form, composed inline
+      val grams = corpus.select(col("doc_id").as("__id"),
+        posexplode(graft.functions.TextFns.shingles(col("text"), k)).as(Seq("pos", "gram")))
+      val keyed = if (hashKeys) grams.withColumn("gram", xxhash64(col("gram"))) else grams
+      val sharedG = keyed.select("gram", "__id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("gram")
+      val refPos = keyed.join(sharedG, Seq("gram")).select("__id", "pos")
+      val ref = SubstringDedup.mergeCoverage(refPos, k)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(spans == ref, s"k=$k hashKeys=$hashKeys")
+    }
+  }
+
   test("spanStats reports counts, coverage and zero rows") {
     val stats = SubstringDedup.spanStats(docs, "text", "doc_id", k = 8)
       .as[(Long, Long, Long, Long, Double)].collect()
