@@ -496,8 +496,13 @@ object Dedup {
     // the band keys, the verify union, and the final anti join — without
     // it the corpus-wide hash anti-join re-executes for each.
     val existingHashes = existing.select(md5(col(textCol)).as("__eh")).distinct()
+    // batch-bounded barrier: `vsCorpus` feeds BOTH the within-batch
+    // exact stage and the semi join right below — without it the
+    // corpus-hash anti join (including the existing-side md5+distinct
+    // subtree) plans and runs twice
     val vsCorpus = newDocs
       .join(existingHashes, md5(newDocs(textCol)) === col("__eh"), "left_anti")
+      .localCheckpoint(false)
     val fresh = vsCorpus.join(
       exact(vsCorpus, textCol, idCol).select(col("keep_id").as("__keep")),
       vsCorpus(idCol) === col("__keep"), "leftsemi")
@@ -578,21 +583,27 @@ object Dedup {
     val toks = parallelized(df, idCol)
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFns.words(col(textCol)))).as("w"))
-    val freq = toks.groupBy("w").agg(count(lit(1)).as("__f"))
-    // NOT broadcast: the distinct-token table is vocabulary-sized
-    // (Heaps'-law unbounded — typos/URLs/numbers), far past the 8 GB
-    // broadcast ceiling on a real corpus; the join is already keyed on
-    // the same exploded shape, so a shuffle join is the scale plan
+    // Token frequency as a WINDOW over the token rows, not a separate
+    // aggregate joined back: the join form planted `toks` (the corpus
+    // tokenize+explode) twice in the plan — Spark does not CSE — and
+    // paid the freq aggregate's exchange on top of the join's sort of
+    // the token rows by `w`. One window = one tokenize pass, one
+    // w-keyed exchange, and the same (token, frequency) rows. NOT a
+    // broadcast join for the same reason as before: the distinct-token
+    // table is vocabulary-sized (Heaps'-law unbounded), far past any
+    // broadcast ceiling on a real corpus; hot-token skew lands the same
+    // rows in one partition either way.
     // localCheckpoint: `ordered` is referenced FOUR times below (both
-    // prefix sides, both verify token-set sides) and Spark does not CSE
-    // duplicated subtrees across self-joins — without the barrier the
-    // tokenize + freq-join + per-doc sort chain plans (and runs) four
-    // times (the round-10 plan was 85 nodes with three extra corpus
-    // scans; the r11 sf1 pairing showed the fixed multi-stage cost IS
-    // q80's whole runtime). Materializing the per-doc ordered-token
-    // frame once is strictly cheaper at any scale — it is the
-    // operator's working set, read four ways.
-    val ordered = toks.join(freq, Seq("w"))
+    // prefix sides, both verify token-set sides) — without the barrier
+    // the tokenize + freq-window + per-doc sort chain plans (and runs)
+    // four times (the round-10 plan was 85 nodes with three extra
+    // corpus scans; the r11 sf1 pairing showed the fixed multi-stage
+    // cost IS q80's whole runtime). Materializing the per-doc
+    // ordered-token frame once is strictly cheaper at any scale — it is
+    // the operator's working set, read four ways.
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy("w")
+    val ordered = toks
+      .withColumn("__f", count(lit(1)).over(wWin))
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("__f"), col("w")))).as("__ord"),
         count(lit(1)).as("__sz"))

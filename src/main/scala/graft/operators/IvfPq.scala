@@ -283,10 +283,14 @@ object IvfPq {
           .filter(col("pr") <= nprobe)
           .select(col("q_id"), col("q_vec"), col("cluster"), col("c_centroid"))
       }
+    // probes is read twice (the ADC-table chain and the candidate join)
+    // and its producer includes the CALLER's whole queries plan — a lazy
+    // barrier, bounded by queries × nprobe rows, runs that plan once
+    val probed = probes.localCheckpoint(false)
 
     // residual query per probed cluster → per-subspace ADC lookup table:
     // (q_id, cluster, subspace, code) → squared distance contribution
-    val qresid = probes.withColumn("q_resid",
+    val qresid = probed.withColumn("q_resid",
       zip_with(col("q_vec"), col("c_centroid"), (a, b) => a - b))
     // struct key, not a delimited string: string q_ids containing the
     // delimiter would let distinct (q_id, cluster) pairs collide and mix
@@ -309,7 +313,7 @@ object IvfPq {
     // failed the old inner join, and a candidate with NO valid code is
     // absent from the output in both shapes.
     val tbl = Quantize.adcMaps(table, "qc")
-    val cand = probes.select(col("q_id"), col("cluster"))
+    val cand = probed.select(col("q_id"), col("cluster"))
       .join(encoded.select(col("id").as("t_id"), col("cluster"), col("codes")), Seq("cluster"))
       .withColumn("qc", struct(col("q_id"), col("cluster")))
 
