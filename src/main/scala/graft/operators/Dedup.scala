@@ -79,14 +79,18 @@ object Dedup {
   private def bandKeys(df: DataFrame, textCol: String, idCol: String,
                        numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // The >= shingleN filter drops docs with no shingles (mirrored in the
-    // oracle SQL); MinHashBands would return null for them anyway.
+    // No shingle-count pre-filter: MinHashBands returns null for texts
+    // with fewer than shingleN words (split(" ", -1) word-count semantics,
+    // identical to TextFns.words) and for null texts, and explode(null)
+    // yields no rows — the same row set the former
+    // size(words(text)) >= shingleN filter kept, without paying a full
+    // split-to-string-array pass per row just to count words.
     // The whole shingle → minhash → band-md5 chain is ONE fused native
     // expression over the raw text bytes (no shingle-array
     // materialization — each shingle is a byte range of the text);
     // NativeExprParitySpec pins value-parity with the composed
     // word_shingles + minhash_sig + md5(concat(…)) form.
-    parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+    parallelized(df, idCol)
       .select(col(idCol).as("doc"),
         explode(graft.expressions.MinHashBands.of(
           col(textCol), numHashes, bands, shingleN)).as("band"))
@@ -117,8 +121,11 @@ object Dedup {
     // ONE fused projection (XxMinHashBands) — the former explode(shingles)
     // → min(xxhash64(sh, i)) groupBy(doc) shape shuffled corpus × shingles
     // rows through a hash aggregate for work that never needed cross-row
-    // data; NativeExprParitySpec pins band-for-band value parity.
-    parallelized(df.filter(size(TextFns.words(col(textCol))) >= shingleN), idCol)
+    // data; NativeExprParitySpec pins band-for-band value parity. Like
+    // bandKeys, no shingle-count pre-filter: the expression nulls out
+    // short/null texts and explode(null) drops the row — same row set,
+    // one split-to-count pass less.
+    parallelized(df, idCol)
       .select(col(idCol).as("doc"),
         explode(graft.expressions.XxMinHashBands.of(
           col(textCol), numHashes, bands, shingleN)).as("band"))

@@ -88,6 +88,29 @@ class NativeExprParitySpec extends SparkSpec {
     assert(composed.nonEmpty)
   }
 
+  test("explode(bands) drops exactly the docs a words-count pre-filter would") {
+    // bandKeys/fastBandKeys rely on this in place of the former
+    // size(words(text)) >= n filter: short and null texts must vanish
+    // from the exploded band rows, nothing else may.
+    import graft.expressions.{MinHashBands, XxMinHashBands}
+    val n = 3
+    val withEdge = docs.union(Seq(
+      (9001L, "two words"), (9002L, ""), (9003L, null.asInstanceOf[String]),
+      (9004L, "  "), (9005L, "exactly three words")).toDF("doc_id", "text"))
+    val kept = withEdge.filter(size(TextFns.words(col("text"))) >= n)
+      .select("doc_id").as[Long].collect().toSet
+    val viaMd5 = withEdge.select(col("doc_id"),
+        explode(MinHashBands.of(col("text"), 8, 2, n)).as("b"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val viaXx = withEdge.select(col("doc_id"),
+        explode(XxMinHashBands.of(col("text"), 8, 2, n)).as("b"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(viaMd5 == kept)
+    assert(viaXx == kept)
+    assert(kept.contains(9004L) && kept.contains(9005L)) // "  " = 3 empty words
+    assert(!kept.contains(9001L) && !kept.contains(9002L) && !kept.contains(9003L))
+  }
+
   test("XxMinHashBands == explode + min(xxhash64(sh, i)) + xxhash64 band fold on random docs") {
     import graft.expressions.XxMinHashBands
     val (numHashes, bands, n) = (8, 2, 3)
