@@ -24,12 +24,20 @@ import graft.functions.TextFns
   * score directly.
   *
   * Scale shape: the feature stream is a pure map/explode; the bucket
-  * dims are `buckets` rows (broadcast); the raw corpus is streamed
-  * TWICE (once counting, once scoring) rather than materialized — at
-  * 100 TB a recomputed map pass beats checkpointing a corpus-sized
-  * feature stream. Per-feature lr rounds to DECIMAL(38,6) before the
-  * order-free sum (the q72/q91 recipe), so scores are engine-exact.
-  * Docs with no features (null text) are absent from the output.
+  * dims are `buckets` rows (broadcast); the RAW corpus is streamed
+  * ONCE — the stream collapses map-side into per-(doc, bucket)
+  * occurrence counts (bounded by docs × `buckets` rows, NOT
+  * corpus-sized: a long document contributes at most `buckets` rows
+  * however many features it has), and both the bucket totals and the
+  * per-doc scores derive from that one checkpointed frame. This
+  * replaces the former stream-twice shape, whose recompute-vs-store
+  * disposition only considered materializing the corpus-sized raw
+  * stream. Per-feature lr rounds to DECIMAL(38,6) before the
+  * order-free sum (the q72/q91 recipe); the grouped form multiplies
+  * lr(25,6) × count(12,0) → DECIMAL(38,6) with no precision
+  * adjustment, so Σ_occurrences lr ≡ Σ_buckets lr·count exactly and
+  * scores stay engine-exact. Docs with no features (null text) are
+  * absent from the output.
   */
 object Dsir {
 
@@ -50,8 +58,16 @@ object Dsir {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val tc = features(target, textCol, idCol, buckets)
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    val rc = features(raw, textCol, idCol, buckets)
-      .groupBy("b").agg(count(lit(1)).as("cr"))
+    // ONE raw feature pass: per-(doc, bucket) occurrence counts, read
+    // by BOTH the bucket-count aggregate below and the scoring join —
+    // without the barrier the explode+md5 stream (the operator's
+    // dominant per-row cost) plans and runs twice. The materialized
+    // frame is docs × ≤buckets rows, not the corpus-sized stream the
+    // old stream-twice disposition refused to store.
+    val fb = features(raw, textCol, idCol, buckets)
+      .groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val rc = fb.groupBy("b").agg(sum(col("cnt")).as("cr"))
     val counts = tc.join(rc, Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("ct"), lit(0L)).as("ct"),
@@ -63,10 +79,14 @@ object Dsir {
         (log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(buckets)).cast("double"))
           - log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(buckets)).cast("double")))
           .cast("decimal(38,6)").as("lr"))
-    features(raw, textCol, idCol, buckets)
-      .join(broadcast(dim), Seq("b"))
+    // lr(25,6) × cnt(12,0) → DECIMAL(38,6) exactly (38 = 25+12+1, no
+    // precision adjustment under ANY allowPrecisionLoss setting), so
+    // Σ lr·cnt is bit-equal to the former per-occurrence Σ lr; |lr| is
+    // a smoothed log-ratio (≪ 10^19) and cnt ≤ 10^12 per (doc, bucket)
+    fb.join(broadcast(dim), Seq("b"))
       .groupBy(col("doc").as(idCol))
-      .agg(count(lit(1)).as("n_features"),
-        sum(col("lr")).cast("double").as("score"))
+      .agg(sum(col("cnt")).as("n_features"),
+        sum(col("lr").cast("decimal(25,6)") * col("cnt").cast("decimal(12,0)"))
+          .cast("double").as("score"))
   }
 }
